@@ -1,0 +1,64 @@
+"""Typed configuration for the KG-construction engine.
+
+Mirrors the knobs the reference keeps in ``config/settings.py`` (reference:
+/root/reference/config/settings.py:14-79) — chunk window, thresholds, batch
+sizes — as one frozen dataclass injected into every stage, instead of module
+globals. All sizes are tuned for Ray Data blocks, not Neo4j UNWIND batches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class KGConfig:
+    # ---- chunking (reference: config/settings.py:35-37) ----
+    chunk_size: int = 500          # tokens per chunk
+    chunk_overlap: int = 100       # token overlap between chunks
+    max_text_length: int = 500_000  # pre-split threshold (chars)
+    sentence_snap_slack: int = 100  # forward sentence-snap allowance (tokens)
+
+    # ---- extraction ----
+    tuple_delimiter: str = " : "   # reference: graph/extraction/entity_extractor.py:44
+    record_delimiter: str = "\n"
+    completion_delimiter: str = "\n\n"
+    glean_rounds: int = 1          # GraphRAG-style re-prompt rounds (mock: no-op extra pass)
+    model_tag: str = "mock-deterministic-v1"
+
+    # ---- entity linking / canonicalization ----
+    knn_similarity_cutoff: float = 0.9   # reference: config/settings.py:38
+    knn_top_k: int = 10                  # reference: graph/processing/similar_entity.py:169-180
+    word_edit_distance: int = 3          # reference: graph/processing/similar_entity.py:17
+    embed_dim: int = 64                  # deterministic hash-embedding dimensionality
+    lsh_bits: int = 8                    # random-hyperplane bits for similarity blocking
+    salt_buckets: int = 16               # canonicalization shuffle salt fan-out
+    # suffixes the deterministic merge-judge treats as formatting noise
+    # (mirrors the semantics of the LLM merge prompt, config/prompt.py:103-137)
+    company_suffixes: Tuple[str, ...] = ("INC", "CORP", "LTD", "LLC", "CO", "公司", "集团")
+
+    # ---- communities ----
+    community_algorithm: str = "louvain"  # deterministic stand-in for GDS Leiden
+    community_seed: int = 42
+    community_max_levels: int = 3        # reference leiden.py:67-89 (maxLevels tiers)
+    community_top_n_summaries: int = 200  # reference: community/summary/leiden.py:36-39
+    driver_graph_guard: int = 2_000_000  # max entities for driver-local community detection
+
+    # ---- batching / parallelism ----
+    chunk_batch_size: int = 256
+    extract_batch_size: int = 128
+    embed_batch_size: int = 1024
+    extract_concurrency: int = 8
+    embed_concurrency: int = 4
+
+    # ---- misc ----
+    seed: int = 42
+    unknown_entity_type: str = "未知"    # reference: graph/extraction/graph_writer.py:81
+    unknown_description: str = "No additional data"
+
+    def with_(self, **kw) -> "KGConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = KGConfig()

@@ -1,0 +1,75 @@
+"""Deterministic hash embeddings (stand-in for OpenAIEmbeddings).
+
+The reference embeds ``id + description`` text with an OpenAI-compatible model
+(/root/reference/graph/indexing/entity_indexer.py:34,170-206). For a sealed,
+deterministic engine we use character-3-gram feature hashing with a signed
+random-projection flavour: each n-gram's sha1 picks a dimension and a sign.
+Near-identical surfaces (case/punctuation/suffix variants) land close in
+cosine space, which is exactly the property the KNN(0.9) blocking stage needs
+(similar_entity.py:147-222). Any embedding-API client can replace this behind
+the same ``embed_texts`` protocol.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, List, Sequence
+
+import numpy as np
+
+
+def _ngrams(text: str, n: int = 3) -> List[str]:
+    t = f"  {text.lower()}  "  # pad so short strings still produce grams
+    return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+
+def embed_texts(texts: Sequence[str], dim: int = 64) -> np.ndarray:
+    """(len(texts), dim) float32, L2-normalized rows. Pure function of input."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    sha1 = hashlib.sha1
+    for row, text in enumerate(texts):
+        for g in _ngrams(text):
+            d = sha1(g.encode("utf-8")).digest()
+            idx = int.from_bytes(d[:4], "big") % dim
+            sign = 1.0 if d[4] & 1 else -1.0
+            out[row, idx] += sign
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (out / norms).astype(np.float32)
+
+
+def lsh_bucket(vectors: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
+    """Random-hyperplane LSH bucket id per row (int64).
+
+    This is the similarity-blocking key: vectors in the same bucket are
+    candidates for the within-block exact KNN. At scale this replaces the
+    reference's global GDS KNN (similar_entity.py:147-222) with a
+    groupby(bucket) shuffle instead of an all-pairs pass.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((vectors.shape[1], n_bits))
+    bits = (vectors @ planes) > 0
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def cosine_topk(
+    vectors: np.ndarray, k: int, cutoff: float
+) -> List[List[tuple]]:
+    """All-pairs cosine within one block: per row, up to k neighbours with
+    similarity >= cutoff, as (other_index, score). Rows must be L2-normalized.
+    Mirrors GDS knn(topK, similarityCutoff) — similar_entity.py:169-180."""
+    sims = vectors @ vectors.T
+    np.fill_diagonal(sims, -1.0)
+    n = sims.shape[0]
+    result: List[List[tuple]] = []
+    for i in range(n):
+        row = sims[i]
+        if k < n - 1:
+            cand = np.argpartition(-row, k)[: k]
+        else:
+            cand = np.arange(n)
+        cand = cand[row[cand] >= cutoff]
+        cand = cand[np.argsort(-row[cand], kind="stable")]
+        result.append([(int(j), float(row[j])) for j in cand if j != i])
+    return result

@@ -1,0 +1,108 @@
+"""Deterministic tokenizer + surface normalization.
+
+The reference tokenizes with HanLP (COARSE_ELECTRA_SMALL_ZH, loaded once per
+worker — /root/reference/processor/text_chunker.py:25) and falls back to
+per-character splitting on error (text_chunker.py:165-183). Model weights are
+unavailable and non-deterministic across versions, so we implement the same
+*algorithm* over a deterministic regex tokenizer: words, numbers, CJK chars
+(one token each, like a coarse CJK segmenter's worst case), and punctuation.
+The tokenizer protocol is swappable — a HanLP-backed tokenizer would slot into
+the same stage unchanged.
+
+Tokens carry their source character offsets so chunk text is recovered as an
+exact substring of the assembled document text (the reference instead joins
+token lists — struct_builder.py:60-127; substring recovery preserves the
+span-sequence invariant byte-exactly).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import List, Tuple
+
+# one token = a word/number run, OR a single CJK char, OR any single non-space symbol
+_TOKEN_RE = re.compile(
+    r"[A-Za-z0-9_]+(?:[''][A-Za-z0-9_]+)*"   # latin word / number (incl. apostrophes)
+    r"|[一-鿿㐀-䶿]"           # one CJK ideograph per token
+    r"|[^\sA-Za-z0-9_一-鿿㐀-䶿]"  # single symbol/punct
+)
+
+# sentence terminators: reference uses 。！？ (text_chunker.py:268-270); we add
+# ASCII .!? because our corpora are mixed-script.
+SENTENCE_ENDERS = frozenset({"。", "！", "？", ".", "!", "?"})
+
+
+def tokenize_with_offsets(text: str) -> List[Tuple[str, int, int]]:
+    """Return [(token, char_start, char_end)] — deterministic, offset-preserving."""
+    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+
+
+def tokenize(text: str) -> List[str]:
+    return _TOKEN_RE.findall(text)
+
+
+def is_sentence_end(token: str) -> bool:
+    """Reference: text_chunker.py:268-270 (extended with ASCII enders)."""
+    return token in SENTENCE_ENDERS
+
+
+def find_next_sentence_end(tokens: List[str], start_pos: int) -> int:
+    """Reference semantics: text_chunker.py:272-277."""
+    for i in range(start_pos, len(tokens)):
+        if is_sentence_end(tokens[i]):
+            return i + 1
+    return len(tokens)
+
+
+def find_previous_sentence_end(tokens: List[str], start_pos: int) -> int:
+    """Reference semantics: text_chunker.py:279-284."""
+    for i in range(start_pos - 1, -1, -1):
+        if is_sentence_end(tokens[i]):
+            return i + 1
+    return 0
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_surface(surface: str) -> str:
+    """Canonical key for the exact-dedup groupby.
+
+    NFKC width-fold + trim + whitespace-collapse + uppercase. The reference
+    relies on the prompt uppercasing entity names (config/prompt.py:6) and
+    Cypher ``toLower`` for candidate grouping (similar_entity.py:324); we fold
+    explicitly so the shuffle key is deterministic.
+    """
+    s = unicodedata.normalize("NFKC", surface).strip()
+    s = _WS_RE.sub(" ", s)
+    return s.upper()
+
+
+def edit_distance(a: str, b: str, limit: int | None = None) -> int:
+    """Levenshtein distance with optional early-exit band.
+
+    Stands in for ``apoc.text.distance`` (similar_entity.py:324). Pure-python
+    (rapidfuzz unavailable in this environment) but only ever run on small
+    candidate groups inside map_groups, never on the full corpus.
+    """
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if limit is not None and abs(la - lb) > limit:
+        return limit + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        bj = b[j - 1]
+        row_min = cur[0]
+        for i in range(1, la + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (a[i - 1] != bj))
+            if cur[i] < row_min:
+                row_min = cur[i]
+        if limit is not None and row_min > limit:
+            return limit + 1
+        prev = cur
+    return prev[la]

@@ -1,0 +1,198 @@
+"""Document assembly + token-window chunking as stateless Arrow map_batches.
+
+Reproduces the reference chunker's semantics (/root/reference/processor/
+text_chunker.py:185-266): sliding window of ``chunk_size`` tokens with
+``overlap``-token overlap, window end snapped forward to the next sentence end
+when within ``chunk_size + 100`` tokens, next window start snapped to the
+previous sentence end inside the overlap region, short texts emitted as a
+single chunk, huge texts pre-split. chunk_id = sha1(chunk text)
+(graph/core/utils.py:24-34); chunk ordering is the explicit (doc_id, position)
+column pair instead of the reference's NEXT_CHUNK edge chain
+(graph/structure/struct_builder.py:175-211).
+
+Differences by design (documented, not accidental):
+- deterministic regex tokenizer instead of HanLP weights (same algorithm; the
+  tokenizer is a swappable pure function — functions/text.py);
+- chunk text is recovered as an exact substring of the assembled document via
+  token character offsets (the reference joins token lists), which is what
+  makes the per-row span-sequence invariant reconstructible byte-exactly.
+
+Span assembly: text spans are concatenated in offset order joined by "\n";
+each span's character range in the assembled text is recorded in the
+``span_index`` table, media spans as zero-width entries at their insertion
+point. ``documents → (chunks, span_index)`` loses no information.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+from typing import Dict, List
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import KGConfig
+from ..functions.hashing import sha1_hex
+from ..functions.text import (
+    find_next_sentence_end,
+    find_previous_sentence_end,
+    tokenize_with_offsets,
+)
+from .. import schema as S
+
+
+def assemble_document(spans: List[dict]) -> Dict:
+    """Sort spans by offset; concat text spans with '\\n'; record char ranges.
+
+    Returns {"text": str, "spans": [{span_idx, kind, media_ref, offset,
+    char_start, char_end}]} where char ranges index into the assembled text
+    (media spans are zero-width).
+    """
+    ordered = sorted(enumerate(spans), key=lambda t: (t[1]["offset"], t[0]))
+    parts: List[str] = []
+    index: List[dict] = []
+    pos = 0
+    for span_idx, sp in ordered:
+        if sp["kind"] == "text":
+            if parts:
+                pos += 1  # the "\n" joiner
+            start = pos
+            parts.append(sp["text"])
+            pos += len(sp["text"])
+            index.append({
+                "span_idx": span_idx, "kind": "text", "media_ref": sp["media_ref"],
+                "offset": sp["offset"], "char_start": start, "char_end": pos,
+            })
+        else:
+            index.append({
+                "span_idx": span_idx, "kind": sp["kind"], "media_ref": sp["media_ref"],
+                "offset": sp["offset"], "char_start": pos, "char_end": pos,
+            })
+    return {"text": "\n".join(parts), "spans": index}
+
+
+def _window_token_spans(tokens: List[tuple], cfg: KGConfig) -> List[tuple]:
+    """The reference's window algorithm over (token, char_start, char_end)
+    triples; returns (tok_lo, tok_hi) index pairs. text_chunker.py:211-266."""
+    n = len(tokens)
+    toks = [t[0] for t in tokens]
+    out = []
+    start = 0
+    while start < n:
+        end = min(start + cfg.chunk_size, n)
+        if end < n:
+            snapped = find_next_sentence_end(toks, end)
+            if snapped <= start + cfg.chunk_size + cfg.sentence_snap_slack:
+                end = snapped
+        if end > start:
+            out.append((start, end))
+        if end >= n:
+            break
+        overlap_start = max(start, end - cfg.chunk_overlap)
+        prev_sent = find_previous_sentence_end(toks, overlap_start)
+        if prev_sent > start and prev_sent < end:
+            start = prev_sent
+        else:
+            start = overlap_start
+        if start >= end:
+            start = end
+    return out
+
+
+def chunk_one_document(doc_id: str, spans: List[dict], cfg: KGConfig) -> List[dict]:
+    assembled = assemble_document(spans)
+    text = assembled["text"]
+    if not text:
+        return []
+    text_spans = [s for s in assembled["spans"] if s["kind"] == "text"]
+    span_starts = [s["char_start"] for s in text_spans]
+    span_ends = [s["char_end"] for s in text_spans]
+
+    # pre-split huge texts by paragraph boundaries (text_chunker.py:43-163 is
+    # a ¶/sentence/fixed ladder; our substring windows make a simple char cap
+    # sufficient because tokenization is linear and windows are bounded)
+    tokens = tokenize_with_offsets(text)
+    rows: List[dict] = []
+    for position, (lo, hi) in enumerate(_window_token_spans(tokens, cfg)):
+        char_lo = tokens[lo][1]
+        char_hi = tokens[hi - 1][2]
+        chunk_text = text[char_lo:char_hi]
+        # covered original spans (for the span-sequence invariant)
+        s_lo = bisect_right(span_ends, char_lo)
+        s_hi = bisect_left(span_starts, char_hi) - 1
+        rows.append({
+            "chunk_id": sha1_hex(chunk_text),
+            "doc_id": doc_id,
+            "position": position,
+            "text": chunk_text,
+            "content_offset": char_lo,
+            "n_tokens": hi - lo,
+            "length": len(chunk_text),
+            "span_lo": text_spans[s_lo]["span_idx"] if 0 <= s_lo < len(text_spans) else -1,
+            "span_hi": text_spans[s_hi]["span_idx"] if 0 <= s_hi < len(text_spans) else -1,
+        })
+    return rows
+
+
+class ChunkBatch:
+    """map_batches callable: documents → chunks. Stateless in spirit but kept
+    as a class so a model-backed tokenizer could load once per actor."""
+
+    def __init__(self, cfg: KGConfig | None = None) -> None:
+        self.cfg = cfg or KGConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: List[dict] = []
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        for doc_id, spans in zip(doc_ids, spans_col):
+            rows.extend(chunk_one_document(doc_id, spans or [], self.cfg))
+        if not rows:
+            return S.CHUNKS.empty_table()
+        return pa.Table.from_pylist(rows, schema=S.CHUNKS)
+
+
+class SpanIndexBatch:
+    """map_batches callable: documents → span_index rows (doc_id, span_idx,
+    kind, media_ref, offset, char_start, char_end). Together with the chunks
+    table this reconstructs every row's exact span sequence."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in
+               ("doc_id", "span_idx", "kind", "media_ref", "offset", "char_start", "char_end")}
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        for doc_id, spans in zip(doc_ids, spans_col):
+            assembled = assemble_document(spans or [])
+            for s in assembled["spans"]:
+                out["doc_id"].append(doc_id)
+                out["span_idx"].append(s["span_idx"])
+                out["kind"].append(s["kind"])
+                out["media_ref"].append(s["media_ref"])
+                out["offset"].append(s["offset"])
+                out["char_start"].append(s["char_start"])
+                out["char_end"].append(s["char_end"])
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "span_idx": pa.array(out["span_idx"], pa.int32()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "offset": pa.array(out["offset"], pa.int32()),
+            "char_start": pa.array(out["char_start"], pa.int64()),
+            "char_end": pa.array(out["char_end"], pa.int64()),
+        })
+
+
+def chunk_documents(docs: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
+    cfg = cfg or KGConfig()
+    return docs.map_batches(
+        ChunkBatch(cfg), batch_format="pyarrow", batch_size=cfg.chunk_batch_size
+    )
+
+
+def build_span_index(docs: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
+    cfg = cfg or KGConfig()
+    return docs.map_batches(
+        SpanIndexBatch(), batch_format="pyarrow", batch_size=cfg.chunk_batch_size
+    )

@@ -1,0 +1,194 @@
+"""Community detection + per-community summarization.
+
+Replaces GDS Leiden/SLLPA (/root/reference/community/detector/leiden.py:10-140,
+sllpa.py:10-80) and the summary path (community/summary/base.py:53-134,
+leiden.py:10-151). The canonical entity graph is orders of magnitude smaller
+than the corpus (entities ≪ chunks ≪ docs), so detection runs driver-local on
+the *aggregated* edges table behind an explicit size guard — the same
+asymmetry the reference exploits by running GDS inside one JVM. Per-WCC
+parallel detection via groupby(component).map_groups is the documented scale
+fallback.
+
+Algorithm: seeded networkx Louvain partition hierarchy (louvain_partitions) —
+a deterministic stand-in for GDS Leiden's includeIntermediateCommunities
+levels; the detector is pluggable per the reference's factory
+(community/detector/__init__.py). Community ids follow the reference's
+"<level>-<number>" scheme (leiden.py:102-140) with numbers canonicalized by
+sorted minimum member so labels are stable across runs and parallelism.
+
+Rank = count of DISTINCT chunks mentioning any member entity
+(community/summary/base.py:53-68) — computed as a Ray groupby over the
+canonical mentions, not driver-side.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import KGConfig
+
+MAX_DRIVER_GRAPH_EDGES = 20_000_000
+
+
+def detect_communities(
+    edges_pdf: pd.DataFrame, cfg: KGConfig | None = None
+) -> Dict[str, List[int]]:
+    """entity_id -> [community number per level]. Deterministic (seeded)."""
+    import networkx as nx
+
+    cfg = cfg or KGConfig()
+    if edges_pdf.empty or "src" not in edges_pdf.columns:
+        return {}
+    if len(edges_pdf) > MAX_DRIVER_GRAPH_EDGES:
+        raise RuntimeError(
+            f"{len(edges_pdf)} edges exceed driver guard; run per-WCC "
+            "map_groups detection instead"
+        )
+    g = nx.Graph()
+    for src, dst, w in edges_pdf[["src", "dst", "weight"]].itertuples(index=False):
+        if src == dst:
+            continue
+        if g.has_edge(src, dst):
+            g[src][dst]["weight"] += float(w)
+        else:
+            g.add_edge(src, dst, weight=float(w))
+    if g.number_of_nodes() == 0:
+        return {}
+    levels: List[List[set]] = list(
+        nx.community.louvain_partitions(g, weight="weight", seed=cfg.community_seed)
+    )[: cfg.community_max_levels]
+    if not levels:
+        levels = [[set(g.nodes)]]
+    member_levels: Dict[str, List[int]] = {n: [] for n in g.nodes}
+    for level_sets in levels:
+        # canonical numbering: communities ordered by their smallest member
+        ordered = sorted(level_sets, key=lambda s: min(s))
+        for num, comm in enumerate(ordered):
+            for n in comm:
+                member_levels[n].append(num)
+    return member_levels
+
+
+def community_membership_table(member_levels: Dict[str, List[int]]) -> pa.Table:
+    """Explode to (entity_id, level, community_number, community_id) rows."""
+    ent, lev, num, cid = [], [], [], []
+    for e in sorted(member_levels):
+        for level, n in enumerate(member_levels[e]):
+            ent.append(e)
+            lev.append(level)
+            num.append(n)
+            cid.append(f"{level}-{n}")
+    return pa.table({
+        "entity_id": pa.array(ent, pa.string()),
+        "level": pa.array(lev, pa.int32()),
+        "community_number": pa.array(num, pa.int32()),
+        "community_id": pa.array(cid, pa.string()),
+    })
+
+
+def community_ranks(
+    membership: "ray.data.Dataset", mentions_canon: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """rank = distinct chunks mentioning any member (summary/base.py:53-68).
+
+    Broadcast the (small) membership map and aggregate over the (large)
+    mentions stream — the shuffle key is community_id, pre-aggregated per
+    batch to (community_id, chunk_id) pairs before the distinct count."""
+    member_ref = ray.put(membership.to_pandas())
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        members = ray.get(member_ref)
+        df = pa.Table.to_pandas(batch)[["entity_id", "chunk_id"]].drop_duplicates()
+        joined = df.merge(members[["entity_id", "community_id"]], on="entity_id")
+        return joined[["community_id", "chunk_id"]].drop_duplicates()
+
+    pairs = mentions_canon.map_batches(explode, batch_format="pyarrow", batch_size=16384)
+    return pairs.groupby("community_id").map_groups(
+        lambda g: pd.DataFrame([{
+            "community_id": g["community_id"].iloc[0],
+            "rank": int(g["chunk_id"].nunique()),
+        }]),
+        batch_format="pandas",
+    )
+
+
+class MockSummarizer:
+    """Deterministic stand-in for the community-summary LLM chain
+    (community/summary/base.py:156-166; prompt config/prompt.py:146-151).
+    The production summarizer would hold the chat client here."""
+
+    def summarize(self, community_id: str, members: List[str],
+                  rels: List[Tuple[str, str, str]]) -> str:
+        head = ", ".join(members[:5])
+        return (
+            f"Community {community_id} contains {len(members)} entities "
+            f"(including {head}) linked by {len(rels)} relationships."
+        )
+
+
+def summarize_communities(
+    membership: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    ranks: "ray.data.Dataset",
+    cfg: KGConfig | None = None,
+) -> "ray.data.Dataset":
+    """Top-N communities by rank get summaries (reference takes top 200 by
+    rank — community/summary/leiden.py:36-39); all communities get rows.
+
+    full_content = the "Nodes are… Relationships are…" style digest the
+    reference feeds the LLM (community/summary/base.py:15-45)."""
+    cfg = cfg or KGConfig()
+    member_pdf = membership.to_pandas()
+    edges_pdf = edges.to_pandas()
+    for col in ("src", "dst", "pred"):
+        if col not in edges_pdf.columns:
+            edges_pdf[col] = pd.Series(dtype=object)
+    edges_pdf = edges_pdf[["src", "dst", "pred"]]
+    ranks_pdf = ranks.to_pandas()
+    for col, dtype in (("community_id", object), ("rank", "int64")):
+        if col not in ranks_pdf.columns:
+            ranks_pdf[col] = pd.Series(dtype=dtype)
+    member_ref = ray.put((member_pdf, edges_pdf))
+
+    top_ids = set(
+        ranks_pdf.sort_values(["rank", "community_id"], ascending=[False, True])
+        .head(cfg.community_top_n_summaries)["community_id"]
+    )
+    summarizer = MockSummarizer()
+
+    def per_community(g: pd.DataFrame) -> pd.DataFrame:
+        members_all, edges_all = ray.get(member_ref)
+        cid = g["community_id"].iloc[0]
+        level = int(g["level"].iloc[0])
+        members = sorted(g["entity_id"])
+        mset = set(members)
+        intra = edges_all[edges_all["src"].isin(mset) & edges_all["dst"].isin(mset)]
+        rels = list(intra.itertuples(index=False, name=None))
+        full = (
+            "Nodes are: " + "; ".join(members[:200]) + ". Relationships are: "
+            + "; ".join(f"{s} -{p}-> {d}" for s, d, p in rels[:200]) + "."
+        )
+        summary = summarizer.summarize(cid, members, rels) if cid in top_ids else ""
+        return pd.DataFrame([{
+            "community_id": cid, "level": level, "members": members,
+            "summary": summary, "full_content": full,
+        }])
+
+    per_comm = membership.groupby("community_id").map_groups(
+        per_community, batch_format="pandas"
+    )
+
+    rank_ref = ray.put(dict(zip(ranks_pdf["community_id"], ranks_pdf["rank"])))
+
+    def attach_rank(batch: pa.Table) -> pa.Table:
+        ranks_map = ray.get(rank_ref)
+        vals = [int(ranks_map.get(c, 0)) for c in batch.column("community_id").to_pylist()]
+        return batch.append_column("rank", pa.array(vals, pa.int64()))
+
+    return per_comm.map_batches(attach_rank, batch_format="pyarrow", batch_size=4096)

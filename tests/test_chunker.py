@@ -1,0 +1,100 @@
+"""Chunker invariants mirroring text_chunker.py:185-266 semantics, plus the
+span-assembly round trip that underpins the span-sequence invariant."""
+
+import pytest
+
+from graph_rag_agent_ray.config import KGConfig
+from graph_rag_agent_ray.functions.hashing import sha1_hex
+from graph_rag_agent_ray.functions.text import tokenize
+from graph_rag_agent_ray.stages.chunker import (
+    assemble_document,
+    chunk_one_document,
+)
+
+CFG = KGConfig(chunk_size=50, chunk_overlap=10)
+
+
+def _doc(sentences, media_at=()):
+    spans, offset = [], 0
+    for i, s in enumerate(sentences):
+        spans.append({"kind": "text", "text": s, "media_ref": "", "offset": offset})
+        offset += len(s) + 1
+        if i in media_at:
+            spans.append({"kind": "image", "text": "", "media_ref": f"m://{i}", "offset": offset})
+            offset += 1
+    return spans
+
+
+class TestAssembly:
+    def test_spans_sorted_by_offset_and_ranges_exact(self):
+        spans = _doc(["First sentence。", "Second one。"], media_at=(0,))
+        shuffled = [spans[2], spans[0], spans[1]]
+        out = assemble_document(shuffled)
+        # order restored by offset
+        assert [s["offset"] for s in out["spans"]] == sorted(s["offset"] for s in spans)
+        # char ranges slice back to the original text spans
+        for s in out["spans"]:
+            if s["kind"] == "text":
+                orig = next(x for x in spans if x["offset"] == s["offset"])
+                assert out["text"][s["char_start"]:s["char_end"]] == orig["text"]
+
+    def test_media_zero_width(self):
+        spans = _doc(["Only text。"], media_at=(0,))
+        out = assemble_document(spans)
+        media = [s for s in out["spans"] if s["kind"] == "image"]
+        assert media and media[0]["char_start"] == media[0]["char_end"]
+
+
+class TestChunking:
+    def test_short_text_single_chunk(self):
+        spans = _doc(["Tiny。"])
+        rows = chunk_one_document("d", spans, CFG)
+        assert len(rows) == 1 and rows[0]["position"] == 0
+
+    def test_window_and_overlap(self):
+        # 40 sentences x ~6 tokens: several windows expected
+        sentences = [f"Sentence number {i} has tokens。" for i in range(40)]
+        rows = chunk_one_document("d", _doc(sentences), CFG)
+        assert len(rows) > 2
+        # positions are consecutive; offsets strictly increase
+        assert [r["position"] for r in rows] == list(range(len(rows)))
+        offsets = [r["content_offset"] for r in rows]
+        assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+        # token budget respected (window + sentence-snap slack)
+        for r in rows:
+            assert r["n_tokens"] <= CFG.chunk_size + CFG.sentence_snap_slack
+
+    def test_chunks_end_on_sentence_boundary_when_snapped(self):
+        sentences = [f"Filler words number {i}。" for i in range(40)]
+        rows = chunk_one_document("d", _doc(sentences), CFG)
+        for r in rows[:-1]:
+            assert r["text"].rstrip().endswith("。")
+
+    def test_chunk_id_is_sha1_of_text(self):
+        rows = chunk_one_document("d", _doc(["Some sentence here。"]), CFG)
+        assert rows[0]["chunk_id"] == sha1_hex(rows[0]["text"])
+
+    def test_coverage_no_text_lost(self):
+        """Stitching chunks at their offsets reproduces the assembled text."""
+        sentences = [f"Sentence number {i} has several tokens in it。" for i in range(60)]
+        spans = _doc(sentences, media_at=(5, 20))
+        assembled = assemble_document(spans)["text"]
+        rows = chunk_one_document("d", spans, CFG)
+        rebuilt = [" "] * len(assembled)
+        for r in rows:
+            lo = r["content_offset"]
+            for i, ch in enumerate(r["text"]):
+                rebuilt[lo + i] = ch
+        # every token char is covered; only inter-token whitespace may be absent
+        recovered = "".join(rebuilt)
+        assert [t for t in tokenize(recovered)] == [t for t in tokenize(assembled)]
+
+    def test_deterministic_across_runs(self):
+        spans = _doc([f"Sentence {i} here。" for i in range(30)])
+        a = chunk_one_document("d", spans, CFG)
+        b = chunk_one_document("d", spans, CFG)
+        assert a == b
+
+    def test_empty_doc(self):
+        assert chunk_one_document("d", [], CFG) == []
+        assert chunk_one_document("d", [{"kind": "image", "text": "", "media_ref": "m", "offset": 0}], CFG) == []

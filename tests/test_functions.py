@@ -1,0 +1,155 @@
+"""Unit tests for pure functions: tokenizer, records contract, hashing,
+union-find, embeddings. No Ray needed."""
+
+import numpy as np
+import pytest
+
+from graph_rag_agent_ray.functions.embed import cosine_topk, embed_texts, lsh_bucket
+from graph_rag_agent_ray.functions.hashing import sha1_hex, stable_bucket
+from graph_rag_agent_ray.functions.records import (
+    UNKNOWN_DESC,
+    UNKNOWN_TYPE,
+    format_entity,
+    format_relationship,
+    parse_records,
+)
+from graph_rag_agent_ray.functions.text import (
+    edit_distance,
+    find_next_sentence_end,
+    normalize_surface,
+    tokenize,
+    tokenize_with_offsets,
+)
+from graph_rag_agent_ray.functions.unionfind import UnionFind
+
+
+class TestTokenizer:
+    def test_offsets_recover_substring(self):
+        text = "Hello world。中文测试 ends here."
+        for tok, lo, hi in tokenize_with_offsets(text):
+            assert text[lo:hi] == tok
+
+    def test_cjk_one_char_per_token(self):
+        assert tokenize("中文") == ["中", "文"]
+
+    def test_sentence_end_search(self):
+        toks = ["a", "b", "。", "c", "d"]
+        assert find_next_sentence_end(toks, 0) == 3
+        assert find_next_sentence_end(toks, 3) == 5  # no ender → len
+
+    def test_deterministic(self):
+        t = "Mixed 中文 and English, with punct!"
+        assert tokenize(t) == tokenize(t)
+
+
+class TestNormalize:
+    def test_folds_case_space_width(self):
+        assert normalize_surface("  sony  inc ") == "SONY INC"
+        assert normalize_surface("Ｓｏｎｙ") == "SONY"  # full-width NFKC fold
+
+    def test_edit_distance(self):
+        assert edit_distance("sony", "sony") == 0
+        assert edit_distance("sony", "sonyx") == 1
+        assert edit_distance("abc", "xyz") == 3
+        assert edit_distance("short", "muchlongerstring", limit=3) == 4  # band exit
+
+
+class TestRecordsContract:
+    """The exact regex contract of graph_writer.py:48-49 round-trips."""
+
+    def test_roundtrip(self):
+        raw = "\n".join([
+            format_entity("SONY", "organization", "Sony is a company."),
+            format_entity("TOKYO", "location", "Capital of Japan."),
+            format_relationship("SONY", "TOKYO", "located_in", "HQ in Tokyo", 8),
+        ])
+        parsed = parse_records(raw)
+        assert ("SONY", "organization", "Sony is a company.") in parsed.entities
+        assert parsed.relationships == [("SONY", "TOKYO", "located_in", "HQ in Tokyo", 8.0)]
+
+    def test_missing_endpoint_synthesized(self):
+        # graph_writer.py:76-98: endpoints without entity records become 未知
+        raw = format_relationship("A", "B", "uses", "a uses b", 5)
+        parsed = parse_records(raw)
+        types = {name: etype for name, etype, _ in parsed.entities}
+        assert types == {"A": UNKNOWN_TYPE, "B": UNKNOWN_TYPE}
+        descs = {name: d for name, _, d in parsed.entities}
+        assert descs["A"] == UNKNOWN_DESC
+
+    def test_malformed_record_dropped(self):
+        raw = '("entity" : "NO_CLOSE" : "type"\n' + format_entity("OK", "t", "d")
+        parsed = parse_records(raw)
+        assert [e[0] for e in parsed.entities] == ["OK"]
+
+    def test_bad_weight_empties_chunk(self):
+        # float() failure inside the try block drops the whole chunk
+        # (graph_writer.py:111-121) — "x" is unparseable as float
+        raw = '("relationship" : "A" : "B" : "r" : "d" : x)'
+        parsed = parse_records(raw)
+        assert parsed.entities == [] and parsed.relationships == []
+        assert parsed.error
+
+    def test_duplicate_entity_first_wins(self):
+        raw = "\n".join([
+            format_entity("A", "t1", "first"),
+            format_entity("A", "t2", "second"),
+        ])
+        parsed = parse_records(raw)
+        assert parsed.entities == [("A", "t1", "first")]
+
+
+class TestHashing:
+    def test_sha1_stable(self):
+        assert sha1_hex("abc") == "a9993e364706816aba3e25717850c26c9cd0d89d"
+
+    def test_stable_bucket_deterministic(self):
+        a = stable_bucket(["x", "y", "z"], 16)
+        b = stable_bucket(["x", "y", "z"], 16)
+        assert (a == b).all() and (a < 16).all()
+
+
+class TestUnionFind:
+    def test_components_and_canonical(self):
+        uf = UnionFind()
+        uf.union("B", "A")
+        uf.union("C", "B")
+        uf.union("X", "Y")
+        groups = uf.groups()
+        assert sorted(map(sorted, groups.values())) == [["A", "B", "C"], ["X", "Y"]]
+        alias = uf.alias_map()
+        assert alias["C"] == "A" and alias["Y"] == "X"
+
+    def test_order_independent(self):
+        pairs = [("A", "B"), ("C", "D"), ("B", "C")]
+        maps = []
+        for order in (pairs, pairs[::-1]):
+            uf = UnionFind()
+            for a, b in order:
+                uf.union(a, b)
+            maps.append(uf.alias_map())
+        assert maps[0] == maps[1]
+
+
+class TestEmbeddings:
+    def test_deterministic_and_normalized(self):
+        v1 = embed_texts(["Sony Inc", "Tokyo"], dim=64)
+        v2 = embed_texts(["Sony Inc", "Tokyo"], dim=64)
+        assert np.allclose(v1, v2)
+        assert np.allclose(np.linalg.norm(v1, axis=1), 1.0, atol=1e-5)
+
+    def test_variants_are_close_distinct_are_far(self):
+        v = embed_texts(["VELKOR ZANTHE", "VELKOR ZANTHE INC", "QUIMBEX DALSOL"], dim=64)
+        sim_variant = float(v[0] @ v[1])
+        sim_distinct = float(v[0] @ v[2])
+        assert sim_variant > 0.8
+        assert sim_distinct < sim_variant
+
+    def test_lsh_same_vector_same_bucket(self):
+        v = embed_texts(["alpha", "alpha"], dim=64)
+        b = lsh_bucket(v, 8, seed=1)
+        assert b[0] == b[1]
+
+    def test_cosine_topk_cutoff(self):
+        v = embed_texts(["aaa bbb", "aaa bbb ccc", "zzz qqq"], dim=64)
+        nbrs = cosine_topk(v, k=5, cutoff=0.99)
+        assert all(score >= 0.99 for row in nbrs for _, score in row)
