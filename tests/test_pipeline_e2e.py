@@ -1,0 +1,154 @@
+"""End-to-end build over the seeded synthetic corpus.
+
+Gates (BASELINE.json): per-row span-sequence equality (kind, text, media_ref,
+order) vs the input; triple P/R >= 0.95 vs the generator's ground truth;
+resume-from-snapshot equality.
+"""
+
+import json
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graph_rag_agent_ray import build_kg
+from graph_rag_agent_ray.synth import generate
+
+N_DOCS = 50
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("kg_e2e"))
+    corpus = generate(n_docs=N_DOCS, seed=42)
+    docs = rd.from_arrow(corpus.documents)
+    tables = build_kg(docs, out_dir, input_token=f"synth{N_DOCS}")
+    return corpus, tables, out_dir
+
+
+def _reconstruct_spans(chunks_pdf: pd.DataFrame, span_idx_pdf: pd.DataFrame):
+    """doc_id -> [(kind, text, media_ref)] in offset order, rebuilt by
+    stitching chunk substrings at their content offsets and slicing with the
+    span index char ranges."""
+    out = {}
+    for doc_id, spans in span_idx_pdf.groupby("doc_id"):
+        doc_chunks = chunks_pdf[chunks_pdf["doc_id"] == doc_id]
+        total = int(spans["char_end"].max()) if len(spans) else 0
+        buf = [None] * total
+        for _, c in doc_chunks.iterrows():
+            lo = int(c["content_offset"])
+            for i, ch in enumerate(c["text"]):
+                buf[lo + i] = ch
+        seq = []
+        for _, s in spans.sort_values(["offset", "span_idx"]).iterrows():
+            if s["kind"] == "text":
+                text = "".join(
+                    ch if ch is not None else " "
+                    for ch in buf[int(s["char_start"]):int(s["char_end"])]
+                )
+                seq.append(("text", text, ""))
+            else:
+                seq.append((s["kind"], "", s["media_ref"]))
+        out[doc_id] = seq
+    return out
+
+
+class TestSpanInvariant:
+    def test_span_sequence_equality(self, built):
+        """The BASELINE input_hint invariant: every row's (kind, text,
+        media_ref, order) sequence is reconstructible from pipeline outputs."""
+        corpus, tables, _ = built
+        chunks_pdf = tables["chunks"].to_pandas()
+        span_idx_pdf = tables["span_index"].to_pandas()
+        rebuilt = _reconstruct_spans(chunks_pdf, span_idx_pdf)
+
+        docs = corpus.documents.to_pylist()
+        assert len(rebuilt) == len(docs)
+        for row in docs:
+            expected = [
+                (s["kind"], s["text"], s["media_ref"])
+                for s in sorted(row["spans"], key=lambda s: s["offset"])
+            ]
+            assert rebuilt[row["doc_id"]] == expected, row["doc_id"]
+
+
+class TestTriplePR:
+    def test_pr_gate(self, built):
+        corpus, tables, out_dir = built
+        canon = rd.read_parquet(f"{out_dir}/triples_canon").to_pandas()
+        ours = set(zip(canon["subj"], canon["pred"], canon["obj"]))
+        truth_pdf = corpus.triples_ref.to_pandas()
+        truth = set(zip(truth_pdf["subj"], truth_pdf["pred"], truth_pdf["obj"]))
+        tp = len(ours & truth)
+        precision = tp / len(ours)
+        recall = tp / len(truth)
+        assert precision >= 0.95, (precision, sorted(ours - truth)[:5])
+        assert recall >= 0.95, (recall, sorted(truth - ours)[:5])
+
+    def test_entities_are_canonical(self, built):
+        """Every alias-group variant that was mentioned resolves to one
+        entity; canonical ids equal the generator's canonical ids."""
+        corpus, tables, _ = built
+        entity_ids = set(tables["entities"].to_pandas()["entity_id"])
+        truth_canon = set(corpus.alias_groups.to_pandas()["canonical_id"])
+        # every truth canonical that was mentioned must exist; no variant ids
+        mentioned = set(corpus.triples_ref.to_pandas()["subj"]) | set(
+            corpus.triples_ref.to_pandas()["obj"]
+        )
+        assert mentioned <= truth_canon
+        assert entity_ids == (truth_canon & entity_ids) | (entity_ids - truth_canon)
+        # strict: at least 95% of produced entities are true canonicals
+        assert len(entity_ids & truth_canon) / len(entity_ids) >= 0.95
+
+    def test_edges_deduped(self, built):
+        _, tables, _ = built
+        edges = tables["edges"].to_pandas()
+        assert not edges.duplicated(["src", "dst", "pred"]).any()
+        assert (edges["n_sources"] >= 1).all()
+
+
+class TestCommunities:
+    def test_membership_covers_connected_entities(self, built):
+        _, tables, _ = built
+        comm = tables["communities"].to_pandas()
+        assert len(comm) > 0
+        # id scheme "L-N" and level coherence
+        for _, row in comm.iterrows():
+            level, num = row["community_id"].split("-")
+            assert int(level) == row["level"]
+        # rank: top community has rank >= any other
+        assert comm["rank"].max() > 0
+
+    def test_summaries_on_top_ranked(self, built):
+        _, tables, _ = built
+        comm = tables["communities"].to_pandas()
+        top = comm.sort_values(["rank", "community_id"], ascending=[False, True]).head(5)
+        assert (top["summary"].str.len() > 0).all()
+        assert (comm["full_content"].str.len() > 0).all()
+
+
+class TestResume:
+    def test_resume_hits_cache_and_matches(self, built):
+        corpus, tables, out_dir = built
+        docs = rd.from_arrow(corpus.documents)
+        edges_before = tables["edges"].to_pandas().sort_values(
+            ["src", "pred", "dst"]).reset_index(drop=True)
+        tables2 = build_kg(docs, out_dir, input_token=f"synth{N_DOCS}")
+        edges_after = tables2["edges"].to_pandas().sort_values(
+            ["src", "pred", "dst"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(edges_before, edges_after)
+        lineage = [json.loads(l) for l in open(f"{out_dir}/_lineage.jsonl")]
+        cached = [r for r in lineage if r.get("cached")]
+        assert len(cached) >= 10  # second run reused every snapshot
+
+    def test_config_change_invalidates(self, built, tmp_path):
+        corpus, _, out_dir = built
+        from graph_rag_agent_ray.config import KGConfig
+        docs = rd.from_arrow(corpus.documents)
+        out2 = str(tmp_path / "other")
+        tables2 = build_kg(docs, out2, input_token=f"synth{N_DOCS}",
+                           cfg=KGConfig(chunk_size=100, chunk_overlap=20))
+        # different chunking, same canonical graph semantics
+        assert tables2["chunks"].count() >= 0
+        lineage = [json.loads(l) for l in open(f"{out2}/_lineage.jsonl")]
+        assert not any(r.get("cached") for r in lineage)
