@@ -18,21 +18,29 @@ from typing import Iterable, List, Sequence
 import numpy as np
 
 
-def _ngrams(text: str, n: int = 3) -> List[str]:
+def _ngrams(text: str, n: int) -> List[str]:
     t = f"  {text.lower()}  "  # pad so short strings still produce grams
     return [t[i : i + n] for i in range(len(t) - n + 1)]
 
 
+NGRAM_SIZES = (2, 3, 4)
+
+
 def embed_texts(texts: Sequence[str], dim: int = 64) -> np.ndarray:
-    """(len(texts), dim) float32, L2-normalized rows. Pure function of input."""
+    """(len(texts), dim) float32, L2-normalized rows. Pure function of input.
+
+    Multi-width character n-grams (2/3/4) — wider grams separate distinct
+    surfaces, narrow grams keep typo/suffix variants close, which is the
+    property the cosine-0.9 blocking gate needs."""
     out = np.zeros((len(texts), dim), dtype=np.float64)
     sha1 = hashlib.sha1
     for row, text in enumerate(texts):
-        for g in _ngrams(text):
-            d = sha1(g.encode("utf-8")).digest()
-            idx = int.from_bytes(d[:4], "big") % dim
-            sign = 1.0 if d[4] & 1 else -1.0
-            out[row, idx] += sign
+        for n in NGRAM_SIZES:
+            for g in _ngrams(text, n):
+                d = sha1(g.encode("utf-8")).digest()
+                idx = int.from_bytes(d[:4], "big") % dim
+                sign = 1.0 if d[4] & 1 else -1.0
+                out[row, idx] += sign
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return (out / norms).astype(np.float32)

@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.shuffle import hash_partitioned_groupby
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -46,13 +48,12 @@ def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-    return partials.groupby("text_hash").map_groups(
-        lambda g: pd.DataFrame([{
-            "text_hash": g["text_hash"].iloc[0],
-            "keep_doc_id": int(g["keep_doc_id"].min()),
-            "n_dups": int(g["n_dups"].sum()),
-        }]),
-        batch_format="pandas",
+    return hash_partitioned_groupby(
+        partials, ["text_hash"],
+        lambda df: df.groupby("text_hash", sort=False)
+        .agg(keep_doc_id=("keep_doc_id", "min"), n_dups=("n_dups", "sum"))
+        .reset_index(),
+        n_buckets=32,
     )
 
 
@@ -79,15 +80,20 @@ def _perm_params(num_perm: int, seed: int) -> tuple:
 
 
 def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) signature. Multiply-add hash with natural uint64 wraparound
+    (mod 2^64) — same minwise-independence behaviour as the Mersenne modulo
+    at a fraction of the cost; deterministic."""
     sh = _shingle_hashes(text, k)
-    # (num_perm, n_shingles) universal hash; min over shingles
-    vals = (np.outer(a, sh) + b[:, None]) % np.uint64(_MERSENNE)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * sh[None, :] + b[:, None]
     return vals.min(axis=1)
 
 
 class MinHashBands:
-    """Actor-pool stage: text → exploded (doc_id, band_id, band_hash,
-    signature) rows. Permutation parameters are built once per actor."""
+    """Stage: text → exploded (doc_id, band_id, band_hash, signature) rows.
+    Permutation parameters are built once per worker (STATELESS_OK)."""
+
+    STATELESS_OK = True
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5,
                  n_bands: int = 8, seed: int = 42) -> None:
@@ -128,12 +134,12 @@ def minhash_duplicate_pairs(
 ) -> "ray.data.Dataset":
     """(a, b, est_jaccard) near-duplicate pairs: LSH-banded candidates
     verified by signature-agreement Jaccard estimate >= threshold."""
-    bands = ds.map_batches(
-        MinHashBands,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k,
-                               "n_bands": n_bands, "seed": seed},
-        batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 8), num_cpus=1,
+    from ..stages.pool import stage_map_batches
+    bands = stage_map_batches(
+        ds, MinHashBands,
+        {"num_perm": num_perm, "shingle_k": shingle_k,
+         "n_bands": n_bands, "seed": seed},
+        batch_size=256, max_pool=8,
     )
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
@@ -156,29 +162,36 @@ def minhash_duplicate_pairs(
                                  "est_jaccard": pd.Series(dtype="float64")})
         return pd.DataFrame(rows, columns=["a", "b", "est_jaccard"])
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        verify, batch_format="pandas"
-    )
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [verify(g) for _, g in df.groupby(["band_id", "band_hash"], sort=False)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return verify(df.iloc[:0])
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = hash_partitioned_groupby(bands, ["band_id", "band_hash"],
+                                     verify_bucket, n_buckets=32)
     # candidate pairs can surface from several bands — dedup on (a, b)
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return hash_partitioned_groupby(
+        pairs, ["a", "b"],
+        lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
+        n_buckets=16,
     )
 
 
 # --------------------------------------------------------------- simhash ----
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        h = int.from_bytes(hashlib.sha1(tok.encode("utf-8")).digest()[:8], "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << (63 - i)
-    return out
+    """64-bit SimHash over whitespace tokens (Charikar 2002). Vectorized:
+    token hashes via pandas' stable 64-bit hash, bit matrix via shifts."""
+    toks = text.split()
+    if not toks:
+        return 0
+    h = pd.util.hash_array(np.asarray(toks, dtype=object))  # uint64, stable
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return int((acc > 0).astype(np.uint64) @ weights)
 
 
 def simhash_table(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -227,9 +240,21 @@ def simhash_duplicate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ra
             pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
                           "hamming": pd.Series(dtype="int64")})
 
-    pairs = sims.map_batches(explode, batch_format="pyarrow", batch_size=4096) \
-        .groupby(["band_id", "band_key"]).map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [verify(g) for _, g in df.groupby(["band_id", "band_key"], sort=False)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return verify(df.iloc[:0])
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = sims.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+    pairs = hash_partitioned_groupby(exploded, ["band_id", "band_key"],
+                                     verify_bucket, n_buckets=32)
+    return hash_partitioned_groupby(
+        pairs, ["a", "b"],
+        lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
+        n_buckets=16,
+    )
 
 
 # ------------------------------------------------------ n-gram jaccard ----

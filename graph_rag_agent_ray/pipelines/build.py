@@ -1,23 +1,29 @@
 """End-to-end KG build: the Ray-Data re-expression of the reference's
 three-builder lifecycle (/root/reference/build/main.py:19-45 →
-build_graph.py:141-408, build_index_and_community.py:134-269).
+build_graph.py:141-408, build_index_and_community.py:134-269,
+build_chunk_index.py:101-172).
 
-documents ─ map_batches ─▶ chunks ─ actor pool ─▶ extractions
-        └─ map_batches ─▶ span_index                  │ map_batches
-                                         ┌────────────┴────────────┐
-                                      mentions                  triples
-                                         │ salted groupby          │
-                                    exact entities                 │
-                                         │ actor pool (embed)      │
-                                    embedded ── groupby(block) ─▶ pairs
-                                         │         union-find → alias map (broadcast)
-                                         ├─ groupby(entity_id) ─▶ entities
-                                         └──────────▶ remap ─▶ groupby(s,p,o) ─▶ edges
-                                                                   │ (small, aggregated)
-                                                     Louvain levels → communities (+rank, summaries)
+documents ─ map_batches ─▶ chunks ─┬─ actor pool ─▶ extractions
+        └─ map_batches ─▶ span_index └─ actor pool ─▶ chunk_embeddings
+                                         │ map_batches
+                            ┌────────────┴────────────┐
+                         mentions                  triples
+                            │ combine + hash-bucket    │
+                       exact entities                  │
+                            │ actor pool (embed)       │
+                       embedded ── block shuffle ──▶ pairs
+                            │        union-find → alias map (broadcast)
+                            ├─ hash-bucket merge ──▶ entities
+                            └────────▶ remap ─▶ hash-bucket ─▶ edges
+                                                      │ (small, aggregated)
+                                        Louvain levels → communities (+rank)
 
-Every stage checkpoints to a resumable snapshot with lineage
-(state/snapshots.py); identical fingerprints skip recompute on resume.
+Checkpointing: the expensive stages (extractions = the LLM pass,
+chunk_embeddings = the model pass) and the final outputs snapshot to
+resumable Parquet with lineage; cheap derivations between them stay fused in
+memory and are recomputed on resume — partition-granular work-skipping at the
+stages where work is actually expensive, matching the reference's chunk-level
+LLM cache semantics (entity_extractor.py:89-143) without its shared cache dir.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from ..stages import canonicalize as C
 from ..stages import communities as CM
 from ..stages.chunker import build_span_index, chunk_documents
 from ..stages.extract import MockLLMExtractor, extract_chunks
+from ..stages.index import embed_chunks
 from ..stages.parse import parse_mentions, parse_triples
 
 logger = logging.getLogger(__name__)
@@ -60,43 +67,57 @@ def build_kg(
     lineage = LineageLog(out_dir)
     base_fp = fingerprint(input_token, cfg)
 
+    # spread the input across the cluster: a single parquet file arrives as
+    # one or two blocks, which would cap every downstream stage's parallelism
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    docs = docs.repartition(max(n_cpus * 2, 8))
+
     chunks = store.run_stage(
         "chunks", fingerprint(base_fp, "chunks"),
         lambda: chunk_documents(docs, cfg), lineage,
     )
-    span_index = store.run_stage(
-        "span_index", fingerprint(base_fp, "span_index"),
+
+    # span_index and chunk_embeddings are independent of the extraction chain
+    # — run their snapshot jobs on background threads so the streaming
+    # executor interleaves them with extraction instead of serializing the
+    # whole DAG (Ray Data supports concurrent dataset executions).
+    from concurrent.futures import ThreadPoolExecutor
+    side = ThreadPoolExecutor(max_workers=4)
+    span_index_f = side.submit(
+        store.run_stage, "span_index", fingerprint(base_fp, "span_index"),
         lambda: build_span_index(docs, cfg), lineage,
     )
+    chunk_embeddings_f = side.submit(
+        store.run_stage, "chunk_embeddings", fingerprint(base_fp, "chunk_embeddings"),
+        lambda: embed_chunks(chunks, cfg), lineage,
+    )
+
     extractions = store.run_stage(
         "extractions", fingerprint(base_fp, "extractions", extractor_cls.__name__),
         lambda: extract_chunks(chunks, cfg, extractor_cls), lineage,
     )
-    mentions = store.run_stage(
-        "mentions", fingerprint(base_fp, "mentions", extractor_cls.__name__),
-        lambda: parse_mentions(extractions, cfg), lineage,
-    )
-    triples = store.run_stage(
-        "triples", fingerprint(base_fp, "triples", extractor_cls.__name__),
+
+    # triples parse+snapshot is independent of the mention chain — overlap it
+    triples_f = side.submit(
+        store.run_stage, "triples",
+        fingerprint(base_fp, "triples", extractor_cls.__name__),
         lambda: parse_triples(extractions, cfg), lineage,
     )
 
-    # ---- canonicalization ----
-    exact = store.run_stage(
-        "exact_entities", fingerprint(base_fp, "exact_entities"),
-        lambda: C.aggregate_exact(mentions, cfg), lineage,
-    )
-    embedded = store.run_stage(
-        "embedded_entities", fingerprint(base_fp, "embedded_entities"),
-        lambda: C.embed_entities(exact, cfg), lineage,
-    )
-    pairs = store.run_stage(
-        "candidate_pairs", fingerprint(base_fp, "candidate_pairs"),
-        lambda: C.candidate_pairs(embedded, cfg), lineage,
-    )
+    # parsed mentions feed three consumers (exact agg, canonical mentions,
+    # ranks) — materialize once in object store instead of re-parsing
+    mentions = parse_mentions(extractions, cfg).materialize()
+
+    # ---- canonicalization (combine → hash-bucket shuffles) ----
+    exact = C.aggregate_exact(mentions, cfg)
+    embedded = C.embed_entities(exact, cfg).materialize()  # reused 3×, small
+    pairs = C.candidate_pairs(embedded, cfg)
 
     pairs_pdf = pairs.to_pandas()  # judged merge decisions — small by construction
-    members = set(pairs_pdf["a"]) | set(pairs_pdf["b"]) if len(pairs_pdf) else set()
+    if len(pairs_pdf) and "a" in pairs_pdf.columns:
+        members = set(pairs_pdf["a"]) | set(pairs_pdf["b"])
+    else:
+        members = set()
     if members:
         member_ref = ray.put(members)
 
@@ -106,29 +127,33 @@ def build_kg(
             return batch.filter(mask)
 
         counts_pdf = (
-            exact.map_batches(only_members, batch_format="pyarrow", batch_size=8192)
+            embedded.map_batches(only_members, batch_format="pyarrow", batch_size=8192)
             .select_columns(["norm_surface", "n_mentions"]).to_pandas()
         )
         counts = dict(zip(counts_pdf["norm_surface"], counts_pdf["n_mentions"]))
     else:
         counts = {}
-    alias = C.build_alias_map(pairs, counts)
+    alias = C.build_alias_map(pairs_pdf, counts)
     alias_ref = ray.put(alias)
+    alias_fp = fingerprint(base_fp, sorted(alias.items()))
     lineage.record("alias_map", cached=False, wall_s=0.0,
                    n_pairs=int(len(pairs_pdf)), n_aliases=len(alias))
 
-    entities = store.run_stage(
-        "entities", fingerprint(base_fp, "entities", sorted(alias.items())),
-        lambda: C.canonical_entities(embedded, alias_ref, cfg), lineage,
-    )
-    triples_canon = store.run_stage(
-        "triples_canon", fingerprint(base_fp, "triples_canon", sorted(alias.items())),
-        lambda: C.canonical_triples(triples, alias_ref, cfg), lineage,
-    )
-    edges = store.run_stage(
-        "edges", fingerprint(base_fp, "edges", sorted(alias.items())),
-        lambda: C.dedupe_edges(triples_canon, cfg), lineage,
-    )
+    # the edge chain (remap triples → dedupe) is independent of the mention/
+    # entity chain — run it on a side thread so its shuffles interleave
+    def edge_chain():
+        triples = triples_f.result()
+        triples_canon = store.run_stage(
+            "triples_canon", fingerprint(alias_fp, "triples_canon"),
+            lambda: C.canonical_triples(triples, alias_ref, cfg), lineage,
+        )
+        edges = store.run_stage(
+            "edges", fingerprint(alias_fp, "edges"),
+            lambda: C.dedupe_edges(triples_canon, cfg), lineage,
+        )
+        return triples_canon, edges
+
+    edge_chain_f = side.submit(edge_chain)
 
     # canonical mentions (entity_id, chunk_id) for community ranks
     def canon_mentions(batch: pa.Table) -> pa.Table:
@@ -141,26 +166,30 @@ def build_kg(
             "doc_id": batch.column("doc_id"),
         })
 
-    mentions_canon = store.run_stage(
-        "mentions_canon", fingerprint(base_fp, "mentions_canon", sorted(alias.items())),
-        lambda: mentions.map_batches(canon_mentions, batch_format="pyarrow", batch_size=8192),
-        lineage,
-    )
+    mentions_canon = mentions.map_batches(
+        canon_mentions, batch_format="pyarrow", batch_size=8192
+    ).materialize()
+    entities0 = C.canonical_entities(embedded, alias_ref, cfg).materialize()
+    triples, edges = edge_chain_f.result()
 
     # ---- communities (aggregated graph — provably small; guarded) ----
-    edges_pdf = edges.to_pandas()
+    # collect only the light columns once; chunk_ids lists stay distributed
+    edges_pdf = edges.select_columns(["src", "dst", "pred", "weight"]).to_pandas()
     member_levels = CM.detect_communities(edges_pdf, cfg)
     membership = ray.data.from_arrow(CM.community_membership_table(member_levels))
     ranks = CM.community_ranks(membership, mentions_canon)
     communities = store.run_stage(
-        "communities", fingerprint(base_fp, "communities", sorted(alias.items())),
-        lambda: CM.summarize_communities(membership, edges, ranks, cfg), lineage,
+        "communities", fingerprint(alias_fp, "communities"),
+        lambda: CM.summarize_communities(membership, edges_pdf, ranks, cfg), lineage,
     )
 
     # ---- final entities: attach degree + community levels (broadcast maps) ----
-    deg = pd.concat([
-        edges_pdf.groupby("src").size(), edges_pdf.groupby("dst").size()
-    ]).groupby(level=0).sum().to_dict() if len(edges_pdf) else {}
+    if len(edges_pdf) and "src" in edges_pdf.columns:
+        deg = pd.concat([
+            edges_pdf.groupby("src").size(), edges_pdf.groupby("dst").size()
+        ]).groupby(level=0).sum().to_dict()
+    else:
+        deg = {}
     attach_ref = ray.put((deg, member_levels))
 
     def attach(batch: pa.Table) -> pa.Table:
@@ -171,15 +200,20 @@ def build_kg(
         return batch.append_column("degree", degree).append_column("community", comm)
 
     entities_final = store.run_stage(
-        "entities_final", fingerprint(base_fp, "entities_final", sorted(alias.items())),
-        lambda: entities.map_batches(attach, batch_format="pyarrow", batch_size=8192),
+        "entities", fingerprint(alias_fp, "entities"),
+        lambda: entities0.map_batches(attach, batch_format="pyarrow", batch_size=8192),
         lineage,
     )
+
+    span_index = span_index_f.result()
+    chunk_embeddings = chunk_embeddings_f.result()
+    side.shutdown()
 
     return {
         "chunks": chunks,
         "span_index": span_index,
         "extractions": extractions,
+        "chunk_embeddings": chunk_embeddings,
         "mentions": mentions,
         "triples": triples,
         "entities": entities_final,

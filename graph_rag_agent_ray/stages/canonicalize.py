@@ -47,7 +47,7 @@ import ray.data
 
 from ..config import KGConfig
 from ..functions.embed import cosine_topk, embed_texts, lsh_bucket
-from ..functions.hashing import stable_bucket
+from ..functions.shuffle import hash_partitioned_groupby
 from ..functions.text import edit_distance, normalize_surface
 from ..functions.unionfind import UnionFind
 
@@ -61,14 +61,16 @@ MAX_DRIVER_PAIRS = 5_000_000  # union-find size guard
 # 1. exact dedup (salted two-phase aggregate)
 # --------------------------------------------------------------------------
 
-def _partial_exact(batch: pa.Table, salt_buckets: int) -> pd.DataFrame:
-    """Per-batch partial aggregation: one output row per (surface, salt,
-    type). Runs inside map_batches — no shuffle, bounds reducer fan-in."""
+def _partial_exact(batch: pa.Table) -> pd.DataFrame:
+    """Per-batch partial aggregation (map-side combine): one output row per
+    (surface, type) per batch — no shuffle. This bounds any Zipf-hot key's
+    reducer fan-in to the number of input blocks, which is the salting the
+    north rule requires for the canonicalization shuffle (combine-then-
+    shuffle instead of an explicit salt column; see functions/shuffle.py)."""
     df = pa.Table.to_pandas(batch)
     df["norm_surface"] = [normalize_surface(s) for s in df["entity_surface"]]
-    df["salt"] = stable_bucket(df["chunk_id"].tolist(), salt_buckets)
     grouped = (
-        df.groupby(["norm_surface", "salt", "entity_type"], sort=False)
+        df.groupby(["norm_surface", "entity_type"], sort=False)
         .agg(
             n_mentions=("chunk_id", "size"),
             min_chunk=("chunk_id", "min"),
@@ -80,43 +82,40 @@ def _partial_exact(batch: pa.Table, salt_buckets: int) -> pd.DataFrame:
     return grouped
 
 
-def _final_exact(group: pd.DataFrame) -> pd.DataFrame:
-    """Final per-surface merge: majority type, deterministic-first description,
-    union of raw surfaces."""
-    by_type = group.groupby("entity_type")["n_mentions"].sum().sort_values(
-        ascending=False, kind="stable"
+def _final_exact_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket reducer: merges all partials of every surface in
+    the bucket. Majority type (tie → lexicographic), description from the row
+    with the smallest chunk_id (order-stable 'first'), union of surfaces."""
+    type_counts = (
+        df.groupby(["norm_surface", "entity_type"], sort=False)["n_mentions"]
+        .sum().reset_index()
+        .sort_values(["norm_surface", "n_mentions", "entity_type"],
+                     ascending=[True, False, True], kind="stable")
     )
-    top = by_type.iloc[0]
-    etype = sorted(by_type[by_type == top].index)[0]
-    first = group.loc[group["min_chunk"].idxmin()]
-    surfaces = sorted({s for lst in group["surfaces"] for s in lst})[:16]
-    return pd.DataFrame([{
-        "norm_surface": group["norm_surface"].iloc[0],
-        "entity_type": etype,
-        "description": first["description"],
-        "n_mentions": int(group["n_mentions"].sum()),
-        "surface_forms": surfaces,
-        "min_chunk": group["min_chunk"].min(),
-    }])
+    top_type = type_counts.drop_duplicates("norm_surface")[["norm_surface", "entity_type"]]
+    firsts = (
+        df.sort_values(["norm_surface", "min_chunk"], kind="stable")
+        .drop_duplicates("norm_surface")[["norm_surface", "description"]]
+    )
+    n = df.groupby("norm_surface", sort=False)["n_mentions"].sum().reset_index()
+    surf = (
+        df.groupby("norm_surface", sort=False)["surfaces"]
+        .agg(lambda ls: sorted({s for lst in ls for s in lst})[:16])
+        .reset_index().rename(columns={"surfaces": "surface_forms"})
+    )
+    out = top_type.merge(firsts, on="norm_surface").merge(n, on="norm_surface") \
+        .merge(surf, on="norm_surface")
+    return out[["norm_surface", "entity_type", "description", "n_mentions", "surface_forms"]]
 
 
 def aggregate_exact(mentions: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
     cfg = cfg or KGConfig()
     partial = mentions.map_batches(
-        lambda b: _partial_exact(b, cfg.salt_buckets),
-        batch_format="pyarrow",
-        batch_size=8192,
+        _partial_exact, batch_format="pyarrow", batch_size=16384,
     )
-    # salted stage: groupby (surface, salt) first so no reducer sees a whole
-    # hot key, then the tiny final groupby per surface
-    salted = partial.groupby(["norm_surface", "salt"]).map_groups(
-        lambda g: _final_exact(g), batch_format="pandas"
+    return hash_partitioned_groupby(
+        partial, ["norm_surface"], _final_exact_bucket, n_buckets=cfg.salt_buckets * 4
     )
-    merged = salted.groupby("norm_surface").map_groups(
-        lambda g: _final_exact(g.assign(surfaces=g["surface_forms"])),
-        batch_format="pandas",
-    )
-    return merged.drop_columns(["min_chunk"])
 
 
 # --------------------------------------------------------------------------
@@ -124,9 +123,12 @@ def aggregate_exact(mentions: "ray.data.Dataset", cfg: KGConfig | None = None) -
 # --------------------------------------------------------------------------
 
 class EmbedEntities:
-    """Actor-pool stage: hash-embed ``norm_surface`` once per unique entity.
-    A model-backed embedder (entity_indexer.py:34) would load its client here
-    in __init__ and batch `embed_documents` calls in __call__."""
+    """Hash-embed ``norm_surface`` once per unique entity. A model-backed
+    embedder (entity_indexer.py:34) would load its client in __init__ (actor
+    pool); the deterministic hash embedder is STATELESS_OK and runs as
+    worker-cached tasks."""
+
+    STATELESS_OK = True
 
     def __init__(self, cfg: KGConfig | None = None) -> None:
         self.cfg = cfg or KGConfig()
@@ -144,14 +146,12 @@ class EmbedEntities:
 
 def embed_entities(entities: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
     cfg = cfg or KGConfig()
-    # autoscaling (min 1) so the pool never starves upstream read tasks
-    return entities.map_batches(
-        EmbedEntities,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.embed_batch_size,
-        concurrency=(1, cfg.embed_concurrency),
-        num_cpus=1,
+    import ray
+    max_pool = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    from .pool import stage_map_batches
+    return stage_map_batches(
+        entities, EmbedEntities, {"cfg": cfg},
+        batch_size=cfg.embed_batch_size, max_pool=max_pool,
     )
 
 
@@ -254,13 +254,25 @@ def _pairs_in_block(group: pd.DataFrame, cfg: KGConfig) -> pd.DataFrame:
 
 
 def candidate_pairs(embedded: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
+    """Blocking keys → hash-partitioned shuffle → per-block KNN + judge.
+    One vectorized task per hash bucket (each holding many complete blocks);
+    output may contain the same pair from several blocks — consumers dedup
+    (build_alias_map's union-find is idempotent)."""
     cfg = cfg or KGConfig()
     blocks = embedded.map_batches(
         lambda b: _blocking_keys(b, cfg), batch_format="pyarrow", batch_size=4096
     )
-    return blocks.groupby("block_key").map_groups(
-        lambda g: _pairs_in_block(g, cfg), batch_format="pandas"
-    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            _pairs_in_block(g, cfg) for _, g in df.groupby("block_key", sort=False)
+        ]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    return hash_partitioned_groupby(blocks, ["block_key"], per_bucket, n_buckets=64)
 
 
 # --------------------------------------------------------------------------
@@ -268,13 +280,16 @@ def candidate_pairs(embedded: "ray.data.Dataset", cfg: KGConfig | None = None) -
 # --------------------------------------------------------------------------
 
 def build_alias_map(
-    pairs: "ray.data.Dataset",
+    pairs: "pd.DataFrame",
     mention_counts: Dict[str, int],
 ) -> Dict[str, str]:
     """Driver-side union-find over judged pairs (size-guarded: pairs are the
     *merge decisions*, not the corpus). canonical = max mention count, tie →
     lexicographic min."""
-    pdf = pairs.to_pandas()
+    pdf = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
+    if len(pdf) == 0 or "a" not in pdf.columns:
+        return {}
+    pdf = pdf[["a", "b"]]
     if len(pdf) > MAX_DRIVER_PAIRS:
         raise RuntimeError(
             f"{len(pdf)} candidate pairs exceed driver guard {MAX_DRIVER_PAIRS}; "
@@ -296,22 +311,31 @@ def build_alias_map(
 # 5. canonical remap + merges
 # --------------------------------------------------------------------------
 
-def _merge_entity_group(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values(["n_mentions", "norm_surface"],
-                              ascending=[False, True], kind="stable")
-    rep = group.iloc[0]
-    surfaces = sorted({s for lst in group["surface_forms"] for s in lst})[:32]
-    by_type = group.groupby("entity_type")["n_mentions"].sum().sort_values(ascending=False, kind="stable")
-    top = by_type.iloc[0]
-    etype = sorted(by_type[by_type == top].index)[0]
-    return pd.DataFrame([{
-        "entity_id": group["entity_id"].iloc[0],
-        "surface_forms": surfaces,
-        "entity_type": etype,
-        "description": rep["description"],
-        "embedding": rep["embedding"],
-        "n_mentions": int(group["n_mentions"].sum()),
-    }])
+def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket entity merge: representative = member with the
+    most mentions (tie → lexicographically smallest surface) — the order-free
+    equivalent of apoc mergeNodes 'discard' (first node's properties win)."""
+    ordered = df.sort_values(["entity_id", "n_mentions", "norm_surface"],
+                             ascending=[True, False, True], kind="stable")
+    reps = ordered.drop_duplicates("entity_id")[
+        ["entity_id", "description", "embedding"]]
+    type_counts = (
+        df.groupby(["entity_id", "entity_type"], sort=False)["n_mentions"]
+        .sum().reset_index()
+        .sort_values(["entity_id", "n_mentions", "entity_type"],
+                     ascending=[True, False, True], kind="stable")
+    )
+    top_type = type_counts.drop_duplicates("entity_id")[["entity_id", "entity_type"]]
+    n = df.groupby("entity_id", sort=False)["n_mentions"].sum().reset_index()
+    surf = (
+        df.groupby("entity_id", sort=False)["surface_forms"]
+        .agg(lambda ls: sorted({s for lst in ls for s in lst})[:32])
+        .reset_index()
+    )
+    out = reps.merge(top_type, on="entity_id").merge(n, on="entity_id") \
+        .merge(surf, on="entity_id")
+    return out[["entity_id", "surface_forms", "entity_type", "description",
+                "embedding", "n_mentions"]]
 
 
 def canonical_entities(
@@ -326,7 +350,9 @@ def canonical_entities(
         return batch.append_column("entity_id", pa.array(canon, pa.string()))
 
     with_id = embedded.map_batches(add_canonical, batch_format="pyarrow", batch_size=8192)
-    return with_id.groupby("entity_id").map_groups(_merge_entity_group, batch_format="pandas")
+    return hash_partitioned_groupby(
+        with_id, ["entity_id"], _merge_entities_bucket, n_buckets=cfg.salt_buckets * 4
+    )
 
 
 def canonical_triples(
@@ -348,23 +374,30 @@ def canonical_triples(
     return triples.map_batches(remap, batch_format="pyarrow", batch_size=8192)
 
 
-def _merge_edge_group(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("chunk_id", kind="stable")  # deterministic "first"
-    first = group.iloc[0]
-    chunk_ids = sorted(set(group["chunk_id"]))
-    return pd.DataFrame([{
-        "src": first["subj"], "dst": first["obj"], "pred": first["pred"],
-        "description": first["description"],
-        "weight": np.float32(first["weight"]),
-        "n_sources": np.int32(len(chunk_ids)),
-        "chunk_ids": chunk_ids[:64],
-    }])
+def _edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    keys = ["subj", "pred", "obj"]
+    ordered = df.sort_values(keys + ["chunk_id"], kind="stable")
+    firsts = ordered.drop_duplicates(keys)[keys + ["description", "weight"]]
+    uniq = ordered.drop_duplicates(keys + ["chunk_id"])
+    n_src = uniq.groupby(keys, sort=False)["chunk_id"].size().reset_index(name="n_sources")
+    chunk_lists = (
+        uniq.groupby(keys, sort=False)["chunk_id"]
+        .agg(lambda s: list(s)[:64]).reset_index(name="chunk_ids")
+    )
+    out = firsts.merge(n_src, on=keys).merge(chunk_lists, on=keys)
+    out = out.rename(columns={"subj": "src", "obj": "dst"})
+    out["weight"] = out["weight"].astype(np.float32)
+    out["n_sources"] = out["n_sources"].astype(np.int32)
+    return out[["src", "dst", "pred", "description", "weight", "n_sources", "chunk_ids"]]
 
 
 def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
     """groupby(src,dst,pred) keep-first — entity_merger.py:409-450 semantics
     (duplicate same-direction relationships collapse to rels[0]), with
-    deterministic ordering by chunk_id instead of arrival order."""
-    return triples_canon.groupby(["subj", "pred", "obj"]).map_groups(
-        _merge_edge_group, batch_format="pandas"
+    deterministic ordering by chunk_id instead of arrival order. Vectorized
+    per hash bucket (functions/shuffle.py)."""
+    cfg = cfg or KGConfig()
+    return hash_partitioned_groupby(
+        triples_canon, ["subj", "pred", "obj"], _edges_bucket,
+        n_buckets=cfg.salt_buckets * 4,
     )

@@ -50,14 +50,17 @@ def detect_communities(
             f"{len(edges_pdf)} edges exceed driver guard; run per-WCC "
             "map_groups detection instead"
         )
+    # vectorized aggregation to an undirected simple graph before networkx
+    df = edges_pdf[["src", "dst", "weight"]]
+    df = df[df["src"] != df["dst"]]
+    lo = df[["src", "dst"]].min(axis=1)
+    hi = df[["src", "dst"]].max(axis=1)
+    agg = (
+        pd.DataFrame({"u": lo, "v": hi, "weight": df["weight"].astype(float)})
+        .groupby(["u", "v"], sort=False)["weight"].sum().reset_index()
+    )
     g = nx.Graph()
-    for src, dst, w in edges_pdf[["src", "dst", "weight"]].itertuples(index=False):
-        if src == dst:
-            continue
-        if g.has_edge(src, dst):
-            g[src][dst]["weight"] += float(w)
-        else:
-            g.add_edge(src, dst, weight=float(w))
+    g.add_weighted_edges_from(agg.itertuples(index=False, name=None))
     if g.number_of_nodes() == 0:
         return {}
     levels: List[List[set]] = list(
@@ -134,7 +137,7 @@ class MockSummarizer:
 
 def summarize_communities(
     membership: "ray.data.Dataset",
-    edges: "ray.data.Dataset",
+    edges_pdf: pd.DataFrame,
     ranks: "ray.data.Dataset",
     cfg: KGConfig | None = None,
 ) -> "ray.data.Dataset":
@@ -142,10 +145,12 @@ def summarize_communities(
     rank — community/summary/leiden.py:36-39); all communities get rows.
 
     full_content = the "Nodes are… Relationships are…" style digest the
-    reference feeds the LLM (community/summary/base.py:15-45)."""
+    reference feeds the LLM (community/summary/base.py:15-45).
+    ``edges_pdf`` is the already-collected canonical edge list (src,dst,pred)
+    — the caller collects it once for community detection and reuses it here."""
     cfg = cfg or KGConfig()
     member_pdf = membership.to_pandas()
-    edges_pdf = edges.to_pandas()
+    edges_pdf = edges_pdf.copy()
     for col in ("src", "dst", "pred"):
         if col not in edges_pdf.columns:
             edges_pdf[col] = pd.Series(dtype=object)

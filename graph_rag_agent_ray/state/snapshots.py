@@ -26,6 +26,28 @@ from typing import Any, Callable, Dict, Optional
 
 import ray.data
 
+try:
+    # ray.data's path resolution imports this on every read; without aiohttp
+    # the import fails every time, and two snapshot jobs on different threads
+    # can race the failing import and see a half-initialized module
+    # (ImportError: HTTPFileSystem). Install a stub once so the import is
+    # deterministic; ray only uses it for an isinstance check.
+    import fsspec.implementations.http  # noqa: F401
+except ImportError:
+    import sys as _sys
+    import types as _types
+
+    import fsspec.implementations as _fsimpl
+
+    _stub = _types.ModuleType("fsspec.implementations.http")
+
+    class _StubHTTPFileSystem:  # aiohttp absent in this sandbox
+        pass
+
+    _stub.HTTPFileSystem = _StubHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _stub
+    _fsimpl.http = _stub
+
 try:  # Lance is the intended production format; gate on availability
     import lance  # type: ignore  # noqa: F401
     HAVE_LANCE = True
@@ -62,7 +84,14 @@ class SnapshotStore:
         return bool(m) and m.get("fingerprint") == fp
 
     def read(self, stage: str) -> "ray.data.Dataset":
-        return ray.data.read_parquet(self._stage_dir(stage))
+        # small snapshots coalesce into one or two blocks by default, which
+        # caps downstream actor-pool parallelism — spread them over the
+        # cluster's CPUs (read tasks cap at the file/row-group count anyway)
+        import ray as _ray
+        n_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+        return ray.data.read_parquet(
+            self._stage_dir(stage), override_num_blocks=n_blocks
+        )
 
     def write(self, stage: str, ds: "ray.data.Dataset", fp: str,
               extra: Optional[Dict] = None) -> "ray.data.Dataset":
