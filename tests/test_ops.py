@@ -1,0 +1,157 @@
+"""Unit tests for the training-data ops: dedup family, similarity search,
+text stats, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from graph_rag_agent_ray.ops import dedup as D
+from graph_rag_agent_ray.ops import similarity as SIM
+from graph_rag_agent_ray.ops import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again in the yard "
+        "while the sun sets slowly behind the distant hills and the evening air "
+        "grows cool and quiet as birds return to their nests for the night",
+        "completely different content about ray data pipelines and arrow batches "
+        "with streaming executors scheduling blocks across the object store and "
+        "backpressure keeping memory bounded during wide shuffles of big tables",
+        "a third document mentioning neither foxes nor pipelines at all today "
+        "but instead describing gardens with tomatoes peppers and herbs growing "
+        "in raised beds beside a stone path that winds toward an old wooden gate",
+    ]
+    rows = []
+    # 0,1,2 originals; 3 exact dup of 0; 4 near dup of 0 (one word changed);
+    # 5 near dup of 1 (word appended)
+    texts = base + [base[0], base[0].replace("lazy", "sleepy"), base[1] + " extra"]
+    for i, t in enumerate(texts):
+        rows.append({"doc_id": i, "text": t})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+class TestExactDedup:
+    def test_groups_and_keeper(self, docs_with_dups):
+        out = D.exact_dedup(docs_with_dups).to_pandas()
+        assert len(out) == 5  # 6 docs, one exact dup pair
+        dup_row = out[out["n_dups"] == 2]
+        assert len(dup_row) == 1 and dup_row["keep_doc_id"].iloc[0] == 0
+
+
+class TestMinHash:
+    def test_finds_near_dups(self, docs_with_dups):
+        pairs = D.minhash_duplicate_pairs(docs_with_dups, threshold=0.6).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+        assert (0, 3) in got        # exact dup
+        assert (0, 4) in got or (3, 4) in got  # near dup
+        assert not any({a, b} == {1, 2} for a, b in got)  # unrelated docs
+
+    def test_signature_deterministic(self):
+        a, b = D._perm_params(64, 42)
+        s1 = D.minhash_signature("hello world text", 64, 5, a, b)
+        s2 = D.minhash_signature("hello world text", 64, 5, a, b)
+        assert (s1 == s2).all()
+
+
+class TestSimHash:
+    def test_near_dup_small_hamming(self, docs_with_dups):
+        pairs = D.simhash_duplicate_pairs(docs_with_dups, max_hamming=6).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+        assert (0, 3) in got
+        h0 = D.simhash64("identical words here")
+        h1 = D.simhash64("identical words here")
+        assert h0 == h1
+
+    def test_exact_dup_zero_hamming(self):
+        assert D.simhash64("abc def") == D.simhash64("abc def")
+
+
+class TestNgramJaccard:
+    def test_exact_dup_j1(self, docs_with_dups):
+        pairs = D.ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5).to_pandas()
+        row = pairs[(pairs["a"] == 0) & (pairs["b"] == 3)]
+        assert len(row) == 1 and row["jaccard"].iloc[0] == 1.0
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[10] = vecs[0] * 2.0          # same direction → cosine 1
+    vecs[11] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    }))
+
+
+class TestKnn:
+    def test_bruteforce_exact(self, emb_ds):
+        out = SIM.knn_bruteforce(emb_ds, query_ids=[0], k=3).to_pandas()
+        assert list(out.sort_values("rank")["neighbor_id"].head(2)) == [10, 11]
+        assert list(out["rank"]) == [1, 2, 3]
+
+    def test_ivf_finds_obvious_neighbour(self, emb_ds):
+        out = SIM.knn_ivf(emb_ds, query_ids=[0], k=5, n_bits=2).to_pandas()
+        # identical-direction vector must share every LSH bucket with query
+        assert 10 in set(out["neighbor_id"])
+
+    def test_neardup_pairs(self, emb_ds):
+        pairs = D.embedding_neardup_pairs(emb_ds, threshold=0.95).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+        assert (0, 10) in got
+
+
+class TestTextStats:
+    def test_token_count_matches_python_split(self, docs_with_dups):
+        out = TS.token_count(docs_with_dups).to_pandas().set_index("doc_id")
+        texts = docs_with_dups.to_pandas().set_index("doc_id")["text"]
+        for doc_id, text in texts.items():
+            assert out.loc[doc_id, "n_tokens"] == len(text.split())
+
+    def test_empty_text_zero_tokens(self, ray_session):
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": ["", "  "]}))
+        out = TS.token_count(ds).to_pandas()
+        assert (out["n_tokens"] == 0).all()
+
+    def test_quality_counts(self, ray_session):
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["Ab1. cd!"]}))
+        out = TS.text_quality(ds).to_pandas().iloc[0]
+        assert out["n_chars"] == 8 and out["n_punct"] == 2
+        assert out["n_alpha"] == 4 and out["n_digit"] == 1
+
+    def test_winnow_overlap_for_neardups(self, docs_with_dups):
+        out = TS.winnow_fingerprints(docs_with_dups).to_pandas().set_index("doc_id")
+        f0, f4, f2 = (set(out.loc[i, "fps"]) for i in (0, 4, 2))
+        sim_near = len(f0 & f4) / len(f0 | f4)
+        sim_far = len(f0 & f2) / len(f0 | f2)
+        assert sim_near > sim_far
+
+
+class TestMultimodal:
+    def test_media_plumbing(self, ray_session):
+        from graph_rag_agent_ray.ops.multimodal import (
+            DecodeMedia, decode_media, decode_real, media_from_documents)
+        from graph_rag_agent_ray.synth import generate
+        docs = rd.from_arrow(generate(n_docs=40, seed=42).documents)
+        media = media_from_documents(docs)
+        feats = decode_media(media).to_pandas()
+        assert len(feats) > 0
+        assert all(len(f) == 32 for f in feats["feature"])
+        # deterministic features
+        feats2 = decode_media(media_from_documents(docs)).to_pandas()
+        m1 = feats.sort_values("media_ref").reset_index(drop=True)
+        m2 = feats2.sort_values("media_ref").reset_index(drop=True)
+        assert (m1["media_ref"] == m2["media_ref"]).all()
+        assert np.allclose(np.stack(m1["feature"]), np.stack(m2["feature"]))
+
+    def test_real_codec_is_gated(self):
+        from graph_rag_agent_ray.ops.multimodal import DecodeMedia, decode_real
+        with pytest.raises(NotImplementedError):
+            decode_real(b"payload", "image")
+        with pytest.raises(NotImplementedError):
+            DecodeMedia(use_real_codec=True)
