@@ -97,6 +97,19 @@ def run_bench() -> dict:
     timings["kg_build"] = round(headline, 3)
 
     # ---- operator benches over the driver's tables ----
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        return {
+            "metric": "kg_build_end_to_end",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "n_triples": int(n_triples),
+            "triples_per_sec": round(n_triples / headline, 2),
+        }
+
     def timed(name, fn):
         t = time.monotonic()
         fn()
@@ -128,30 +141,81 @@ def run_bench() -> dict:
     }
 
 
+_CALIBRATE_SRC = r"""
+import ray, time, sys, hashlib, json
+N = int(sys.argv[1])
+ray.init(address="local", num_cpus=N, include_dashboard=False, logging_level="ERROR")
+
+@ray.remote
+def work(seed):
+    h = hashlib.sha1(str(seed).encode()).digest()
+    acc = 0
+    for _ in range(600000):
+        h = hashlib.sha1(h).digest()
+        acc ^= h[0]
+    return acc
+
+@ray.remote
+def noop():
+    return 0
+
+ray.get([noop.remote() for _ in range(N)])
+t0 = time.monotonic()
+ray.get([work.remote(i) for i in range(256)])
+print(json.dumps({"sec": time.monotonic() - t0}))
+ray.shutdown()
+"""
+
+
+def _calibrate(ncpu: int) -> float:
+    """Wall-clock of a perfectly-parallel pure-python workload at ``ncpu`` —
+    measures the PLATFORM's core-scaling ceiling (CPU frequency scaling /
+    VM throttling make even embarrassingly-parallel code scale sublinearly
+    on one box; a real N→4N node cluster does not have this artifact because
+    per-node resources are constant)."""
+    out = subprocess.run(
+        [sys.executable, "-c", _CALIBRATE_SRC, str(ncpu)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])["sec"]
+
+
 def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (the in-sandbox
-    evidence for the N vs 4N cluster-size criterion)."""
+    evidence for the N vs 4N cluster-size criterion), plus a platform
+    calibration so pipeline scaling is separable from single-box limits."""
     lo, hi = 8, 32
     results = {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _rep in range(2):  # min of 2 reps — single-box timings are noisy
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_HEADLINE_ONLY="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
+    cal_lo, cal_hi = _calibrate(lo), _calibrate(hi)
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]
-    tput_lo = results[lo]["triples_per_sec"]
-    tput_hi = results[hi]["triples_per_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
+    ceiling = (cal_lo / cal_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
-        "triples_per_sec_lo": tput_lo, "triples_per_sec_hi": tput_hi,
+        "triples_per_sec_lo": results[lo]["triples_per_sec"],
+        "triples_per_sec_hi": results[hi]["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "platform_ceiling_efficiency": round(ceiling, 3),
+        "normalized_scaling_efficiency": round(eff / ceiling, 3),
+        "calibration_sec_lo": round(cal_lo, 2),
+        "calibration_sec_hi": round(cal_hi, 2),
         "sf": SF_DIR,
     }
 

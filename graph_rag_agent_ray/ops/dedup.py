@@ -163,7 +163,13 @@ def minhash_duplicate_pairs(
         return pd.DataFrame(rows, columns=["a", "b", "est_jaccard"])
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        frames = [verify(g) for _, g in df.groupby(["band_id", "band_hash"], sort=False)]
+        # almost every (band_id, band_hash) key is a singleton — drop those
+        # vectorized before paying per-group python cost on the rest
+        dup_mask = df.duplicated(["band_id", "band_hash"], keep=False)
+        cand = df[dup_mask]
+        if not len(cand):
+            return verify(df.iloc[:0])
+        frames = [verify(g) for _, g in cand.groupby(["band_id", "band_hash"], sort=False)]
         frames = [f for f in frames if len(f)]
         if not frames:
             return verify(df.iloc[:0])
@@ -241,7 +247,11 @@ def simhash_duplicate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ra
                           "hamming": pd.Series(dtype="int64")})
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        frames = [verify(g) for _, g in df.groupby(["band_id", "band_key"], sort=False)]
+        dup_mask = df.duplicated(["band_id", "band_key"], keep=False)
+        cand = df[dup_mask]
+        if not len(cand):
+            return verify(df.iloc[:0])
+        frames = [verify(g) for _, g in cand.groupby(["band_id", "band_key"], sort=False)]
         frames = [f for f in frames if len(f)]
         if not frames:
             return verify(df.iloc[:0])

@@ -72,48 +72,66 @@ def build_kg(
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     docs = docs.repartition(max(n_cpus * 2, 8))
 
-    chunks = store.run_stage(
+    # side threads: independent snapshot jobs + background checkpoint writes
+    # — Ray Data supports concurrent dataset executions, so the streaming
+    # executor interleaves them instead of serializing the whole DAG
+    from concurrent.futures import ThreadPoolExecutor
+    side = ThreadPoolExecutor(max_workers=6)
+
+    # hot-path stages materialize to the object store and checkpoint to disk
+    # asynchronously: consumers never wait for the parquet round-trip
+    chunks, chunks_w = store.run_stage_async_write(
         "chunks", fingerprint(base_fp, "chunks"),
-        lambda: chunk_documents(docs, cfg), lineage,
+        lambda: chunk_documents(docs, cfg), side, lineage,
     )
 
-    # span_index and chunk_embeddings are independent of the extraction chain
-    # — run their snapshot jobs on background threads so the streaming
-    # executor interleaves them with extraction instead of serializing the
-    # whole DAG (Ray Data supports concurrent dataset executions).
-    from concurrent.futures import ThreadPoolExecutor
-    side = ThreadPoolExecutor(max_workers=4)
-    span_index_f = side.submit(
-        store.run_stage, "span_index", fingerprint(base_fp, "span_index"),
-        lambda: build_span_index(docs, cfg), lineage,
-    )
+    # embed first: it is the longest stage, so it should start pulling blocks
+    # before the cheaper side outputs
     chunk_embeddings_f = side.submit(
         store.run_stage, "chunk_embeddings", fingerprint(base_fp, "chunk_embeddings"),
         lambda: embed_chunks(chunks, cfg), lineage,
     )
+    span_index_f = side.submit(
+        store.run_stage, "span_index", fingerprint(base_fp, "span_index"),
+        lambda: build_span_index(docs, cfg), lineage,
+    )
 
-    extractions = store.run_stage(
+    extractions, extractions_w = store.run_stage_async_write(
         "extractions", fingerprint(base_fp, "extractions", extractor_cls.__name__),
-        lambda: extract_chunks(chunks, cfg, extractor_cls), lineage,
+        lambda: extract_chunks(chunks, cfg, extractor_cls), side, lineage,
     )
 
-    # triples parse+snapshot is independent of the mention chain — overlap it
+    # triples parse is independent of the mention chain — overlap it, with
+    # the snapshot write off the critical path
     triples_f = side.submit(
-        store.run_stage, "triples",
+        store.run_stage_async_write, "triples",
         fingerprint(base_fp, "triples", extractor_cls.__name__),
-        lambda: parse_triples(extractions, cfg), lineage,
+        lambda: parse_triples(extractions, cfg), side, lineage,
     )
+
+    import time as _time
 
     # parsed mentions feed three consumers (exact agg, canonical mentions,
     # ranks) — materialize once in object store instead of re-parsing
+    _t = _time.monotonic()
     mentions = parse_mentions(extractions, cfg).materialize()
+    lineage.record("mentions_parse", cached=False, wall_s=_time.monotonic() - _t)
 
-    # ---- canonicalization (combine → hash-bucket shuffles) ----
+    # The exact-dedup aggregate + entity embedding are the last wide scans the
+    # decision chain needs; after this point the canonicalization chain works
+    # on the tiny aggregated entity table and runs CONCURRENTLY with the long
+    # chunk-embedding tail (resolved only at the very end).
+    _t = _time.monotonic()
     exact = C.aggregate_exact(mentions, cfg)
     embedded = C.embed_entities(exact, cfg).materialize()  # reused 3×, small
-    pairs = C.candidate_pairs(embedded, cfg)
+    triples, triples_w = triples_f.result()
+    lineage.record("throughput_phase", cached=False, wall_s=_time.monotonic() - _t)
 
+    # ---- decision chain: blocking → alias → edges → communities ----
+    _t = _time.monotonic()
+    pairs = C.candidate_pairs(embedded, cfg)
     pairs_pdf = pairs.to_pandas()  # judged merge decisions — small by construction
+    lineage.record("canon_blocking", cached=False, wall_s=_time.monotonic() - _t)
     if len(pairs_pdf) and "a" in pairs_pdf.columns:
         members = set(pairs_pdf["a"]) | set(pairs_pdf["b"])
     else:
@@ -140,18 +158,19 @@ def build_kg(
                    n_pairs=int(len(pairs_pdf)), n_aliases=len(alias))
 
     # the edge chain (remap triples → dedupe) is independent of the mention/
-    # entity chain — run it on a side thread so its shuffles interleave
+    # entity chain — run it on a side thread so its shuffles interleave;
+    # remap + map-side combine + reduce fuse into one streaming pipeline
     def edge_chain():
-        triples = triples_f.result()
-        triples_canon = store.run_stage(
+        triples_canon, canon_w = store.run_stage_async_write(
             "triples_canon", fingerprint(alias_fp, "triples_canon"),
-            lambda: C.canonical_triples(triples, alias_ref, cfg), lineage,
+            lambda: C.canonical_triples(triples, alias_ref, cfg), side, lineage,
         )
         edges = store.run_stage(
             "edges", fingerprint(alias_fp, "edges"),
             lambda: C.dedupe_edges(triples_canon, cfg), lineage,
         )
-        return triples_canon, edges
+        canon_w.result()
+        return edges
 
     edge_chain_f = side.submit(edge_chain)
 
@@ -166,16 +185,20 @@ def build_kg(
             "doc_id": batch.column("doc_id"),
         })
 
+    _t = _time.monotonic()
     mentions_canon = mentions.map_batches(
         canon_mentions, batch_format="pyarrow", batch_size=8192
     ).materialize()
     entities0 = C.canonical_entities(embedded, alias_ref, cfg).materialize()
-    triples, edges = edge_chain_f.result()
+    lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
+    edges = edge_chain_f.result()
 
     # ---- communities (aggregated graph — provably small; guarded) ----
     # collect only the light columns once; chunk_ids lists stay distributed
+    _t = _time.monotonic()
     edges_pdf = edges.select_columns(["src", "dst", "pred", "weight"]).to_pandas()
     member_levels = CM.detect_communities(edges_pdf, cfg)
+    lineage.record("louvain", cached=False, wall_s=_time.monotonic() - _t)
     membership = ray.data.from_arrow(CM.community_membership_table(member_levels))
     ranks = CM.community_ranks(membership, mentions_canon)
     communities = store.run_stage(
@@ -205,8 +228,11 @@ def build_kg(
         lineage,
     )
 
-    span_index = span_index_f.result()
     chunk_embeddings = chunk_embeddings_f.result()
+    span_index = span_index_f.result()
+    chunks_w.result()
+    extractions_w.result()
+    triples_w.result()
     side.shutdown()
 
     return {

@@ -374,30 +374,56 @@ def canonical_triples(
     return triples.map_batches(remap, batch_format="pyarrow", batch_size=8192)
 
 
-def _edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
+MAX_EDGE_CHUNK_IDS = 64  # provenance list cap per edge (n_sources saturates here)
+
+
+def _partial_edges(batch: pa.Table) -> pd.DataFrame:
+    """Map-side combine: duplicate facts are endemic (the whole corpus keeps
+    restating the same triples), so collapse per (s,p,o) inside the batch
+    before the shuffle — the exchange then moves distinct-per-block rows, not
+    every mention."""
+    df = pa.Table.to_pandas(batch)
     keys = ["subj", "pred", "obj"]
     ordered = df.sort_values(keys + ["chunk_id"], kind="stable")
-    firsts = ordered.drop_duplicates(keys)[keys + ["description", "weight"]]
+    firsts = ordered.drop_duplicates(keys)[keys + ["description", "weight", "chunk_id"]]
+    firsts = firsts.rename(columns={"chunk_id": "min_chunk"})
     uniq = ordered.drop_duplicates(keys + ["chunk_id"])
-    n_src = uniq.groupby(keys, sort=False)["chunk_id"].size().reset_index(name="n_sources")
     chunk_lists = (
         uniq.groupby(keys, sort=False)["chunk_id"]
-        .agg(lambda s: list(s)[:64]).reset_index(name="chunk_ids")
+        .agg(lambda s: list(s)[:MAX_EDGE_CHUNK_IDS]).reset_index(name="chunk_ids")
     )
-    out = firsts.merge(n_src, on=keys).merge(chunk_lists, on=keys)
+    return firsts.merge(chunk_lists, on=keys)
+
+
+def _edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Reduce: merge partials per (s,p,o): first = min chunk_id overall
+    (order-stable rels[0]); provenance = union of chunk lists (capped)."""
+    keys = ["subj", "pred", "obj"]
+    ordered = df.sort_values(keys + ["min_chunk"], kind="stable")
+    firsts = ordered.drop_duplicates(keys)[keys + ["description", "weight"]]
+    unions = (
+        df.groupby(keys, sort=False)["chunk_ids"]
+        .agg(lambda ls: sorted({c for lst in ls for c in lst})[:MAX_EDGE_CHUNK_IDS])
+        .reset_index()
+    )
+    out = firsts.merge(unions, on=keys)
     out = out.rename(columns={"subj": "src", "obj": "dst"})
     out["weight"] = out["weight"].astype(np.float32)
-    out["n_sources"] = out["n_sources"].astype(np.int32)
+    out["n_sources"] = out["chunk_ids"].map(len).astype(np.int32)
     return out[["src", "dst", "pred", "description", "weight", "n_sources", "chunk_ids"]]
 
 
 def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
     """groupby(src,dst,pred) keep-first — entity_merger.py:409-450 semantics
     (duplicate same-direction relationships collapse to rels[0]), with
-    deterministic ordering by chunk_id instead of arrival order. Vectorized
-    per hash bucket (functions/shuffle.py)."""
+    deterministic ordering by chunk_id instead of arrival order. Map-side
+    combine, then a vectorized hash-bucket reduce (functions/shuffle.py).
+    n_sources saturates at MAX_EDGE_CHUNK_IDS (documented provenance cap)."""
     cfg = cfg or KGConfig()
+    partial = triples_canon.map_batches(
+        _partial_edges, batch_format="pyarrow", batch_size=16384
+    )
     return hash_partitioned_groupby(
-        triples_canon, ["subj", "pred", "obj"], _edges_bucket,
+        partial, ["subj", "pred", "obj"], _edges_bucket,
         n_buckets=cfg.salt_buckets * 4,
     )

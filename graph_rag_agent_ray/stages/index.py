@@ -52,8 +52,12 @@ def embed_chunks(
 ) -> "ray.data.Dataset":
     cfg = cfg or KGConfig()
     import ray
-    max_pool = concurrency or max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    max_pool = concurrency or max(2, n_cpus - 2)
     from .pool import stage_map_batches
+    # fine-grained tasks: this stage dominates wall-clock, so its straggler
+    # tail is the job's tail — many small tasks keep every core busy to the end
+    chunks = chunks.repartition(max(64, n_cpus * 8))
     return stage_map_batches(
         chunks, EmbedChunks, {"cfg": cfg},
         batch_size=128,  # 2× reference EMBEDDING_BATCH_SIZE (config/settings.py:75)

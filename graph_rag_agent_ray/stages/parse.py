@@ -25,7 +25,13 @@ from .. import schema as S
 
 
 def mentions_from_batch(batch: pa.Table) -> pa.Table:
-    rows: List[dict] = []
+    # columnar row building (lists per column) — ~2-3× cheaper than dicts +
+    # from_pylist at millions of mention rows
+    c_chunk: List[str] = []
+    c_doc: List[str] = []
+    c_surf: List[str] = []
+    c_type: List[str] = []
+    c_desc: List[str] = []
     for chunk_id, doc_id, raw in zip(
         batch.column("chunk_id").to_pylist(),
         batch.column("doc_id").to_pylist(),
@@ -33,17 +39,28 @@ def mentions_from_batch(batch: pa.Table) -> pa.Table:
     ):
         parsed = parse_records(raw)
         for name, etype, desc in parsed.entities:
-            rows.append({
-                "chunk_id": chunk_id, "doc_id": doc_id,
-                "entity_surface": name, "entity_type": etype, "description": desc,
-            })
-    if not rows:
-        return S.MENTIONS.empty_table()
-    return pa.Table.from_pylist(rows, schema=S.MENTIONS)
+            c_chunk.append(chunk_id)
+            c_doc.append(doc_id)
+            c_surf.append(name)
+            c_type.append(etype)
+            c_desc.append(desc)
+    return pa.table({
+        "chunk_id": pa.array(c_chunk, pa.string()),
+        "doc_id": pa.array(c_doc, pa.string()),
+        "entity_surface": pa.array(c_surf, pa.string()),
+        "entity_type": pa.array(c_type, pa.string()),
+        "description": pa.array(c_desc, pa.string()),
+    })
 
 
 def triples_from_batch(batch: pa.Table) -> pa.Table:
-    rows: List[dict] = []
+    c_subj: List[str] = []
+    c_pred: List[str] = []
+    c_obj: List[str] = []
+    c_desc: List[str] = []
+    c_w: List[float] = []
+    c_chunk: List[str] = []
+    c_doc: List[str] = []
     for chunk_id, doc_id, raw in zip(
         batch.column("chunk_id").to_pylist(),
         batch.column("doc_id").to_pylist(),
@@ -51,14 +68,22 @@ def triples_from_batch(batch: pa.Table) -> pa.Table:
     ):
         parsed = parse_records(raw)
         for src, tgt, rtype, desc, weight in parsed.relationships:
-            rows.append({
-                "subj": src, "pred": rtype, "obj": tgt,
-                "description": desc, "weight": weight,
-                "chunk_id": chunk_id, "doc_id": doc_id,
-            })
-    if not rows:
-        return S.TRIPLES.empty_table()
-    return pa.Table.from_pylist(rows, schema=S.TRIPLES)
+            c_subj.append(src)
+            c_pred.append(rtype)
+            c_obj.append(tgt)
+            c_desc.append(desc)
+            c_w.append(weight)
+            c_chunk.append(chunk_id)
+            c_doc.append(doc_id)
+    return pa.table({
+        "subj": pa.array(c_subj, pa.string()),
+        "pred": pa.array(c_pred, pa.string()),
+        "obj": pa.array(c_obj, pa.string()),
+        "description": pa.array(c_desc, pa.string()),
+        "weight": pa.array(c_w, pa.float32()),
+        "chunk_id": pa.array(c_chunk, pa.string()),
+        "doc_id": pa.array(c_doc, pa.string()),
+    })
 
 
 def parse_mentions(extractions: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":

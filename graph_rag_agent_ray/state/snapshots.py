@@ -153,6 +153,34 @@ class SnapshotStore:
             lineage.record(stage, cached=False, wall_s=time.monotonic() - t0)
         return out
 
+    def run_stage_async_write(
+        self,
+        stage: str,
+        fp: str,
+        compute: Callable[[], "ray.data.Dataset"],
+        executor,
+        lineage: Optional["LineageLog"] = None,
+    ):
+        """Like run_stage, but the downstream consumer streams from the
+        MATERIALIZED (object-store) dataset while the Parquet checkpoint is
+        written on ``executor`` in the background — the disk round-trip leaves
+        the critical path. Returns (dataset, write_future)."""
+        if self.is_complete(stage, fp):
+            if lineage is not None:
+                lineage.record(stage, cached=True, wall_s=0.0)
+            ds = self.read(stage)
+            fut = executor.submit(lambda: None)
+            return ds, fut
+        t0 = time.monotonic()
+        ds = compute().materialize()
+        if lineage is not None:
+            lineage.record(stage, cached=False, wall_s=time.monotonic() - t0)
+
+        def _write():
+            self.write(stage, ds, fp)
+
+        return ds, executor.submit(_write)
+
 
 class LineageLog:
     """Per-stage lineage + metrics sidecar (the reference's perf-stat dicts,
