@@ -1,0 +1,94 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    python -m graph_rag_agent_ray build --input <documents dir/parquet> \
+        --out /path/to/kg [--resume]
+    python -m graph_rag_agent_ray update --input <docs> --out <new> --prev <old>
+    python -m graph_rag_agent_ray validate --out <kg dir>
+    python -m graph_rag_agent_ray synth --out <dir> --docs 1000
+
+Replaces the reference's ``python build/main.py`` / ``build/incremental_update.py``
+drivers (/root/reference/build/main.py:19-45). On a cluster:
+``ray job submit --working-dir . -- python -m graph_rag_agent_ray build ...``
+(Ray auto-initialises and attaches to the cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="graph_rag_agent_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--token", default="")
+
+    u = sub.add_parser("update")
+    u.add_argument("--input", required=True)
+    u.add_argument("--out", required=True)
+    u.add_argument("--prev", required=True)
+    u.add_argument("--token", default="")
+
+    v = sub.add_parser("validate")
+    v.add_argument("--out", required=True)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--out", required=True)
+    s.add_argument("--docs", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "synth":
+        from .synth import generate, write_corpus
+        write_corpus(generate(n_docs=args.docs, seed=args.seed), args.out)
+        print(json.dumps({"written": args.out, "docs": args.docs}))
+        ray.shutdown()
+        return 0
+
+    import ray.data as rd
+    from .sources.documents import read_documents
+
+    if args.cmd == "build":
+        from .pipelines.build import build_kg
+        from .pipelines.incremental import write_registry
+        docs = read_documents(args.input)
+        tables = build_kg(docs, args.out, input_token=args.token or args.input)
+        write_registry(read_documents(args.input), args.out,
+                       input_token=args.token or args.input)
+        print(json.dumps({t: tables[t].count() for t in
+                          ("chunks", "triples", "entities", "edges", "communities")}))
+    elif args.cmd == "update":
+        from .pipelines.incremental import incremental_build_kg
+        docs = read_documents(args.input)
+        tables, counts = incremental_build_kg(
+            docs, args.out, args.prev, input_token=args.token or args.input)
+        print(json.dumps({"delta": counts,
+                          "edges": tables["edges"].count()}))
+    elif args.cmd == "validate":
+        from .pipelines.build import build_kg  # noqa: F401
+        from .stages.validate import validate_graph
+        from .state.snapshots import SnapshotStore
+        store = SnapshotStore(args.out)
+        tables = {name: store.read(name) for name in
+                  ("entities", "chunks", "edges")}
+        tables["mentions_canon"] = None
+        issues = validate_graph(tables)
+        print(json.dumps(issues))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

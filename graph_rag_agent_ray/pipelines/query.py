@@ -1,0 +1,130 @@
+"""Query-side reads over the materialized tables (SURVEY.md §2.10).
+
+The reference serves these from Neo4j + vector indexes
+(/root/reference/search/local_search.py:10-239, search/global_search.py:9-157,
+search/tool/naive_search_tool.py): LocalSearch fans out from entity-vector
+top-k to mention-weighted chunks, rank-ordered communities and weight-ordered
+relationships; GlobalSearch maps over every level-N community summary;
+NaiveSearch is chunk-vector top-k. Here each is a read over the Lance/Parquet
+tables: brute-force cosine against the embedding columns (ops/similarity.py
+provides the same as a scaled Dataset op) plus broadcast-filtered fan-outs.
+The LLM answer-synthesis step is out of scope — these return the retrieval
+context tables the reference feeds its prompts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..config import KGConfig
+from ..functions.embed import embed_texts
+from ..functions.text import normalize_surface
+
+
+def _topk_by_embedding(pdf: pd.DataFrame, query_vec: np.ndarray, k: int,
+                       id_col: str) -> pd.DataFrame:
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (mat / norms[:, None]) @ query_vec
+    pdf = pdf.assign(score=np.round(sims, 9))
+    return pdf.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+
+def local_search(
+    tables: Dict[str, "ray.data.Dataset"], query: str,
+    k_entities: int = 10, k_chunks: int = 3, k_communities: int = 3,
+    k_edges: int = 10, cfg: KGConfig | None = None,
+) -> Dict[str, pd.DataFrame]:
+    """Entity-vector top-k → fan out (local_search.py:40-133 parity):
+    chunks by mention frequency, communities by rank, edges by weight."""
+    cfg = cfg or KGConfig()
+    qv = embed_texts([normalize_surface(query)], dim=cfg.embed_dim)[0].astype(np.float64)
+
+    ents = tables["entities"].select_columns(
+        ["entity_id", "embedding", "entity_type", "description", "degree"]).to_pandas()
+    top_ents = _topk_by_embedding(ents, qv, k_entities, "entity_id")
+    eset = set(top_ents["entity_id"])
+    eref = ray.put(eset)
+
+    def touching(batch, cols):
+        import pyarrow as pa
+        keep = ray.get(eref)
+        mask = [any(batch.column(c)[i].as_py() in keep for c in cols)
+                for i in range(len(batch))]
+        return batch.filter(pa.array(mask))
+
+    edges = tables["edges"].map_batches(
+        lambda b: touching(b, ["src", "dst"]), batch_format="pyarrow"
+    ).to_pandas()
+    top_edges = edges.sort_values(["weight", "src", "dst"],
+                                  ascending=[False, True, True]).head(k_edges)
+
+    mentions = tables["mentions_canon"].map_batches(
+        lambda b: touching(b, ["entity_id"]), batch_format="pyarrow"
+    ).to_pandas()
+    chunk_freq = mentions.groupby("chunk_id").size().sort_values(
+        ascending=False, kind="stable").head(k_chunks)
+    chunk_ids = set(chunk_freq.index)
+    cref = ray.put(chunk_ids)
+
+    def chunk_keep(batch):
+        import pyarrow as pa
+        keep = ray.get(cref)
+        return batch.filter(pa.array([c in keep for c in batch.column("chunk_id").to_pylist()]))
+
+    chunks = tables["chunks"].map_batches(chunk_keep, batch_format="pyarrow").to_pandas()
+
+    comm = tables["communities"].to_pandas()
+    comm = comm[comm["members"].map(lambda ms: any(m in eset for m in ms))]
+    top_comm = comm.sort_values(["rank", "community_id"],
+                                ascending=[False, True]).head(k_communities)
+
+    return {
+        "entities": top_ents.drop(columns=["embedding"]),
+        "edges": top_edges,
+        "chunks": chunks,
+        "communities": top_comm,
+    }
+
+
+def global_search(
+    tables: Dict[str, "ray.data.Dataset"], level: int = 0, limit: int | None = None
+) -> pd.DataFrame:
+    """Every level-N community's summary/full_content ordered by rank
+    (global_search.py:9-157 map-phase input)."""
+    comm = tables["communities"].to_pandas()
+    comm = comm[comm["level"] == level].sort_values(
+        ["rank", "community_id"], ascending=[False, True])
+    if limit:
+        comm = comm.head(limit)
+    return comm[["community_id", "rank", "summary", "full_content"]]
+
+
+def naive_search(
+    tables: Dict[str, "ray.data.Dataset"], query: str, k: int = 3,
+    cfg: KGConfig | None = None,
+) -> pd.DataFrame:
+    """Chunk-vector top-k (naive_search_tool.py parity) over the
+    chunk_embeddings table."""
+    cfg = cfg or KGConfig()
+    qv = embed_texts([query], dim=cfg.embed_dim)[0].astype(np.float64)
+    emb = tables["chunk_embeddings"].to_pandas()
+    top = _topk_by_embedding(emb, qv, k, "chunk_id")
+    chunk_ids = set(top["chunk_id"])
+    cref = ray.put(chunk_ids)
+
+    def keep(batch):
+        import pyarrow as pa
+        ks = ray.get(cref)
+        return batch.filter(pa.array([c in ks for c in batch.column("chunk_id").to_pylist()]))
+
+    chunks = tables["chunks"].map_batches(keep, batch_format="pyarrow").to_pandas()
+    return top[["chunk_id", "score"]].merge(chunks[["chunk_id", "doc_id", "text"]],
+                                            on="chunk_id")
