@@ -1,0 +1,97 @@
+"""Ingestion: raw files → the interleaved-span documents table.
+
+The reference's FileReader walks a directory and dispatches per extension
+(/root/reference/processor/file_reader.py:36-79; txt with chardet fallback
+:164-188, pdf :190-207, markdown :209-217, docx :219-295, csv :297-349,
+json :351-374, yaml :376-399). Our engine's canonical input is the
+``documents (doc_id, spans)`` table; these readers produce it from common
+formats with Ray Data sources. Binary-document formats (pdf/docx) need codec
+libraries that are not in this container — their readers are gated stubs with
+the Ray plumbing in place (read_binary_files → decode map_batches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from .documents import flat_text_to_spans
+
+
+def _wrap(doc_ids, texts) -> pa.Table:
+    spans = [[{"kind": "text", "text": t or "", "media_ref": "", "offset": 0}]
+             for t in texts]
+    return pa.table({
+        "doc_id": pa.array([str(d) for d in doc_ids], pa.string()),
+        "spans": pa.array(spans),
+    })
+
+
+def read_text_documents(paths) -> "ray.data.Dataset":
+    """Directory/glob of .txt/.md files → documents (one doc per file).
+    Encoding fallback mirrors file_reader.py:164-188 (utf-8 → gb18030 →
+    latin-1) without the chardet dependency."""
+    raw = ray.data.read_binary_files(paths, include_paths=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        texts = []
+        for b in batch.column("bytes").to_pylist():
+            for enc in ("utf-8", "gb18030", "latin-1"):
+                try:
+                    texts.append(b.decode(enc))
+                    break
+                except UnicodeDecodeError:
+                    continue
+            else:
+                texts.append(b.decode("utf-8", "replace"))
+        ids = [os.path.basename(p) for p in batch.column("path").to_pylist()]
+        return _wrap(ids, texts)
+
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=64)
+
+
+def read_csv_documents(path, id_column: str, text_column: str) -> "ray.data.Dataset":
+    """CSV rows → one document per row (read_csv_as_dicts parity,
+    file_reader.py:297-349)."""
+    ds = ray.data.read_csv(path)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _wrap(batch.column(id_column).to_pylist(),
+                     [str(t) for t in batch.column(text_column).to_pylist()])
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+def read_json_documents(path, id_field: str = "doc_id",
+                        text_field: str = "text") -> "ray.data.Dataset":
+    """JSONL rows → documents (read_json_as_dict parity, file_reader.py:351-374)."""
+    ds = ray.data.read_json(path)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _wrap(batch.column(id_field).to_pylist(),
+                     [str(t) for t in batch.column(text_field).to_pylist()])
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+def read_parquet_documents(path, id_column: str = "doc_id",
+                           text_column: str = "text") -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(path, columns=[id_column, text_column])
+    if id_column != "doc_id" or text_column != "text":
+        ds = ds.rename_columns({id_column: "doc_id", text_column: "text"})
+    return flat_text_to_spans(ds)
+
+
+def read_pdf_documents(paths) -> "ray.data.Dataset":
+    """Gated: pdf text extraction (file_reader.py:190-207 uses PyPDF2, absent
+    here). The binary read + decode map_batches plumbing is the same as
+    read_text_documents; plug a pdf library into the decode fn."""
+    raise NotImplementedError(
+        "PyPDF2/pdfplumber not available in this environment; "
+        "use read_text_documents/read_parquet_documents, or plug a pdf "
+        "extractor into the read_binary_files → map_batches decode pattern."
+    )

@@ -63,9 +63,16 @@ def detect_communities(
     g.add_weighted_edges_from(agg.itertuples(index=False, name=None))
     if g.number_of_nodes() == 0:
         return {}
-    levels: List[List[set]] = list(
-        nx.community.louvain_partitions(g, weight="weight", seed=cfg.community_seed)
-    )[: cfg.community_max_levels]
+    if cfg.community_algorithm == "lpa":
+        # SLLPA stand-in (reference alternative detector,
+        # community/detector/sllpa.py:10-80): seeded asynchronous label
+        # propagation, single level
+        levels = [[set(c) for c in nx.community.asyn_lpa_communities(
+            g, weight="weight", seed=cfg.community_seed)]]
+    else:
+        levels: List[List[set]] = list(
+            nx.community.louvain_partitions(g, weight="weight", seed=cfg.community_seed)
+        )[: cfg.community_max_levels]
     if not levels:
         levels = [[set(g.nodes)]]
     member_levels: Dict[str, List[int]] = {n: [] for n in g.nodes}
