@@ -291,10 +291,13 @@ def build_alias_map(
         return {}
     pdf = pdf[["a", "b"]]
     if len(pdf) > MAX_DRIVER_PAIRS:
-        raise RuntimeError(
-            f"{len(pdf)} candidate pairs exceed driver guard {MAX_DRIVER_PAIRS}; "
-            "switch to distributed min-label propagation"
-        )
+        # scale path: distributed min-label propagation
+        # (functions/components.py). Canonical = lexicographic component min
+        # (mention-count preference needs a per-component count join; at this
+        # size the deterministic min is the documented canonical rule).
+        from ..functions.components import connected_components as cc
+        comp = cc(ray.data.from_pandas(pdf)).to_pandas()
+        return {n: c for n, c in zip(comp["node"], comp["component"]) if n != c}
     uf = UnionFind()
     for a, b in pdf.drop_duplicates().itertuples(index=False):
         uf.union(a, b)

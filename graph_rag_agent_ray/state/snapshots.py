@@ -118,11 +118,18 @@ class SnapshotStore:
                 arrow_schema = pa.schema([])
             pq.write_table(arrow_schema.empty_table(), os.path.join(tmp, "empty.parquet"))
             n_files = 1
+        try:
+            # row count from parquet footers only — no data read
+            import pyarrow.dataset as pads
+            n_rows = pads.dataset(tmp, format="parquet").count_rows()
+        except Exception:  # noqa: BLE001
+            n_rows = -1
         manifest = {
             "stage": stage,
             "fingerprint": fp,
             "wall_s": round(wall, 3),
             "n_files": n_files,
+            "n_rows": n_rows,
             "format": "lance" if HAVE_LANCE else "parquet",
             "written_at": time.time(),
         }

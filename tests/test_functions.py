@@ -153,3 +153,35 @@ class TestEmbeddings:
         v = embed_texts(["aaa bbb", "aaa bbb ccc", "zzz qqq"], dim=64)
         nbrs = cosine_topk(v, k=5, cutoff=0.99)
         assert all(score >= 0.99 for row in nbrs for _, score in row)
+
+
+class TestDistributedComponents:
+    def test_matches_union_find(self):
+        import ray.data as rd
+        import pandas as pd
+        from graph_rag_agent_ray.functions.components import connected_components
+        from graph_rag_agent_ray.functions.unionfind import UnionFind
+
+        pairs = [("B", "A"), ("C", "B"), ("X", "Y"), ("M", "N"), ("N", "O"),
+                 ("Q", "Q2"), ("A", "D")]
+        uf = UnionFind()
+        for a, b in pairs:
+            uf.union(a, b)
+        expect = uf.alias_map()
+
+        ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+        got = connected_components(ds).to_pandas()
+        got_map = dict(zip(got["node"], got["component"]))
+        assert got_map == {**{n: n for n in got_map}, **expect} or all(
+            got_map[n] == expect.get(n, n) for n in got_map
+        )
+
+    def test_chain_converges(self):
+        import ray.data as rd
+        import pandas as pd
+        from graph_rag_agent_ray.functions.components import connected_components
+        # a long chain needs several propagation rounds
+        chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)]
+        ds = rd.from_pandas(pd.DataFrame(chain, columns=["a", "b"]))
+        got = connected_components(ds).to_pandas()
+        assert set(got["component"]) == {"n00"}
