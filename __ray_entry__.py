@@ -83,10 +83,40 @@ def _span_echo(sf_dir: str) -> "rd.Dataset":
     return docs.map_batches(echo, batch_format="pyarrow", batch_size=1024)
 
 
+def _chunk_roundtrip(sf_dir: str):
+    """Chunk every document with the real token-window chunker, then stitch
+    the chunks back at their content offsets — proves the chunker is lossless
+    end-to-end (SQL oracle: identity on (doc_id, text))."""
+    import pandas as pd
+
+    from graph_rag_agent_ray.stages.chunker import chunk_documents
+
+    docs = read_flat_documents(f"{sf_dir}/documents.parquet")
+    chunks = chunk_documents(docs)
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("position")
+        end = int((g["content_offset"] + g["length"]).max())
+        buf = [" "] * end
+        for off, text in zip(g["content_offset"], g["text"]):
+            for i, ch in enumerate(text):
+                buf[off + i] = ch
+        return pd.DataFrame([{"doc_id": g["doc_id"].iloc[0], "text": "".join(buf)}])
+
+    from graph_rag_agent_ray.functions.shuffle import hash_partitioned_groupby
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [stitch(g) for _, g in df.groupby("doc_id", sort=False)]
+        return pd.concat(frames, ignore_index=True)
+
+    return hash_partitioned_groupby(chunks, ["doc_id"], per_bucket, n_buckets=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # --- span plumbing + text analysis (SQL-checked) ---
         "span_echo": _span_echo,
+        "chunk_roundtrip": _chunk_roundtrip,
         "token_count": lambda sf: TS.token_count(_docs(sf)),
         "text_quality": lambda sf: TS.text_quality(_docs(sf)),
         "lang_feature": lambda sf: TS.lang_feature(_docs(sf)),
@@ -128,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "span_echo": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "chunk_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "token_count": f"SELECT doc_id, CAST({n_tokens} AS BIGINT) AS n_tokens FROM documents",
         "text_quality": f"""
             SELECT doc_id,

@@ -26,6 +26,10 @@ class KGConfig:
     completion_delimiter: str = "\n\n"
     glean_rounds: int = 1          # GraphRAG-style re-prompt rounds (mock: no-op extra pass)
     model_tag: str = "mock-deterministic-v1"
+    # exact work-dedup: identical chunk text hits the model once
+    # (entity_extractor.py:89-143 cache semantics); costs a join shuffle, so
+    # enable when the extractor is expensive (a real LLM)
+    dedupe_extraction: bool = False
 
     # ---- entity linking / canonicalization ----
     knn_similarity_cutoff: float = 0.9   # reference: config/settings.py:38

@@ -99,3 +99,43 @@ class TestEvaluate:
         truth = pd.DataFrame({"subj": ["A", "C"], "pred": ["p", "q"], "obj": ["X", "Z"]})
         m = triple_prf(ours, truth)
         assert m.tp == 1 and m.precision == 0.5 and m.recall == 0.5
+
+
+class TestExtractionWorkDedup:
+    def test_identical_chunks_extracted_once(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.config import KGConfig
+        from graph_rag_agent_ray.stages.extract import extract_chunks
+
+        class CountingExtractor(MockLLMExtractor):
+            STATELESS_OK = True
+
+            def __call__(self, batch):
+                out = super().__call__(batch)
+                # record how many chunk rows this stage actually processed
+                import os
+                with open("/tmp/_extract_count.txt", "a") as f:
+                    f.write(f"{len(batch)}\n")
+                return out
+
+        # two docs share an identical chunk text
+        text = "The person Alfa Beta leads the person Gamma Delta。"
+        import hashlib
+        cid = hashlib.sha1(text.encode()).hexdigest()
+        chunks = rd.from_arrow(pa.table({
+            "chunk_id": [cid, cid, "other"],
+            "doc_id": ["d1", "d2", "d3"],
+            "text": [text, text, "The person Gamma Delta uses the technology Eps Zet。"],
+        }))
+        import os
+        if os.path.exists("/tmp/_extract_count.txt"):
+            os.remove("/tmp/_extract_count.txt")
+        cfg = KGConfig(dedupe_extraction=True)
+        out = extract_chunks(chunks, cfg, CountingExtractor).to_pandas()
+        processed = sum(int(x) for x in open("/tmp/_extract_count.txt"))
+        assert processed == 2          # unique chunk texts, not 3 rows
+        assert len(out) == 3           # every (chunk, doc) occurrence re-attributed
+        assert set(out["doc_id"]) == {"d1", "d2", "d3"}
+        raws = out[out["chunk_id"] == cid]["raw"]
+        assert raws.nunique() == 1 and "ALFA BETA" in raws.iloc[0]
