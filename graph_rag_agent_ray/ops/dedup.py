@@ -332,6 +332,9 @@ def embedding_neardup_pairs(
         all_ids, all_mat, all_norms = ray.get(mat_ref)
         rows_a, rows_b = [], []
         b_ids = batch.column("vec_id").to_pylist()
+        if not b_ids:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
         b_mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         b_norms = np.linalg.norm(b_mat, axis=1)
         b_norms[b_norms == 0] = 1.0

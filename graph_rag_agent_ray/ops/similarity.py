@@ -53,6 +53,10 @@ def knn_bruteforce(
 
     def partial_topk(batch: pa.Table) -> pd.DataFrame:
         ids, qm = ray.get(q_ref)
+        if len(batch) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
         b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         b_mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         b_norms = np.linalg.norm(b_mat, axis=1)

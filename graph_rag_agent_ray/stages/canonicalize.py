@@ -135,6 +135,8 @@ class EmbedEntities:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         surfaces = batch.column("norm_surface").to_pylist()
+        if not surfaces:
+            return batch.append_column("embedding", pa.array([], pa.list_(pa.float32())))
         vecs = embed_texts(surfaces, dim=self.cfg.embed_dim)
         offsets = pa.array(
             np.arange(0, (len(surfaces) + 1) * self.cfg.embed_dim, self.cfg.embed_dim,
@@ -163,6 +165,12 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
     one normalized-prefix key (catches suffix/typo variants whose embeddings
     straddle a hyperplane). Output: (block_key, norm_surface, embedding)."""
     surfaces = batch.column("norm_surface").to_pylist()
+    if not surfaces:
+        return pa.table({
+            "block_key": pa.array([], pa.string()),
+            "norm_surface": pa.array([], pa.string()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        })
     vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
     keys: List[str] = []
     surf_out: List[str] = []

@@ -35,6 +35,12 @@ class EmbedChunks:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        if not texts:
+            return pa.table({
+                "chunk_id": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.string()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            })
         vecs = embed_texts(texts, dim=self.cfg.embed_dim)
         offsets = pa.array(
             np.arange(0, (len(texts) + 1) * self.cfg.embed_dim,

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the chunker/tokenizer/record
+invariants — arbitrary inputs, not just the synthetic grammar."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from graph_rag_agent_ray.config import KGConfig
+from graph_rag_agent_ray.functions.records import (
+    format_entity,
+    format_relationship,
+    parse_records,
+)
+from graph_rag_agent_ray.functions.text import tokenize, tokenize_with_offsets
+from graph_rag_agent_ray.stages.chunker import assemble_document, chunk_one_document
+
+# record fields must not contain the reference's delimiters — the wire format
+# is not escapable (graph_writer.py:48-49 regexes are non-greedy up to '"'),
+# so property inputs use a delimiter-free alphabet
+SAFE_FIELD = st.text(
+    alphabet=string.ascii_letters + string.digits + " _-",
+    min_size=1, max_size=30,
+).map(str.strip).filter(bool)
+
+MIXED_TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,!?。！？\n中文字符测试数据",
+    min_size=0, max_size=2000,
+)
+
+
+class TestTokenizerProperties:
+    @given(MIXED_TEXT)
+    @settings(max_examples=200, deadline=None)
+    def test_offsets_always_recover_substrings(self, text):
+        for tok, lo, hi in tokenize_with_offsets(text):
+            assert text[lo:hi] == tok
+
+    @given(MIXED_TEXT)
+    @settings(max_examples=100, deadline=None)
+    def test_tokens_never_contain_whitespace(self, text):
+        assert all(not any(c.isspace() for c in t) for t in tokenize(text))
+
+
+class TestChunkerProperties:
+    CFG = KGConfig(chunk_size=40, chunk_overlap=8)
+
+    @given(MIXED_TEXT)
+    @settings(max_examples=100, deadline=None)
+    def test_every_token_covered_and_ids_consistent(self, text):
+        spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+        rows = chunk_one_document("d", spans, self.CFG)
+        assembled = assemble_document(spans)["text"]
+        toks = tokenize(assembled)
+        if not toks:
+            assert rows == []
+            return
+        # stitch and compare token streams — no token lost or duplicated at a
+        # given position
+        buf = [None] * len(assembled)
+        for r in rows:
+            assert r["text"] == assembled[r["content_offset"]:r["content_offset"] + r["length"]]
+            for i, ch in enumerate(r["text"]):
+                prev = buf[r["content_offset"] + i]
+                assert prev is None or prev == ch  # overlaps must agree
+                buf[r["content_offset"] + i] = ch
+        recovered = "".join(ch if ch is not None else " " for ch in buf)
+        assert tokenize(recovered) == toks
+        # positions sequential, offsets strictly increasing
+        assert [r["position"] for r in rows] == list(range(len(rows)))
+        offs = [r["content_offset"] for r in rows]
+        assert offs == sorted(offs)
+
+    @given(st.lists(MIXED_TEXT, min_size=1, max_size=5), st.data())
+    @settings(max_examples=50, deadline=None)
+    def test_assembly_range_exactness(self, texts, data):
+        spans, off = [], 0
+        for i, t in enumerate(texts):
+            spans.append({"kind": "text", "text": t, "media_ref": "", "offset": off})
+            off += len(t) + 1
+            if data.draw(st.booleans()):
+                spans.append({"kind": "image", "text": "", "media_ref": f"m{i}", "offset": off})
+                off += 1
+        out = assemble_document(spans)
+        for s in out["spans"]:
+            if s["kind"] == "text":
+                orig = next(x for x in spans if x["offset"] == s["offset"])
+                assert out["text"][s["char_start"]:s["char_end"]] == orig["text"]
+
+
+class TestRecordProperties:
+    @given(SAFE_FIELD, SAFE_FIELD, SAFE_FIELD)
+    @settings(max_examples=200, deadline=None)
+    def test_entity_roundtrip(self, name, etype, desc):
+        parsed = parse_records(format_entity(name, etype, desc))
+        assert parsed.entities == [(name, etype, desc)]
+
+    @given(SAFE_FIELD, SAFE_FIELD, SAFE_FIELD, SAFE_FIELD,
+           st.integers(min_value=1, max_value=10))
+    @settings(max_examples=200, deadline=None)
+    def test_relationship_roundtrip(self, s, t, r, d, w):
+        parsed = parse_records(format_relationship(s, t, r, d, float(w)))
+        assert len(parsed.relationships) == 1
+        got = parsed.relationships[0]
+        assert got == (s, t, r, d, float(w))
