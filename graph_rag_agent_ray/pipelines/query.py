@@ -107,6 +107,74 @@ def global_search(
     return comm[["community_id", "rank", "summary", "full_content"]]
 
 
+def hybrid_search(
+    tables: Dict[str, "ray.data.Dataset"], query: str,
+    k_low: int = 10, k_high: int = 3, k_chunks: int = 5,
+    cfg: KGConfig | None = None,
+) -> Dict[str, pd.DataFrame]:
+    """LightRAG-style dual-level retrieval (hybrid_tool.py:88-409 parity):
+    low-level = keyword/vector entity lookup + their 1-hop relationships +
+    top chunks; high-level = community summaries matched to the query. The
+    reference's LLM keyword-split is replaced by deterministic keyword
+    extraction (query tokens, normalized) + embedding similarity."""
+    cfg = cfg or KGConfig()
+    keywords = {normalize_surface(w) for w in query.split() if len(w) > 2}
+    qv = embed_texts([normalize_surface(query)], dim=cfg.embed_dim)[0].astype(np.float64)
+
+    ents = tables["entities"].select_columns(
+        ["entity_id", "embedding", "entity_type", "description", "degree"]).to_pandas()
+    # low-level: exact keyword hits (CONTAINS-substring analog,
+    # hybrid_tool.py:275-283) unioned with vector top-k
+    kw_hits = ents[ents["entity_id"].map(
+        lambda e: any(k in e for k in keywords))]
+    vec_hits = _topk_by_embedding(ents, qv, k_low, "entity_id")
+    low = pd.concat([kw_hits.assign(score=1.0), vec_hits]).drop_duplicates(
+        "entity_id").head(k_low * 2)
+    eset = set(low["entity_id"])
+    eref = ray.put(eset)
+
+    def touching(batch):
+        import pyarrow as pa
+        keep = ray.get(eref)
+        mask = [batch.column("src")[i].as_py() in keep
+                or batch.column("dst")[i].as_py() in keep
+                for i in range(len(batch))]
+        return batch.filter(pa.array(mask))
+
+    one_hop = tables["edges"].map_batches(touching, batch_format="pyarrow").to_pandas()
+
+    mentions = tables["mentions_canon"].to_pandas()
+    rel_chunks = (
+        mentions[mentions["entity_id"].isin(eset)]
+        .groupby("chunk_id").size().sort_values(ascending=False, kind="stable")
+        .head(k_chunks)
+    )
+    cset = set(rel_chunks.index)
+    cref = ray.put(cset)
+
+    def chunk_keep(batch):
+        import pyarrow as pa
+        ks = ray.get(cref)
+        return batch.filter(pa.array([c in ks for c in batch.column("chunk_id").to_pylist()]))
+
+    chunks = tables["chunks"].map_batches(chunk_keep, batch_format="pyarrow").to_pandas()
+
+    # high-level: community summaries containing any keyword member, by rank
+    comm = tables["communities"].to_pandas()
+    high = comm[comm["members"].map(
+        lambda ms: any(any(k in m for k in keywords) for m in ms))]
+    if high.empty:
+        high = comm
+    high = high.sort_values(["rank", "community_id"], ascending=[False, True]).head(k_high)
+
+    return {
+        "low_entities": low.drop(columns=["embedding"]),
+        "low_edges": one_hop,
+        "low_chunks": chunks,
+        "high_communities": high[["community_id", "rank", "summary", "full_content"]],
+    }
+
+
 def naive_search(
     tables: Dict[str, "ray.data.Dataset"], query: str, k: int = 3,
     cfg: KGConfig | None = None,

@@ -5,11 +5,12 @@ Replaces the reference's Neo4j-hosted pipeline (embedding KNN → SIMILAR edges
 mergeNodes → duplicate-relationship cleanup; /root/reference/graph/processing/
 similar_entity.py:147-442 and entity_merger.py:89-526) with:
 
-1. **Exact dedup** — normalize surfaces, then a SALTED two-phase aggregate:
-   per-batch partial aggregation (one row per (surface, salt) per batch — no
-   shuffle) followed by groupby(surface, salt) → groupby(surface). The salt
-   bounds any single reducer's input under Zipf-skewed hot entities, which the
-   north rule calls out explicitly.
+1. **Exact dedup** — normalize surfaces, then a skew-proof two-phase
+   aggregate: per-batch partial aggregation (map-side combine — one row per
+   surface per batch, no shuffle) followed by a hash-bucket-partitioned
+   vectorized reduce (functions/shuffle.py). The combine bounds any
+   Zipf-hot key's reducer fan-in to the number of input blocks — the salting
+   strategy the north rule requires, applied as combine-then-shuffle.
 2. **Similarity blocking** — deterministic hash embeddings + multi-table
    random-hyperplane LSH keys PLUS a normalized-prefix key, exploded to
    (block_key, entity) rows and shuffled with groupby(block_key). Within each

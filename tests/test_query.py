@@ -52,3 +52,18 @@ class TestNaiveSearch:
         out = naive_search(tables, target, k=3)
         assert 0 < len(out) <= 3
         assert set(out.columns) == {"chunk_id", "score", "doc_id", "text"}
+
+
+class TestHybridSearch:
+    def test_dual_level_retrieval(self, built):
+        from graph_rag_agent_ray.pipelines.query import hybrid_search
+        corpus, tables = built
+        target = corpus.alias_groups.column("canonical_id")[0].as_py()
+        out = hybrid_search(tables, target)
+        assert target in set(out["low_entities"]["entity_id"])
+        assert len(out["low_edges"]) > 0
+        assert len(out["high_communities"]) > 0
+        # 1-hop edges actually touch the low-level entity set
+        eset = set(out["low_entities"]["entity_id"])
+        assert all(s in eset or d in eset
+                   for s, d in zip(out["low_edges"]["src"], out["low_edges"]["dst"]))
