@@ -139,3 +139,38 @@ class TestExtractionWorkDedup:
         assert set(out["doc_id"]) == {"d1", "d2", "d3"}
         raws = out[out["chunk_id"] == cid]["raw"]
         assert raws.nunique() == 1 and "ALFA BETA" in raws.iloc[0]
+
+
+class TestCacheManager:
+    def test_exact_and_context_keys(self, tmp_path):
+        from graph_rag_agent_ray.state.cache import CacheManager, HybridBackend
+        cm = CacheManager(HybridBackend(str(tmp_path / "c")))
+        cm.set("what is sony", {"answer": 42})
+        assert cm.get("what is sony") == {"answer": 42}
+        # different context → different key → miss (no sim hit: different ctx
+        # but same query text embeds identically → similarity fallback fires)
+        got = cm.get("what is sony", context=["earlier turn"])
+        assert got == {"answer": 42}
+        assert cm.similarity_hits >= 1
+
+    def test_similarity_fallback_and_threshold(self):
+        from graph_rag_agent_ray.state.cache import CacheManager
+        cm = CacheManager(similarity_threshold=0.9)
+        cm.set("the organization velkor zanthe", "cached!")
+        assert cm.get("the organization velkor zanthe inc") == "cached!"
+        assert cm.get("a completely different unrelated topic") is None
+        s = cm.stats()
+        assert s["similarity_hits"] == 1 and s["misses"] == 1
+
+    def test_disk_survives_new_manager(self, tmp_path):
+        from graph_rag_agent_ray.state.cache import CacheManager, DiskBackend
+        d = str(tmp_path / "disk")
+        CacheManager(DiskBackend(d)).set("q1", [1, 2, 3])
+        cm2 = CacheManager(DiskBackend(d))
+        assert cm2.get("q1") == [1, 2, 3]
+
+    def test_memory_lru_eviction(self):
+        from graph_rag_agent_ray.state.cache import MemoryBackend
+        mb = MemoryBackend(max_items=2)
+        mb.set("a", 1); mb.set("b", 2); mb.set("c", 3)
+        assert mb.get("a") is None and mb.get("c") == 3
