@@ -18,6 +18,21 @@ from typing import Iterable, List, Sequence
 import numpy as np
 
 
+def list_column_to_matrix(col, dim: int | None = None) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) numpy matrix without a Python-list
+    round trip (zero-copy where Arrow allows). Accepts Array or ChunkedArray."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, dim or 0), dtype=np.float32)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if dim is None:
+        dim = len(col[0])
+    return np.ascontiguousarray(flat).reshape(len(col), dim)
+
+
 def _ngrams(text: str, n: int) -> List[str]:
     t = f"  {text.lower()}  "  # pad so short strings still produce grams
     return [t[i : i + n] for i in range(len(t) - n + 1)]

@@ -27,6 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.embed import list_column_to_matrix
 from ..functions.shuffle import hash_partitioned_groupby
 
 _MERSENNE = (1 << 61) - 1
@@ -335,7 +336,7 @@ def embedding_neardup_pairs(
         if not b_ids:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        b_mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        b_mat = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
         b_norms = np.linalg.norm(b_mat, axis=1)
         b_norms[b_norms == 0] = 1.0
         sims = (b_mat @ all_mat.T) / np.outer(b_norms, all_norms)

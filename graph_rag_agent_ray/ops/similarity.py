@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.embed import lsh_bucket
+from ..functions.embed import list_column_to_matrix, lsh_bucket
 
 
 def _query_matrix(emb: "ray.data.Dataset", query_ids: Sequence[int]):
@@ -58,7 +58,7 @@ def knn_bruteforce(
                                  "neighbor_id": pd.Series(dtype="int64"),
                                  "sim": pd.Series(dtype="float64")})
         b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        b_mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        b_mat = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
         b_norms = np.linalg.norm(b_mat, axis=1)
         b_norms[b_norms == 0] = 1.0
         sims = np.round(qm @ (b_mat / b_norms[:, None]).T, round_digits)
@@ -102,7 +102,7 @@ def knn_ivf(
     q_ref = ray.put(q_by_bucket)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+        mat = list_column_to_matrix(batch.column("embedding")).astype(np.float32)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         buckets = lsh_bucket(mat / norms, n_bits, seed)

@@ -47,7 +47,7 @@ import ray
 import ray.data
 
 from ..config import KGConfig
-from ..functions.embed import cosine_topk, embed_texts, lsh_bucket
+from ..functions.embed import cosine_topk, embed_texts, list_column_to_matrix, lsh_bucket
 from ..functions.shuffle import hash_partitioned_groupby
 from ..functions.text import edit_distance, normalize_surface
 from ..functions.unionfind import UnionFind
@@ -172,7 +172,7 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
             "norm_surface": pa.array([], pa.string()),
             "embedding": pa.array([], pa.list_(pa.float32())),
         })
-    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+    vecs = list_column_to_matrix(batch.column("embedding"), cfg.embed_dim).astype(np.float32)
     keys: List[str] = []
     surf_out: List[str] = []
     vec_out: List[int] = []  # row indices, to avoid copying vectors per key
@@ -186,11 +186,15 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
         keys.append("pfx:" + s[:4])
         surf_out.append(s)
         vec_out.append(i)
-    emb = [vecs[i].tolist() for i in vec_out]
+    idx = np.asarray(vec_out, dtype=np.int64)
+    sel = vecs[idx]
+    offsets = pa.array(np.arange(0, (len(idx) + 1) * cfg.embed_dim,
+                                 cfg.embed_dim, dtype=np.int32))
+    emb = pa.ListArray.from_arrays(offsets, pa.array(sel.ravel(), pa.float32()))
     return pa.table({
         "block_key": pa.array(keys, pa.string()),
         "norm_surface": pa.array(surf_out, pa.string()),
-        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "embedding": emb,
     })
 
 
