@@ -79,6 +79,15 @@ def normalize_surface(surface: str) -> str:
     return s.upper()
 
 
+def normalize_surface_series(s):
+    """Vectorized pandas equivalent of :func:`normalize_surface` (same op
+    order: NFKC → strip → whitespace-collapse → upper)."""
+    return (
+        s.astype(str).str.normalize("NFKC").str.strip()
+        .str.replace(r"\s+", " ", regex=True).str.upper()
+    )
+
+
 def edit_distance(a: str, b: str, limit: int | None = None) -> int:
     """Levenshtein distance with optional early-exit band.
 

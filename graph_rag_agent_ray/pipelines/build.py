@@ -38,14 +38,14 @@ import ray
 import ray.data
 
 from ..config import KGConfig
-from ..functions.text import normalize_surface
+from ..functions.text import normalize_surface_series
 from ..state.snapshots import LineageLog, SnapshotStore, fingerprint
 from ..stages import canonicalize as C
 from ..stages import communities as CM
 from ..stages.chunker import build_span_index, chunk_documents
 from ..stages.extract import MockLLMExtractor, extract_chunks
 from ..stages.index import embed_chunks
-from ..stages.parse import parse_mentions, parse_triples
+from ..stages.parse import mentions_view, parse_combined, triples_view
 
 logger = logging.getLogger(__name__)
 
@@ -101,21 +101,20 @@ def build_kg(
         lambda: extract_chunks(chunks, cfg, extractor_cls), side, lineage,
     )
 
-    # triples parse is independent of the mention chain — overlap it, with
-    # the snapshot write off the critical path
+    import time as _time
+
+    # single regex pass over every raw extraction; mentions and triples are
+    # Arrow filters over the materialized combined table (no re-parse)
+    _t = _time.monotonic()
+    combined = parse_combined(extractions, cfg).materialize()
+    mentions = mentions_view(combined)
+    lineage.record("records_parse", cached=False, wall_s=_time.monotonic() - _t)
+
     triples_f = side.submit(
         store.run_stage_async_write, "triples",
         fingerprint(base_fp, "triples", extractor_cls.__name__),
-        lambda: parse_triples(extractions, cfg), side, lineage,
+        lambda: triples_view(combined), side, lineage,
     )
-
-    import time as _time
-
-    # parsed mentions feed three consumers (exact agg, canonical mentions,
-    # ranks) — materialize once in object store instead of re-parsing
-    _t = _time.monotonic()
-    mentions = parse_mentions(extractions, cfg).materialize()
-    lineage.record("mentions_parse", cached=False, wall_s=_time.monotonic() - _t)
 
     # The exact-dedup aggregate + entity embedding are the last wide scans the
     # decision chain needs; after this point the canonicalization chain works
@@ -177,10 +176,11 @@ def build_kg(
     # canonical mentions (entity_id, chunk_id) for community ranks
     def canon_mentions(batch: pa.Table) -> pa.Table:
         amap = ray.get(alias_ref)
-        ids = [amap.get(n, n) for n in
-               (normalize_surface(s) for s in batch.column("entity_surface").to_pylist())]
+        surf = pd.Series(batch.column("entity_surface").to_pylist())
+        norm = normalize_surface_series(surf)
+        ids = norm.map(amap).fillna(norm) if amap else norm
         return pa.table({
-            "entity_id": pa.array(ids, pa.string()),
+            "entity_id": pa.array(ids.tolist(), pa.string()),
             "chunk_id": batch.column("chunk_id"),
             "doc_id": batch.column("doc_id"),
         })

@@ -49,7 +49,7 @@ import ray.data
 from ..config import KGConfig
 from ..functions.embed import cosine_topk, embed_texts, list_column_to_matrix, lsh_bucket
 from ..functions.shuffle import hash_partitioned_groupby
-from ..functions.text import edit_distance, normalize_surface
+from ..functions.text import edit_distance, normalize_surface, normalize_surface_series
 from ..functions.unionfind import UnionFind
 
 logger = logging.getLogger(__name__)
@@ -69,7 +69,7 @@ def _partial_exact(batch: pa.Table) -> pd.DataFrame:
     north rule requires for the canonicalization shuffle (combine-then-
     shuffle instead of an explicit salt column; see functions/shuffle.py)."""
     df = pa.Table.to_pandas(batch)
-    df["norm_surface"] = [normalize_surface(s) for s in df["entity_surface"]]
+    df["norm_surface"] = normalize_surface_series(df["entity_surface"])
     grouped = (
         df.groupby(["norm_surface", "entity_type"], sort=False)
         .agg(
@@ -379,12 +379,17 @@ def canonical_triples(
 
     def remap(batch: pa.Table) -> pa.Table:
         alias = ray.get(alias_ref)
-        subj = [alias.get(n, n) for n in (normalize_surface(s) for s in batch.column("subj").to_pylist())]
-        obj = [alias.get(n, n) for n in (normalize_surface(s) for s in batch.column("obj").to_pylist())]
+
+        def remap_col(name: str) -> pa.Array:
+            norm = normalize_surface_series(
+                pd.Series(batch.column(name).to_pylist()))
+            out = norm.map(alias).fillna(norm) if alias else norm
+            return pa.array(out.tolist(), pa.string())
+
         return (
             batch.drop_columns(["subj", "obj"])
-            .append_column("subj", pa.array(subj, pa.string()))
-            .append_column("obj", pa.array(obj, pa.string()))
+            .append_column("subj", remap_col("subj"))
+            .append_column("obj", remap_col("obj"))
         )
 
     return triples.map_batches(remap, batch_format="pyarrow", batch_size=8192)
