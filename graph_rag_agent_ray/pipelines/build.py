@@ -45,7 +45,7 @@ from ..stages import communities as CM
 from ..stages.chunker import build_span_index, chunk_documents
 from ..stages.extract import MockLLMExtractor, extract_chunks
 from ..stages.index import embed_chunks
-from ..stages.parse import mentions_view, parse_combined, triples_view
+from ..stages.parse import parse_mentions, parse_triples
 
 logger = logging.getLogger(__name__)
 
@@ -103,18 +103,20 @@ def build_kg(
 
     import time as _time
 
-    # single regex pass over every raw extraction; mentions and triples are
-    # Arrow filters over the materialized combined table (no re-parse)
-    _t = _time.monotonic()
-    combined = parse_combined(extractions, cfg).materialize()
-    mentions = mentions_view(combined)
-    lineage.record("records_parse", cached=False, wall_s=_time.monotonic() - _t)
-
+    # Two direct parses (mentions on the main thread, triples overlapped).
+    # Measured note: a single-pass combined parse (parse.py:parse_combined)
+    # saves ~40% of regex compute but costs MORE wall-clock here — the wide
+    # combined intermediate must materialize on the critical path and every
+    # consumer re-scans it; with parse this cheap, overlap beats re-use.
     triples_f = side.submit(
         store.run_stage_async_write, "triples",
         fingerprint(base_fp, "triples", extractor_cls.__name__),
-        lambda: triples_view(combined), side, lineage,
+        lambda: parse_triples(extractions, cfg), side, lineage,
     )
+
+    _t = _time.monotonic()
+    mentions = parse_mentions(extractions, cfg).materialize()
+    lineage.record("mentions_parse", cached=False, wall_s=_time.monotonic() - _t)
 
     # The exact-dedup aggregate + entity embedding are the last wide scans the
     # decision chain needs; after this point the canonicalization chain works
