@@ -8,7 +8,7 @@ globals. All sizes are tuned for Ray Data blocks, not Neo4j UNWIND batches.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Tuple
 
 

@@ -12,8 +12,6 @@ near-duplicate clusters have tiny diameters, so a handful of rounds suffice.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import pandas as pd
 import pyarrow as pa
 

@@ -13,7 +13,7 @@ the same ``embed_texts`` protocol.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

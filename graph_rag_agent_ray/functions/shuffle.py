@@ -17,7 +17,7 @@ for bigger clusters (it is the reduce parallelism).
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Callable, Sequence
 
 import pandas as pd
 

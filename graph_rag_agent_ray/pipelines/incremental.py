@@ -34,7 +34,7 @@ import ray.data
 from ..config import KGConfig
 from ..functions.shuffle import hash_partitioned_groupby
 from ..state.snapshots import SnapshotStore, fingerprint
-from ..stages.chunker import build_span_index, chunk_documents
+from ..stages.chunker import chunk_documents
 from ..stages.extract import MockLLMExtractor, extract_chunks
 from .build import build_kg
 

@@ -14,7 +14,7 @@ context tables the reference feeds its prompts.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import pandas as pd

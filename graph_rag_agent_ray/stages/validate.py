@@ -13,13 +13,11 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
 
-from ..functions.shuffle import hash_partitioned_groupby
 
 
 def _anti_join_small(ds: "ray.data.Dataset", col: str, keep_if_in: "ray.ObjectRef",
