@@ -200,7 +200,11 @@ def run_scaling() -> dict:
             if best is None or r["value"] < best["value"]:
                 best = r
         results[ncpu] = best
-    cal_lo, cal_hi = _calibrate(lo), _calibrate(hi)
+    # min of 2 calibration reps — the ceiling measurement is the most
+    # sensitive to background load (a loaded box inflates the low-cpu run
+    # less than the high-cpu run and corrupts the ratio)
+    cal_lo = min(_calibrate(lo), _calibrate(lo))
+    cal_hi = min(_calibrate(hi), _calibrate(hi))
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
