@@ -29,6 +29,7 @@ from graph_rag_agent_ray import build_kg
 from graph_rag_agent_ray.ops import dedup as D
 from graph_rag_agent_ray.ops import similarity as SIM
 from graph_rag_agent_ray.ops import textstats as TS
+from graph_rag_agent_ray.ops import windows as W
 from graph_rag_agent_ray.ops.multimodal import decode_media, media_from_documents
 from graph_rag_agent_ray.sources.documents import read_flat_documents
 from graph_rag_agent_ray.stages.chunker import assemble_document
@@ -43,6 +44,11 @@ def _docs(sf_dir: str) -> "rd.Dataset":
 
 def _emb(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _events(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts", "user_id", "value"])
 
 
 def _kg_tables(sf_dir: str) -> dict:
@@ -128,6 +134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": lambda sf: SIM.knn_bruteforce(
             _emb(sf), query_ids=range(8), k=10
         ).drop_columns(["sim"]),
+        # --- stream-shaped windowed aggregates over events (SQL-checked) ---
+        "tumbling_window": lambda sf: W.tumbling_window(_events(sf), size_s=3600),
+        "sliding_window": lambda sf: W.sliding_window(_events(sf), size_s=3600, slide_s=900),
+        "session_window": lambda sf: W.session_window(_events(sf), gap_s=1800),
         # --- rows-only (non-SQL-expressible) ---
         "minhash_dups": lambda sf: D.minhash_duplicate_pairs(_docs(sf), threshold=0.7),
         "simhash_dups": lambda sf: D.simhash_duplicate_pairs(_docs(sf), max_hamming=3),
@@ -177,6 +187,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "tumbling_window": """
+            SELECT user_id,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            SELECT user_id,
+                   (epoch_us(ts) // 900000000) * 900000000
+                     - hop.i * 900000000 AS window_start_us,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hop
+            GROUP BY 1, 2
+        """,
+        "session_window": """
+            WITH ordered AS (
+                SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev
+                FROM events
+            ), flagged AS (
+                SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                FROM ordered
+            ), sessioned AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(tus) AS session_start_us,
+                   MAX(tus) AS session_end_us,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) AS sum_value,
+                   MAX(tus) - MIN(tus) AS duration_us
+            FROM sessioned GROUP BY user_id, sid
+        """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS keep_doc_id,
