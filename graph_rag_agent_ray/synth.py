@@ -122,29 +122,55 @@ def generate(n_docs: int = 100, seed: int = 42,
     t_doc: List[str] = []
     t_w: List[float] = []
 
+    # pre-compute per-entity lookups + a weight memo (the sha1 per triple is
+    # the single hottest call at bench corpus sizes)
+    norm_names = [normalize_surface(n) for n in names]
+    weight_memo: Dict[tuple, float] = {}
+
+    # batched draws: one vectorized RNG call per quantity for the whole corpus
+    n_facts_all = rng.integers(max(1, facts_per_doc - 2), facts_per_doc + 3,
+                               size=n_docs)
+    total_facts = int(n_facts_all.sum())
+    si_all = rng.choice(n_entities, p=zipf_w, size=total_facts)
+    oi_all = rng.choice(n_entities, p=zipf_w, size=total_facts)
+    pred_all = rng.integers(len(preds), size=total_facts)
+    s_roll = rng.random(total_facts)
+    o_roll = rng.random(total_facts)
+    s_vari = rng.integers(0, 4, size=total_facts)  # modded by len(variants)
+    o_vari = rng.integers(0, 4, size=total_facts)
+
+    fact_idx = 0
     for d in range(n_docs):
         doc_id = f"doc-{d:08d}"
         sentences: List[str] = []
-        n_facts = int(rng.integers(max(1, facts_per_doc - 2), facts_per_doc + 3))
+        n_facts = int(n_facts_all[d])
         for _ in range(n_facts):
-            si = int(rng.choice(n_entities, p=zipf_w))
-            oi = int(rng.choice(n_entities, p=zipf_w))
+            si = int(si_all[fact_idx])
+            oi = int(oi_all[fact_idx])
             if oi == si:
                 oi = (si + 1) % n_entities
             s_name, o_name = names[si], names[oi]
-            pred = preds[int(rng.integers(len(preds)))]
+            pred = preds[int(pred_all[fact_idx])]
             # base form strictly majority: 70% base, rest uniform over variants
-            s_surf = s_name if rng.random() < 0.7 else variants[s_name][int(rng.integers(len(variants[s_name])))]
-            o_surf = o_name if rng.random() < 0.7 else variants[o_name][int(rng.integers(len(variants[o_name])))]
+            sv = variants[s_name]
+            ov = variants[o_name]
+            s_surf = s_name if s_roll[fact_idx] < 0.7 else sv[int(s_vari[fact_idx]) % len(sv)]
+            o_surf = o_name if o_roll[fact_idx] < 0.7 else ov[int(o_vari[fact_idx]) % len(ov)]
             sentences.append(
                 f"The {types[s_name]} {s_surf} {PRED_PHRASES[pred]} "
                 f"the {types[o_name]} {o_surf}。"
             )
-            t_subj.append(normalize_surface(s_name))
+            t_subj.append(norm_names[si])
             t_pred.append(pred)
-            t_obj.append(normalize_surface(o_name))
+            t_obj.append(norm_names[oi])
             t_doc.append(doc_id)
-            t_w.append(float(1 + _h(f"w|{s_name}|{pred}|{o_name}") % 10))
+            wk = (si, pred, oi)
+            w = weight_memo.get(wk)
+            if w is None:
+                w = float(1 + _h(f"w|{s_name}|{pred}|{o_name}") % 10)
+                weight_memo[wk] = w
+            t_w.append(w)
+            fact_idx += 1
         # filler interleaved
         n_fill = int(rng.integers(2, 6))
         for _ in range(n_fill):
