@@ -56,6 +56,47 @@ def hash_partitioned_groupby(
     return withb.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str],
+    how: str = "inner",
+    n_buckets: int = 32,
+    suffixes: tuple = ("", "_r"),
+) -> "ray.data.Dataset":
+    """Distributed hash join: both sides bucketed by ``hash(on) % n_buckets``,
+    matching buckets merged with pandas inside one task each — the explicit
+    partitioned hash join from the Ray guide for large⋈large (broadcast the
+    small side instead when one side fits an object-store put)."""
+    on = list(on)
+    lcols = [f for f in left.schema().names]
+    rcols = [f for f in right.schema().names]
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = pd.NA
+            df["_side"] = side
+            return df[all_cols + ["_side"]]
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["_side"] == "l", lcols]
+        r = df.loc[df["_side"] == "r", rcols]
+        if l.empty or (r.empty and how == "inner"):
+            return pd.DataFrame()
+        return l.merge(r, on=on, how=how, suffixes=suffixes)
+
+    return hash_partitioned_groupby(both, on, join_bucket, n_buckets=n_buckets)
+
+
 def drop_duplicate_keys(
     ds: "ray.data.Dataset", keys: Sequence[str], n_buckets: int = 32
 ) -> "ray.data.Dataset":

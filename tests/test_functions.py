@@ -185,3 +185,31 @@ class TestDistributedComponents:
         ds = rd.from_pandas(pd.DataFrame(chain, columns=["a", "b"]))
         got = connected_components(ds).to_pandas()
         assert set(got["component"]) == {"n00"}
+
+
+class TestHashJoin:
+    def test_inner_join_matches_pandas(self):
+        import pandas as pd
+        import ray.data as rd
+        from graph_rag_agent_ray.functions.shuffle import hash_join
+
+        l = pd.DataFrame({"k": ["a", "b", "c", "a"], "x": [1, 2, 3, 4]})
+        r = pd.DataFrame({"k": ["a", "b", "d"], "y": [10, 20, 40]})
+        got = hash_join(rd.from_pandas(l), rd.from_pandas(r), on=["k"]).to_pandas()
+        want = l.merge(r, on="k")
+        key = ["k", "x", "y"]
+        assert sorted(map(tuple, got[key].to_numpy().tolist())) == \
+            sorted(map(tuple, want[key].to_numpy().tolist()))
+
+    def test_left_join_keeps_unmatched(self):
+        import pandas as pd
+        import ray.data as rd
+        from graph_rag_agent_ray.functions.shuffle import hash_join
+
+        l = pd.DataFrame({"k": ["a", "z"], "x": [1, 9]})
+        r = pd.DataFrame({"k": ["a"], "y": [10]})
+        got = hash_join(rd.from_pandas(l), rd.from_pandas(r), on=["k"],
+                        how="left").to_pandas()
+        assert len(got) == 2
+        z = got[got["k"] == "z"]
+        assert len(z) == 1 and pd.isna(z["y"].iloc[0])
