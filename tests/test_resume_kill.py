@@ -78,3 +78,56 @@ class TestResumeAfterKill:
             sa = sorted(map(tuple, a[key].to_numpy().tolist()))
             sb = sorted(map(tuple, b[key].to_numpy().tolist()))
             assert sa == sb, (name, killed)
+
+
+PARALLEL_SCRIPT = r"""
+import sys
+import ray
+ray.init(address="local", num_cpus=int(sys.argv[2]), include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from graph_rag_agent_ray import build_kg
+from graph_rag_agent_ray.synth import generate
+
+out_dir = sys.argv[1]
+corpus = generate(n_docs=80, seed=42)
+tables = build_kg(rd.from_arrow(corpus.documents), out_dir, input_token="par-test")
+# consume so snapshots exist before exit
+for t in ("edges", "entities", "communities"):
+    tables[t].count()
+ray.shutdown()
+"""
+
+
+class TestParallelismInvariance:
+    def test_results_identical_across_num_cpus(self, tmp_path):
+        """Same input, different parallelism levels (fresh Ray sessions) →
+        bit-identical canonical graph (FIXTURES.md F6)."""
+        import pyarrow.parquet as pq
+
+        outs = {}
+        for ncpu in (2, 4):
+            out_dir = str(tmp_path / f"p{ncpu}")
+            env = dict(os.environ)
+            env["PYTHONPATH"] = "/root/repo"
+            subprocess.run(
+                [sys.executable, "-c", PARALLEL_SCRIPT, out_dir, str(ncpu)],
+                env=env, cwd="/root/repo", check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            outs[ncpu] = out_dir
+
+        def load(out_dir, stage):
+            import pyarrow.dataset as pads
+            return pads.dataset(f"{out_dir}/{stage}", format="parquet").to_table().to_pandas()
+
+        for stage, key in (("edges", ["src", "pred", "dst", "n_sources"]),
+                           ("entities", ["entity_id", "entity_type", "n_mentions"]),
+                           ("communities", ["community_id", "rank"])):
+            a = load(outs[2], stage)
+            b = load(outs[4], stage)
+            sa = sorted(map(tuple, a[key].to_numpy().tolist()))
+            sb = sorted(map(tuple, b[key].to_numpy().tolist()))
+            assert sa == sb, stage
