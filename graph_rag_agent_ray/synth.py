@@ -83,13 +83,23 @@ def _variants(name: str, rng: np.random.Generator) -> List[str]:
     """Surface variants the linking stages must merge back. Index 0 is the
     base form; generator guarantees it is the strict majority form."""
     out = [name]
-    roll = rng.random(3)
+    roll = rng.random(4)
     if roll[0] < 0.5:
         out.append(name.upper())             # folded by exact normalize
     if roll[1] < 0.4:
         out.append(name + " Inc")            # suffix variant (judge rule)
     if roll[2] < 0.3:
         out.append(name.replace(" ", "-"))   # punctuation variant (edit gate)
+    if roll[3] < 0.25:
+        # true typo (adjacent transposition inside the SECOND word, keeping
+        # the prefix-block key intact): edit distance 2 < 3, exercising the
+        # reference's apoc.text.distance gate
+        words = name.split(" ")
+        w = words[-1]
+        if len(w) >= 4:
+            i = 1 + int(rng.integers(0, len(w) - 2))
+            words[-1] = w[:i] + w[i + 1] + w[i] + w[i + 2:]
+            out.append(" ".join(words))
     return out
 
 
