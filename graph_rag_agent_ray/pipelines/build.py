@@ -199,7 +199,10 @@ def build_kg(
     # collect only the light columns once; chunk_ids lists stay distributed
     _t = _time.monotonic()
     edges_pdf = edges.select_columns(["src", "dst", "pred", "weight"]).to_pandas()
-    member_levels = CM.detect_communities(edges_pdf, cfg)
+    if len(edges_pdf) > CM.MAX_DRIVER_GRAPH_EDGES:
+        member_levels = CM.detect_communities_distributed(edges, cfg)
+    else:
+        member_levels = CM.detect_communities(edges_pdf, cfg)
     lineage.record("louvain", cached=False, wall_s=_time.monotonic() - _t)
     membership = ray.data.from_arrow(CM.community_membership_table(member_levels))
     ranks = CM.community_ranks(membership, mentions_canon)

@@ -47,8 +47,8 @@ def detect_communities(
         return {}
     if len(edges_pdf) > MAX_DRIVER_GRAPH_EDGES:
         raise RuntimeError(
-            f"{len(edges_pdf)} edges exceed driver guard; run per-WCC "
-            "map_groups detection instead"
+            f"{len(edges_pdf)} edges exceed driver guard; use "
+            "detect_communities_distributed (per-component map_groups)"
         )
     # vectorized aggregation to an undirected simple graph before networkx
     df = edges_pdf[["src", "dst", "weight"]]
@@ -83,6 +83,86 @@ def detect_communities(
             for n in comm:
                 member_levels[n].append(num)
     return member_levels
+
+
+def detect_communities_distributed(
+    edges: "ray.data.Dataset", cfg: KGConfig | None = None
+) -> Dict[str, List[int]]:
+    """Scale path: modularity communities never span disconnected components,
+    so detection parallelizes across components — connected components
+    (functions/components.py), then seeded Louvain per component in
+    hash-bucket tasks, then a deterministic global renumbering (communities
+    ordered by smallest member per level). Deterministic across runs and
+    parallelism levels; groupings can differ from the driver-local path only
+    where Louvain itself is order-sensitive (its node permutation differs
+    between a whole-graph and a per-component run)."""
+    import pyarrow as pa_
+
+    from ..functions.components import connected_components
+    from ..functions.shuffle import hash_partitioned_groupby
+
+    cfg = cfg or KGConfig()
+    pairs = edges.map_batches(
+        lambda b: pa_.table({"a": b.column("src"), "b": b.column("dst")}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(pairs)  # (node, component)
+
+    # attach each edge to its src's component (endpoints share components)
+    comp_map_ref = None
+    import ray as _ray
+    comp_pdf = comp.to_pandas()  # node -> component; size = |entities| ≪ corpus.
+    # (At extreme entity counts this collect becomes hash_join(edges, comp);
+    # entities are the aggregated side so the broadcast holds far longer.)
+    comp_map_ref = _ray.put(dict(zip(comp_pdf["node"], comp_pdf["component"])))
+
+    def tag_component(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = _ray.get(comp_map_ref)
+        df = df.copy()
+        df["component"] = df["src"].map(cmap)
+        return df
+
+    tagged = edges.select_columns(["src", "dst", "weight"]).map_batches(
+        tag_component, batch_format="pandas")
+
+    def detect_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for comp_id, g in df.groupby("component", sort=False):
+            local = detect_communities(g, cfg)
+            rows = []
+            for ent, levels in local.items():
+                rows.append((ent, comp_id, levels))
+            frames.append(pd.DataFrame(rows, columns=["entity_id", "component", "levels"]))
+        if not frames:
+            return pd.DataFrame({"entity_id": pd.Series(dtype=object),
+                                 "component": pd.Series(dtype=object),
+                                 "levels": pd.Series(dtype=object)})
+        return pd.concat(frames, ignore_index=True)
+
+    membership = hash_partitioned_groupby(tagged, ["component"], detect_bucket,
+                                          n_buckets=32).to_pandas()
+    if membership.empty:
+        return {}
+
+    # global renumbering: per level, communities ordered by their smallest
+    # member — identical labels to a driver-local run on the same graph
+    max_levels = membership["levels"].map(len).max()
+    out: Dict[str, List[int]] = {e: [] for e in membership["entity_id"]}
+    for level in range(max_levels):
+        # a component with fewer levels keeps its last level's grouping
+        def level_of(levels):
+            return levels[min(level, len(levels) - 1)]
+
+        keys = membership.apply(
+            lambda r: (r["component"], level_of(r["levels"])), axis=1)
+        groups: Dict[tuple, List[str]] = {}
+        for ent, key in zip(membership["entity_id"], keys):
+            groups.setdefault(key, []).append(ent)
+        ordered = sorted(groups.values(), key=min)
+        for num, members in enumerate(ordered):
+            for ent in members:
+                out[ent].append(num)
+    return out
 
 
 def community_membership_table(member_levels: Dict[str, List[int]]) -> pa.Table:

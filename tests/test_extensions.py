@@ -174,3 +174,37 @@ class TestCacheManager:
         mb = MemoryBackend(max_items=2)
         mb.set("a", 1); mb.set("b", 2); mb.set("c", 3)
         assert mb.get("a") is None and mb.get("c") == 3
+
+
+class TestDistributedCommunities:
+    def test_matches_driver_on_clear_components(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        import pyarrow as pa
+        from graph_rag_agent_ray.config import KGConfig
+        from graph_rag_agent_ray.stages.communities import (
+            detect_communities, detect_communities_distributed)
+
+        # two unambiguous triangles + an isolated pair
+        edges = pd.DataFrame({
+            "src": ["a", "b", "c", "p", "q", "r", "x"],
+            "dst": ["b", "c", "a", "q", "r", "p", "y"],
+            "weight": [1.0] * 7,
+        })
+        driver = detect_communities(edges, KGConfig())
+        ds = rd.from_arrow(pa.table({
+            "src": edges["src"], "dst": edges["dst"],
+            "weight": pa.array(edges["weight"], pa.float32()),
+        }))
+        dist = detect_communities_distributed(ds, KGConfig())
+        assert set(dist) == set(driver)
+        # same groupings at level 0 (communities are unambiguous here)
+        def groups(levels_map, level=0):
+            g = {}
+            for ent, levels in levels_map.items():
+                g.setdefault(levels[min(level, len(levels)-1)], set()).add(ent)
+            return sorted(map(frozenset, g.values()), key=min)
+        assert groups(dist) == groups(driver)
+        # deterministic
+        dist2 = detect_communities_distributed(ds, KGConfig())
+        assert dist == dist2
