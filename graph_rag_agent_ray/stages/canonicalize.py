@@ -416,6 +416,48 @@ def _partial_edges(batch: pa.Table) -> pd.DataFrame:
     return firsts.merge(chunk_lists, on=keys)
 
 
+def canonical_triples_distributed(
+    triples: "ray.data.Dataset", alias_ds: "ray.data.Dataset",
+    cfg: KGConfig | None = None,
+) -> "ray.data.Dataset":
+    """Scale variant of :func:`canonical_triples` for alias maps too large to
+    broadcast: two left hash-joins against an ``(member, canonical)`` alias
+    Dataset (subj then obj), unmatched surfaces keep their normalized form.
+    Same output schema/values as the broadcast path (equivalence-tested)."""
+    from ..functions.shuffle import hash_join
+
+    cfg = cfg or KGConfig()
+
+    def normalize_cols(batch: pa.Table) -> pd.DataFrame:
+        df = pa.Table.to_pandas(batch)
+        df["subj"] = normalize_surface_series(df["subj"])
+        df["obj"] = normalize_surface_series(df["obj"])
+        return df
+
+    norm = triples.map_batches(normalize_cols, batch_format="pyarrow",
+                               batch_size=8192)
+
+    subj_alias = alias_ds.map_batches(
+        lambda b: pa.table({"subj": b.column("member"),
+                            "_subj_canon": b.column("canonical")}),
+        batch_format="pyarrow")
+    j1 = hash_join(norm, subj_alias, on=["subj"], how="left")
+
+    obj_alias = alias_ds.map_batches(
+        lambda b: pa.table({"obj": b.column("member"),
+                            "_obj_canon": b.column("canonical")}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, obj_alias, on=["obj"], how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["subj"] = df["_subj_canon"].fillna(df["subj"])
+        df["obj"] = df["_obj_canon"].fillna(df["obj"])
+        return df.drop(columns=["_subj_canon", "_obj_canon"])
+
+    return j2.map_batches(finish, batch_format="pandas", batch_size=16384)
+
+
 def _edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Reduce: merge partials per (s,p,o): first = min chunk_id overall
     (order-stable rels[0]); provenance = union of chunk lists (capped)."""

@@ -208,3 +208,35 @@ class TestDistributedCommunities:
         # deterministic
         dist2 = detect_communities_distributed(ds, KGConfig())
         assert dist == dist2
+
+
+class TestDistributedAliasRemap:
+    def test_join_path_equals_broadcast_path(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+        from graph_rag_agent_ray.stages.canonicalize import (
+            canonical_triples, canonical_triples_distributed)
+
+        triples = rd.from_arrow(pa.table({
+            "subj": ["sony", "Sony Inc", "TOKYO", "acme"],
+            "pred": ["located_in"] * 4,
+            "obj": ["tokyo", "TOKYO", "JAPAN", "SONY INC"],
+            "description": ["d"] * 4,
+            "weight": pa.array([1.0] * 4, pa.float32()),
+            "chunk_id": ["c1", "c2", "c3", "c4"],
+            "doc_id": ["d1", "d1", "d2", "d2"],
+        }))
+        alias = {"SONY INC": "SONY"}
+        broadcast = canonical_triples(
+            triples, ray.put(alias)).to_pandas()
+        alias_ds = rd.from_arrow(pa.table({
+            "member": list(alias), "canonical": list(alias.values())}))
+        joined = canonical_triples_distributed(triples, alias_ds).to_pandas()
+
+        key = ["subj", "pred", "obj", "chunk_id"]
+        a = sorted(map(tuple, broadcast[key].to_numpy().tolist()))
+        b = sorted(map(tuple, joined[key].to_numpy().tolist()))
+        assert a == b
+        assert ("SONY", "located_in", "TOKYO", "c2") in b  # both endpoints remapped/normalized
