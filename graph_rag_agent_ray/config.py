@@ -41,6 +41,9 @@ class KGConfig:
     # suffixes the deterministic merge-judge treats as formatting noise
     # (mirrors the semantics of the LLM merge prompt, config/prompt.py:103-137)
     company_suffixes: Tuple[str, ...] = ("INC", "CORP", "LTD", "LLC", "CO", "公司", "集团")
+    # alias maps up to this size broadcast via ray.put; larger ones remap
+    # through distributed hash joins (canonical_triples_distributed)
+    broadcast_alias_limit: int = 5_000_000
 
     # ---- communities ----
     community_algorithm: str = "louvain"  # deterministic stand-in for GDS Leiden

@@ -161,10 +161,22 @@ def build_kg(
     # the edge chain (remap triples → dedupe) is independent of the mention/
     # entity chain — run it on a side thread so its shuffles interleave;
     # remap + map-side combine + reduce fuse into one streaming pipeline
+    # remap strategy: broadcast dict for normal alias volumes, distributed
+    # hash joins beyond cfg.broadcast_alias_limit (the 10^12-doc path)
+    if len(alias) > cfg.broadcast_alias_limit:
+        alias_ds = ray.data.from_pandas(pd.DataFrame({
+            "member": list(alias), "canonical": list(alias.values())}))
+
+        def remap_triples(t):
+            return C.canonical_triples_distributed(t, alias_ds, cfg)
+    else:
+        def remap_triples(t):
+            return C.canonical_triples(t, alias_ref, cfg)
+
     def edge_chain():
         triples_canon, canon_w = store.run_stage_async_write(
             "triples_canon", fingerprint(alias_fp, "triples_canon"),
-            lambda: C.canonical_triples(triples, alias_ref, cfg), side, lineage,
+            lambda: remap_triples(triples), side, lineage,
         )
         edges = store.run_stage(
             "edges", fingerprint(alias_fp, "edges"),

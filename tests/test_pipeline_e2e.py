@@ -152,3 +152,20 @@ class TestResume:
         assert tables2["chunks"].count() >= 0
         lineage = [json.loads(l) for l in open(f"{out2}/_lineage.jsonl")]
         assert not any(r.get("cached") for r in lineage)
+
+
+class TestDistributedAliasPath:
+    def test_build_with_join_remap_matches_broadcast(self, built, tmp_path):
+        """Force the distributed alias remap (broadcast_alias_limit=0) and
+        assert the canonical graph is identical to the broadcast build."""
+        from graph_rag_agent_ray.config import KGConfig
+        corpus, tables, _ = built
+        docs = rd.from_arrow(corpus.documents)
+        out2 = str(tmp_path / "joinpath")
+        tables2 = build_kg(docs, out2, input_token="joinpath",
+                           cfg=KGConfig(broadcast_alias_limit=0))
+        a = tables["edges"].to_pandas()
+        b = tables2["edges"].to_pandas()
+        key = ["src", "pred", "dst", "n_sources"]
+        assert sorted(map(tuple, a[key].to_numpy().tolist())) == \
+            sorted(map(tuple, b[key].to_numpy().tolist()))
