@@ -182,6 +182,7 @@ class SnapshotStore:
         ds = compute().materialize()
         if lineage is not None:
             lineage.record(stage, cached=False, wall_s=time.monotonic() - t0)
+            lineage.record_stats(stage, ds)
 
         def _write():
             self.write(stage, ds, fp)
@@ -209,3 +210,17 @@ class LineageLog:
             return []
         with open(self.path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    def record_stats(self, stage: str, ds) -> None:
+        """Dump ray's per-operator stats for an executed dataset (the
+        `ds.stats()` wall/cpu/udf breakdown) next to the lineage log — the
+        per-stage tuning evidence the reference prints as wall-clock tables
+        (build_graph.py:332-345)."""
+        try:
+            text = ds.stats()
+        except Exception:  # noqa: BLE001 — observability must never fail a build
+            return
+        stats_dir = os.path.join(os.path.dirname(self.path), "_stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        with open(os.path.join(stats_dir, f"{stage}.txt"), "w") as f:
+            f.write(text)
