@@ -60,7 +60,7 @@ class TestResumeAfterKill:
         if os.path.isdir(out_dir):
             for d in os.listdir(out_dir):
                 p = os.path.join(out_dir, d)
-                if os.path.isdir(p) and not d.endswith(".tmp"):
+                if os.path.isdir(p) and not d.endswith(".tmp") and not d.startswith("_"):
                     assert os.path.exists(os.path.join(p, "_MANIFEST.json")), d
 
         # resume in-process (session ray), then compare to a clean build
