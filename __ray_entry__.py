@@ -138,12 +138,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": lambda sf: W.tumbling_window(_events(sf), size_s=3600),
         "sliding_window": lambda sf: W.sliding_window(_events(sf), size_s=3600, slide_s=900),
         "session_window": lambda sf: W.session_window(_events(sf), gap_s=1800),
-        # --- rows-only (non-SQL-expressible) ---
+        # --- SQL-exact approximate dedup (full-pipeline DuckDB oracles) ---
         "minhash_dups": lambda sf: D.minhash_duplicate_pairs(_docs(sf), threshold=0.7),
         "simhash_dups": lambda sf: D.simhash_duplicate_pairs(_docs(sf), max_hamming=3),
         "ngram_jaccard": lambda sf: D.ngram_jaccard_pairs(_docs(sf), n=3, threshold=0.5),
-        "knn_ivf": lambda sf: SIM.knn_ivf(_emb(sf), query_ids=range(8), k=10),
         "winnow_fps": lambda sf: TS.winnow_fingerprints(_docs(sf)),
+        # --- rows-only (approximate-by-design; recall measured in bench) ---
+        "knn_ivf": lambda sf: SIM.knn_ivf(_emb(sf), query_ids=range(8), k=10),
+        "embedding_neardup_blocked": lambda sf: D.embedding_neardup_blocked(
+            _emb(sf), threshold=0.35, n_bits=2, n_tables=16),
         # --- KG construction pipeline (synthetic interleaved corpus; the
         #     extraction/linking semantics are not SQL-expressible) ---
         "kg_chunks": lambda sf: _kg_tables(sf)["chunks"],
@@ -161,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from graph_rag_agent_ray.ops import oracles as O
+
     ws = r"'\s+'"
     n_tokens = (
         "CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 "
@@ -238,6 +243,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
         """,
+        # the LSH-blocked scale path is graded against the same exact-pair
+        # definition: at (n_bits=2, n_tables=16) its recall is 1.0 on this
+        # corpus, so any missed pair is a real regression the driver catches
+        "embedding_neardup_blocked": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
+        """,
+        "minhash_dups": O.minhash_sql(threshold=0.7),
+        "simhash_dups": O.simhash_sql(max_hamming=3),
+        "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),
+        "winnow_fps": O.winnow_sql(),
         "knn_topk": """
             WITH sims AS (
                 SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

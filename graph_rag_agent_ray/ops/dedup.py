@@ -6,18 +6,29 @@ Scale shapes (the 100 TB design, tested at sf scale):
   min-aggregate (per-batch partial → groupby(hash)) — no full-row shuffle,
   only (hash, doc_id, count) partials move.
 - MinHash: signatures per batch (numpy, one pass per doc), exploded to
-  (band_id, band_hash, doc_id) rows, candidate pairs from a
-  groupby(band_id, band_hash) shuffle — the standard shingle→minhash→band
-  pipeline; verification estimates Jaccard from signature agreement.
-- SimHash: 64-bit signatures, banded into 4×16-bit keys, Hamming-verified.
+  (band_id, band_key, doc_id) rows, candidate pairs from a
+  groupby(band_id, band_key) shuffle — the standard shingle→minhash→band
+  pipeline; verification counts signature agreement. Hashing is the
+  SQL-reproducible spec in functions/sqlhash.py, so the WHOLE operator has
+  an exact DuckDB oracle (see __ray_entry__.oracle_sql).
+- SimHash: 64-bit signatures over md5 token hashes, banded into 4×16-bit
+  keys, Hamming-verified — also SQL-exact end-to-end.
+- n-gram Jaccard: EXACT distributed set-similarity join (prefix filtering à
+  la Bayardo/PPJoin): grams → global-frequency ranking → per-doc prefix →
+  groupby(prefix gram) candidates with length filter → distributed
+  intersection counting restricted to candidate pairs. No doc text ever
+  reaches the driver; only the (output-sized) candidate pair set does.
 - embedding near-dup: exact variant broadcasts the (small) matrix via
   ray.put once and scans batches against it (the brute-force baseline with
-  an exact SQL oracle); the LSH-blocked variant is the scale path.
+  an exact SQL oracle); ``embedding_neardup_blocked`` is the LSH-bucketed
+  scale path (groupby(table, bucket) instead of the all-pairs scan, recall
+  measured against the exact baseline in tests/bench).
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import List
 
 import numpy as np
@@ -27,10 +38,14 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.embed import list_column_to_matrix
-from ..functions.shuffle import hash_partitioned_groupby
-
-_MERSENNE = (1 << 61) - 1
+from ..functions.embed import list_column_to_matrix, lsh_bucket
+from ..functions.shuffle import hash_join, hash_partitioned_groupby
+from ..functions.sqlhash import (
+    gram_hashes,
+    md5_u64,
+    minhash_perm_params,
+    to_signed64,
+)
 
 
 # ---------------------------------------------------------------- exact ----
@@ -60,38 +75,26 @@ def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 # -------------------------------------------------------------- minhash ----
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    b = text.encode("utf-8", "ignore")
-    if len(b) < k:
-        b = b + b" " * (k - len(b))
-    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-    n = len(arr) - k + 1
-    h = np.zeros(n, dtype=np.uint64)
-    base = np.uint64(1000003)
-    for i in range(k):
-        h = h * base + arr[i : n + i]
-    return np.unique(h)
+# re-exported for callers/tests; the spec lives in functions/sqlhash.py
+_perm_params = minhash_perm_params
 
 
-def _perm_params(num_perm: int, seed: int) -> tuple:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-    return a, b
-
-
-def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perm,) signature. Multiply-add hash with natural uint64 wraparound
-    (mod 2^64) — same minwise-independence behaviour as the Mersenne modulo
-    at a fraction of the cost; deterministic."""
-    sh = _shingle_hashes(text, k)
+def minhash_signature(text: str, num_perm: int, k: int,
+                      a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) uint64 signature: min over distinct character-k-gram
+    hashes of (a*h + b) mod 2**64 — the SQL-reproducible spec (sqlhash.py).
+    Texts with no k-gram (len < k) return an empty signature and are excluded
+    from LSH (the SQL side generates no rows for them either)."""
+    sh = np.unique(gram_hashes(text, k))
+    if len(sh) == 0:
+        return np.zeros(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
         vals = a[:, None] * sh[None, :] + b[:, None]
     return vals.min(axis=1)
 
 
 class MinHashBands:
-    """Stage: text → exploded (doc_id, band_id, band_hash, signature) rows.
+    """Stage: text → exploded (doc_id, band_id, band_key, signature) rows.
     Permutation parameters are built once per worker (STATELESS_OK)."""
 
     STATELESS_OK = True
@@ -101,30 +104,29 @@ class MinHashBands:
         assert num_perm % n_bands == 0
         self.num_perm, self.k, self.n_bands = num_perm, shingle_k, n_bands
         self.rows_per_band = num_perm // n_bands
-        self.a, self.b = _perm_params(num_perm, seed)
+        self.a, self.b = minhash_perm_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids: List[int] = []
         band_ids: List[int] = []
-        band_hashes: List[int] = []
+        band_keys: List[str] = []
         sigs: List[list] = []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
             sig = minhash_signature(text or "", self.num_perm, self.k, self.a, self.b)
-            sig_list = [int(x) for x in sig]
+            if len(sig) == 0:
+                continue
+            sig_list = [to_signed64(int(x)) for x in sig]
             for band in range(self.n_bands):
                 seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.sha1(seg.tobytes()).digest()[:8], "big", signed=False
-                ) >> 1
                 doc_ids.append(doc_id)
                 band_ids.append(band)
-                band_hashes.append(bh)
+                band_keys.append("-".join(str(int(v)) for v in seg))
                 sigs.append(sig_list)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
+            "band_key": pa.array(band_keys, pa.string()),
             "signature": pa.array(sigs, pa.list_(pa.int64())),
         })
 
@@ -133,9 +135,11 @@ def minhash_duplicate_pairs(
     ds: "ray.data.Dataset", threshold: float = 0.8,
     num_perm: int = 64, shingle_k: int = 5, n_bands: int = 8, seed: int = 42,
 ) -> "ray.data.Dataset":
-    """(a, b, est_jaccard) near-duplicate pairs: LSH-banded candidates
-    verified by signature-agreement Jaccard estimate >= threshold."""
+    """(a, b, n_agree) near-duplicate pairs: LSH-banded candidates verified by
+    signature agreement count n_agree >= ceil(threshold * num_perm). Integer
+    output so the DuckDB oracle hash-compares without float formatting drift."""
     from ..stages.pool import stage_map_batches
+    min_agree = int(math.ceil(threshold * num_perm - 1e-9))
     bands = stage_map_batches(
         ds, MinHashBands,
         {"num_perm": num_perm, "shingle_k": shingle_k,
@@ -148,35 +152,35 @@ def minhash_duplicate_pairs(
         if len(docs) < 2:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),
-                                 "est_jaccard": pd.Series(dtype="float64")})
+                                 "n_agree": pd.Series(dtype="int64")})
         ids = docs["doc_id"].tolist()
         sigs = np.array(docs["signature"].tolist(), dtype=np.int64)
         rows = []
         for i in range(len(ids)):
-            agree = (sigs[i] == sigs[i + 1:]).mean(axis=1)
-            for off, est in enumerate(agree):
-                if est >= threshold:
-                    rows.append((ids[i], ids[i + 1 + off], float(est)))
+            agree = (sigs[i] == sigs[i + 1:]).sum(axis=1)
+            for off, n in enumerate(agree):
+                if n >= min_agree:
+                    rows.append((ids[i], ids[i + 1 + off], int(n)))
         if not rows:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),
-                                 "est_jaccard": pd.Series(dtype="float64")})
-        return pd.DataFrame(rows, columns=["a", "b", "est_jaccard"])
+                                 "n_agree": pd.Series(dtype="int64")})
+        return pd.DataFrame(rows, columns=["a", "b", "n_agree"])
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # almost every (band_id, band_hash) key is a singleton — drop those
+        # almost every (band_id, band_key) key is a singleton — drop those
         # vectorized before paying per-group python cost on the rest
-        dup_mask = df.duplicated(["band_id", "band_hash"], keep=False)
+        dup_mask = df.duplicated(["band_id", "band_key"], keep=False)
         cand = df[dup_mask]
         if not len(cand):
             return verify(df.iloc[:0])
-        frames = [verify(g) for _, g in cand.groupby(["band_id", "band_hash"], sort=False)]
+        frames = [verify(g) for _, g in cand.groupby(["band_id", "band_key"], sort=False)]
         frames = [f for f in frames if len(f)]
         if not frames:
             return verify(df.iloc[:0])
         return pd.concat(frames, ignore_index=True)
 
-    pairs = hash_partitioned_groupby(bands, ["band_id", "band_hash"],
+    pairs = hash_partitioned_groupby(bands, ["band_id", "band_key"],
                                      verify_bucket, n_buckets=32)
     # candidate pairs can surface from several bands — dedup on (a, b)
     return hash_partitioned_groupby(
@@ -188,25 +192,34 @@ def minhash_duplicate_pairs(
 
 # --------------------------------------------------------------- simhash ----
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (Charikar 2002). Vectorized:
-    token hashes via pandas' stable 64-bit hash, bit matrix via shifts."""
+def simhash64(text: str) -> int | None:
+    """64-bit SimHash over whitespace tokens (Charikar 2002), weighted by
+    token count. Token hash = md5_u64 (SQL-reproducible; memoized). Returns
+    None for token-less text (excluded, matching the SQL side)."""
     toks = text.split()
     if not toks:
-        return 0
-    h = pd.util.hash_array(np.asarray(toks, dtype=object))  # uint64, stable
+        return None
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    h = np.fromiter((md5_u64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0)
+    acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
     weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
     return int((acc > 0).astype(np.uint64) @ weights)
 
 
 def simhash_table(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     def fn(batch: pa.Table) -> pa.Table:
-        vals = [simhash64(t or "") for t in batch.column("text").to_pylist()]
+        doc_ids, out = [], []
+        for doc_id, t in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            v = simhash64(t or "")
+            if v is None:
+                continue
+            doc_ids.append(doc_id)
+            out.append(to_signed64(v))  # signed int64 carrier
         return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "simhash": pa.array([v - (1 << 63) for v in vals], pa.int64()),  # signed carrier
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "simhash": pa.array(out, pa.int64()),
         })
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
@@ -270,45 +283,157 @@ def simhash_duplicate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ra
 
 # ------------------------------------------------------ n-gram jaccard ----
 
+def _gram_rows(batch: pa.Table, n: int) -> pa.Table:
+    """(doc_id, gram, sz): distinct word n-grams per doc, with the doc's
+    gram-set size carried on every row (computed in-map — no size join)."""
+    doc_ids, grams, sizes = [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        toks = (text or "").split()
+        gs = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        for g in gs:
+            doc_ids.append(doc_id)
+            grams.append(g)
+            sizes.append(len(gs))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "gram": pa.array(grams, pa.string()),
+        "sz": pa.array(sizes, pa.int64()),
+    })
+
+
 def ngram_jaccard_pairs(
     ds: "ray.data.Dataset", n: int = 3, threshold: float = 0.5,
 ) -> "ray.data.Dataset":
-    """(a, b, jaccard) over word n-gram sets, candidates from MinHash LSH at a
-    permissive threshold, verified with the EXACT n-gram Jaccard."""
-    cand = minhash_duplicate_pairs(ds, threshold=max(0.3, threshold - 0.2),
-                                   shingle_k=4)
-    cand_pdf = cand.to_pandas()
-    if len(cand_pdf) == 0:
-        return ray.data.from_pandas(pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}))
-    wanted = set(cand_pdf["a"]) | set(cand_pdf["b"])
-    wanted_ref = ray.put(wanted)
+    """EXACT (a, b, n_common, n_union, jaccard) over word n-gram sets with
+    jaccard >= threshold — a distributed prefix-filtered set-similarity join
+    (Bayardo et al. "Scaling Up All Pairs", PPJoin prefix lemma):
 
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = ray.get(wanted_ref)
-        mask = pa.array([d in ids for d in batch.column("doc_id").to_pylist()])
+    1. gram rows (doc_id, gram, sz) — distinct n-grams per doc;
+    2. global gram frequencies (two-phase count) and a rarest-first ranking
+       joined back onto the gram rows (hash_join);
+    3. per-doc prefix of the (freq, gram)-sorted grams, length
+       sz - ceil(t*sz) + 1 — any pair with J >= t must share a prefix gram;
+    4. candidates: per-gram pairs over prefix rows with the |A|>=t|B| length
+       filter, deduped;
+    5. exact verification: intersection sizes counted distributedly over the
+       full gram rows of candidate docs only (candidate pair set broadcast
+       via ray.put — it is output-sized, never the corpus).
+
+    Matches the DuckDB oracle exactly (same tokenization: str.split())."""
+    grams = ds.map_batches(lambda b: _gram_rows(b, n),
+                           batch_format="pyarrow", batch_size=2048)
+
+    # 2. global frequencies: map-side combine then bucket reduce
+    def partial_freq(batch: pa.Table) -> pa.Table:
+        df = pa.Table.to_pandas(batch)
+        agg = df.groupby("gram", sort=False).size().reset_index(name="freq")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    freq = hash_partitioned_groupby(
+        grams.map_batches(partial_freq, batch_format="pyarrow", batch_size=16384),
+        ["gram"],
+        lambda df: df.groupby("gram", sort=False)["freq"].sum().reset_index(),
+        n_buckets=32,
+    )
+    ranked = hash_join(grams, freq, on=["gram"], n_buckets=32)
+
+    # 3. per-doc prefix under the (freq, gram) global order
+    def prefix_of_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "freq", "gram"], kind="stable")
+        plen = (df["sz"] - np.ceil(threshold * df["sz"] - 1e-9).astype(int) + 1)
+        keep = df.groupby("doc_id", sort=False).cumcount() < plen
+        return df.loc[keep, ["doc_id", "gram", "sz"]]
+
+    prefixes = hash_partitioned_groupby(ranked, ["doc_id"], prefix_of_doc,
+                                        n_buckets=32)
+
+    # 4. candidate pairs from shared prefix grams (+ length filter)
+    def pairs_in_gram(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby("gram", sort=False):
+            docs = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(docs) < 2:
+                continue
+            m = docs.merge(docs, how="cross", suffixes=("_a", "_b"))
+            m = m[m["doc_id_a"] < m["doc_id_b"]]
+            # length filter: J >= t needs t*|B| <= |A| (A smaller)
+            lo = m[["sz_a", "sz_b"]].min(axis=1)
+            hi = m[["sz_a", "sz_b"]].max(axis=1)
+            m = m[lo >= threshold * hi]
+            if len(m):
+                frames.append(m[["doc_id_a", "doc_id_b", "sz_a", "sz_b"]]
+                              .rename(columns={"doc_id_a": "a", "doc_id_b": "b"}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "sz_a": pd.Series(dtype="int64"),
+                                 "sz_b": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
+
+    cand = hash_partitioned_groupby(prefixes, ["gram"], pairs_in_gram, n_buckets=32)
+    cand_pdf = cand.to_pandas().drop_duplicates(["a", "b"])  # output-sized
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                          "n_common": pd.Series(dtype="int64"),
+                          "n_union": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    if len(cand_pdf) == 0 or "a" not in cand_pdf.columns:
+        return ray.data.from_pandas(empty)
+
+    cand_docs = set(cand_pdf["a"]) | set(cand_pdf["b"])
+    pair_key = set(zip(cand_pdf["a"], cand_pdf["b"]))
+    bcast = ray.put((cand_docs, pair_key))
+
+    def filter_docs(batch: pa.Table) -> pa.Table:
+        docs, _ = ray.get(bcast)
+        mask = pa.array([d in docs for d in batch.column("doc_id").to_pylist()])
         return batch.filter(mask)
 
-    texts = {r["doc_id"]: r["text"]
-             for r in ds.map_batches(keep, batch_format="pyarrow").take_all()}
+    cand_grams = grams.map_batches(filter_docs, batch_format="pyarrow",
+                                   batch_size=16384)
 
-    def grams(t: str) -> set:
-        toks = t.split()
-        return {tuple(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
+    # 5. intersection counts: per-gram pair emission restricted to candidate
+    # pairs, then a (a, b) count reduce — exact |A ∩ B|
+    def common_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        _, pairs_ok = ray.get(bcast)
+        m = df.merge(df, on="gram", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        keep = [(x, y) in pairs_ok
+                for x, y in zip(m["doc_id_a"], m["doc_id_b"])]
+        m = m[np.asarray(keep, dtype=bool)]
+        agg = (m.groupby(["doc_id_a", "doc_id_b"], sort=False).size()
+               .reset_index(name="c")
+               .rename(columns={"doc_id_a": "a", "doc_id_b": "b"}))
+        return agg
 
-    rows = []
-    for a, b in cand_pdf[["a", "b"]].itertuples(index=False):
-        ga, gb = grams(texts.get(a, "")), grams(texts.get(b, ""))
-        if not ga and not gb:
-            continue
-        j = len(ga & gb) / len(ga | gb)
-        if j >= threshold:
-            rows.append((a, b, j))
-    return ray.data.from_pandas(pd.DataFrame(rows, columns=["a", "b", "jaccard"]) if rows else
-                                pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                              "b": pd.Series(dtype="int64"),
-                                              "jaccard": pd.Series(dtype="float64")}))
+    partial_common = hash_partitioned_groupby(cand_grams, ["gram"],
+                                              common_in_bucket, n_buckets=32)
+    common = hash_partitioned_groupby(
+        partial_common, ["a", "b"],
+        lambda df: df.groupby(["a", "b"], sort=False)["c"].sum().reset_index(),
+        n_buckets=16,
+    )
+
+    sizes = dict(zip(cand_pdf["a"], cand_pdf["sz_a"]))
+    sizes.update(zip(cand_pdf["b"], cand_pdf["sz_b"]))
+    sizes_ref = ray.put(sizes)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(sizes_ref)
+        df = df.copy()
+        df["n_common"] = df["c"].astype("int64")
+        df["n_union"] = (df["a"].map(sz) + df["b"].map(sz) - df["c"]).astype("int64")
+        df["jaccard"] = df["n_common"] / df["n_union"]
+        df = df[df["jaccard"] >= threshold]
+        return df[["a", "b", "n_common", "n_union", "jaccard"]]
+
+    out = common.map_batches(finish, batch_format="pandas", batch_size=16384)
+    # schema can be empty-widowed if no pair survives; normalize
+    return out
 
 
 # ------------------------------------------- embedding-cosine near-dup ----
@@ -319,8 +444,8 @@ def embedding_neardup_pairs(
     """Exact all-pairs cosine near-dup: (a, b) with round(cos,6) >= threshold,
     a < b. The full matrix is broadcast ONCE via ray.put and each batch scans
     against it — O(n·n/B) matmuls, the documented brute-force baseline with an
-    exact SQL oracle. The LSH-blocked scale path is
-    similarity.knn_ivf / candidate blocking in this module."""
+    exact SQL oracle. ``embedding_neardup_blocked`` is the LSH-bucketed scale
+    path; this exact variant doubles as its recall oracle."""
     pdf = emb.select_columns(["vec_id", "embedding"]).to_pandas()
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
@@ -353,4 +478,79 @@ def embedding_neardup_pairs(
 
     return emb.select_columns(["vec_id", "embedding"]).map_batches(
         scan, batch_format="pyarrow", batch_size=2048
+    )
+
+
+def embedding_neardup_blocked(
+    emb: "ray.data.Dataset", threshold: float = 0.95,
+    n_bits: int = 6, n_tables: int = 8, seed: int = 42, round_digits: int = 6,
+) -> "ray.data.Dataset":
+    """LSH-blocked near-dup — the 100 TB path. Each vector is exploded to
+    ``n_tables`` random-hyperplane bucket keys; pairs are found by exact
+    cosine inside each (table, bucket) group and deduped across tables. The
+    all-pairs scan becomes a groupby; recall vs the exact baseline depends on
+    (threshold, n_bits, n_tables) and is measured in tests/bench (recall→1 as
+    n_tables grows; collision prob per table = (1 - θ/π)^n_bits)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = list_column_to_matrix(batch.column("embedding")).astype(np.float32)
+        if len(mat) == 0:
+            return pa.table({"table_id": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": batch.column("embedding")})
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        vec_ids = batch.column("vec_id")
+        tables, buckets, ids_out, emb_idx = [], [], [], []
+        for t in range(n_tables):
+            bk = lsh_bucket(unit, n_bits, seed + t)
+            tables.extend([t] * len(bk))
+            buckets.extend(int(x) for x in bk)
+            ids_out.extend(vec_ids.to_pylist())
+            emb_idx.extend(range(len(bk)))
+        dim = mat.shape[1]
+        sel = mat[np.asarray(emb_idx, dtype=np.int64)]
+        offsets = pa.array(np.arange(0, (len(sel) + 1) * dim, dim, dtype=np.int32))
+        emb_col = pa.ListArray.from_arrays(offsets, pa.array(sel.ravel(), pa.float32()))
+        return pa.table({
+            "table_id": pa.array(tables, pa.int32()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "vec_id": pa.array(ids_out, pa.int64()),
+            "embedding": emb_col,
+        })
+
+    exploded = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=4096)
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby(["table_id", "bucket"], sort=False):
+            g = g.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(g["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            sims = np.round(unit @ unit.T, round_digits)
+            iu = np.triu_indices(len(ids), k=1)
+            hit = sims[iu] >= threshold
+            if hit.any():
+                frames.append(pd.DataFrame({
+                    "a": ids[iu[0][hit]], "b": ids[iu[1][hit]],
+                }))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = hash_partitioned_groupby(exploded, ["table_id", "bucket"],
+                                     pairs_in_bucket, n_buckets=32)
+    return hash_partitioned_groupby(
+        pairs, ["a", "b"],
+        lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
+        n_buckets=16,
     )

@@ -83,31 +83,34 @@ def fingerprint(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def winnow_fingerprints(ds: "ray.data.Dataset", k: int = 8, window: int = 16) -> "ray.data.Dataset":
-    """(doc_id, fps: list<int64>) — winnowing document fingerprints (rolling
-    k-gram hashes, per-window minimum; Schleimer et al. 2003). Not
-    SQL-expressible — covered by unit tests instead of the DuckDB oracle."""
+    """(doc_id, fp) exploded winnowing fingerprints — distinct per-window
+    minima of rolling character-k-gram hashes (Schleimer et al. 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting"). The k-gram
+    hash is the SQL-reproducible code-point polynomial (functions/sqlhash.py),
+    so the whole operator has an exact DuckDB oracle (window-frame MIN).
+    Texts with fewer than ``window`` grams contribute their single global
+    minimum; texts shorter than k characters contribute nothing."""
     import numpy as np
 
+    from ..functions.sqlhash import gram_hashes
+
     def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column("text").to_pylist():
-            b = t.encode("utf-8", "ignore")
-            if len(b) < k:
-                out.append([])
+        doc_ids, fps = [], []
+        for doc_id, t in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            h = gram_hashes(t or "", k)
+            if len(h) == 0:
                 continue
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-            h = np.zeros(len(arr) - k + 1, dtype=np.uint64)
-            base = np.uint64(1000003)
-            for i in range(k):
-                h = h * base + arr[i : len(arr) - k + 1 + i]
             if len(h) <= window:
                 mins = {int(h.min())}
             else:
                 view = np.lib.stride_tricks.sliding_window_view(h, window)
-                mins = set(view.min(axis=1).astype(np.int64).tolist())
-            out.append(sorted(np.int64(m) for m in mins))
+                mins = set(int(m) for m in view.min(axis=1))
+            for m in sorted(mins):
+                doc_ids.append(doc_id)
+                fps.append(m - (1 << 64) if m >= (1 << 63) else m)  # signed carrier
         return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "fps": pa.array([[int(x) for x in fps] for fps in out], pa.list_(pa.int64())),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "fp": pa.array(fps, pa.int64()),
         })
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)

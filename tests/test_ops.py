@@ -125,11 +125,78 @@ class TestTextStats:
         assert out["n_alpha"] == 4 and out["n_digit"] == 1
 
     def test_winnow_overlap_for_neardups(self, docs_with_dups):
-        out = TS.winnow_fingerprints(docs_with_dups).to_pandas().set_index("doc_id")
-        f0, f4, f2 = (set(out.loc[i, "fps"]) for i in (0, 4, 2))
+        out = TS.winnow_fingerprints(docs_with_dups).to_pandas()
+        by_doc = out.groupby("doc_id")["fp"].agg(set)
+        f0, f4, f2 = by_doc[0], by_doc[4], by_doc[2]
         sim_near = len(f0 & f4) / len(f0 | f4)
         sim_far = len(f0 & f2) / len(f0 | f2)
         assert sim_near > sim_far
+
+
+class TestBlockedNeardup:
+    def test_subset_of_exact_and_recall(self, emb_ds):
+        exact = D.embedding_neardup_pairs(emb_ds, threshold=0.95).to_pandas()
+        blocked = D.embedding_neardup_blocked(
+            emb_ds, threshold=0.95, n_bits=4, n_tables=12).to_pandas()
+        ex = set(map(tuple, exact[["a", "b"]].to_numpy()))
+        bl = set(map(tuple, blocked[["a", "b"]].to_numpy()))
+        assert bl <= ex                      # blocked never invents pairs
+        assert (0, 10) in bl                 # identical-direction pair found
+        if ex:
+            assert len(bl & ex) / len(ex) >= 0.5  # recall on this fixture
+
+
+class TestSqlOracleEquivalence:
+    """The SQL-exact ops recompute identically in DuckDB (the driver's hard
+    correctness gate, exercised here on an in-memory corpus with unicode,
+    empty, and sub-k-length edge cases)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, docs_with_dups):
+        import duckdb
+        pdf = docs_with_dups.to_pandas()
+        extra = pd.DataFrame({
+            "doc_id": [100, 101, 102, 103],
+            "text": ["", "  ", "tiny", "héllo wörld ünïcode répeated héllo wörld"],
+        })
+        pdf = pd.concat([pdf, extra], ignore_index=True)
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        return rd.from_pandas(pdf), con
+
+    def _assert_equal(self, ours: pd.DataFrame, con, sql: str, sort_cols):
+        theirs = con.execute(sql).df()
+        a = ours.sort_values(sort_cols).reset_index(drop=True)[sorted(ours.columns)]
+        b = theirs.sort_values(sort_cols).reset_index(drop=True)[sorted(theirs.columns)]
+        for df in (a, b):
+            for c in df.columns:
+                if pd.api.types.is_integer_dtype(df[c]):
+                    df[c] = df[c].astype("int64")
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_minhash(self, corpus):
+        from graph_rag_agent_ray.ops import oracles as O
+        ds, con = corpus
+        self._assert_equal(D.minhash_duplicate_pairs(ds, threshold=0.7).to_pandas(),
+                           con, O.minhash_sql(threshold=0.7), ["a", "b"])
+
+    def test_simhash(self, corpus):
+        from graph_rag_agent_ray.ops import oracles as O
+        ds, con = corpus
+        self._assert_equal(D.simhash_duplicate_pairs(ds, max_hamming=3).to_pandas(),
+                           con, O.simhash_sql(3), ["a", "b"])
+
+    def test_ngram_jaccard(self, corpus):
+        from graph_rag_agent_ray.ops import oracles as O
+        ds, con = corpus
+        self._assert_equal(D.ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas(),
+                           con, O.ngram_jaccard_sql(3, 0.5), ["a", "b"])
+
+    def test_winnow(self, corpus):
+        from graph_rag_agent_ray.ops import oracles as O
+        ds, con = corpus
+        self._assert_equal(TS.winnow_fingerprints(ds).to_pandas(),
+                           con, O.winnow_sql(), ["doc_id", "fp"])
 
 
 class TestMultimodal:
