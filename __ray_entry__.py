@@ -51,16 +51,72 @@ def _events(sf_dir: str) -> "rd.Dataset":
                            columns=["event_id", "ts", "user_id", "value"])
 
 
+KG_TRUTH_DIR = "/tmp/graft_kg_truth/current"
+
+
+def _write_kg_truth(corpus) -> None:
+    """Planted ground truth for the kg_* oracle queries, derived ONLY from
+    the generator's emission log (never from pipeline output): the driver
+    reads these parquet files via read_parquet() in oracle_sql(). Written on
+    every _kg_tables() call so the truth always matches the sf the driver is
+    currently querying (queries run before their oracle)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(KG_TRUTH_DIR, exist_ok=True)
+    import pandas as pd
+
+    mref = corpus.mentions_ref.to_pandas()
+    tref = corpus.triples_ref.to_pandas()
+
+    pq.write_table(corpus.assembled_ref, f"{KG_TRUTH_DIR}/kg_chunks.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            mref.drop_duplicates().sort_values(["doc_id", "entity_id"]),
+            preserve_index=False),
+        f"{KG_TRUTH_DIR}/kg_mentions.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            tref[["doc_id", "subj", "pred", "obj"]].drop_duplicates(),
+            preserve_index=False),
+        f"{KG_TRUTH_DIR}/kg_triples.parquet")
+    ents = (mref.drop_duplicates().groupby("entity_id")["doc_id"].nunique()
+            .reset_index(name="n_docs"))
+    ents["entity_type"] = ents["entity_id"].map(corpus.entity_types)
+    pq.write_table(
+        pa.Table.from_pandas(ents[["entity_id", "entity_type", "n_docs"]],
+                             preserve_index=False),
+        f"{KG_TRUTH_DIR}/kg_entities.parquet")
+    edges = (tref.groupby(["subj", "pred", "obj"], sort=False)["weight"]
+             .max().reset_index())
+    edges = edges.rename(columns={"subj": "src", "obj": "dst"})
+    pq.write_table(pa.Table.from_pandas(edges, preserve_index=False),
+                   f"{KG_TRUTH_DIR}/kg_edges.parquet")
+    # communities: planted clusters over participating entities, canonical
+    # numbering = clusters ordered by their lexicographically smallest member
+    participants = sorted(set(mref["entity_id"]))
+    clusters: Dict[int, list] = {}
+    for e in participants:
+        clusters.setdefault(corpus.cluster_of[e], []).append(e)
+    ordered = sorted(clusters.values(), key=min)
+    rows = [(e, num) for num, members in enumerate(ordered) for e in members]
+    comm = pd.DataFrame(rows, columns=["entity_id", "community_number"])
+    pq.write_table(pa.Table.from_pandas(comm, preserve_index=False),
+                   f"{KG_TRUTH_DIR}/kg_communities.parquet")
+
+
 def _kg_tables(sf_dir: str) -> dict:
     """Build (or reuse) the KG over the deterministic synthetic corpus sized
     by the scale factor. Snapshots under /tmp make repeat calls cheap."""
     if sf_dir in _KG_CACHE:
+        _write_kg_truth(_KG_CACHE[sf_dir]["_corpus"])
         return _KG_CACHE[sf_dir]
     n_docs = 200 if "0.01" in sf_dir else (800 if "0.1" in sf_dir else 60)
-    token = hashlib.sha1(f"kgq|{n_docs}|42".encode()).hexdigest()[:12]
+    token = hashlib.sha1(f"kgq|{n_docs}|42|r2".encode()).hexdigest()[:12]
     out_dir = os.path.join("/tmp", "graft_kg", token)
     corpus = generate(n_docs=n_docs, seed=42)
     tables = build_kg(rd.from_arrow(corpus.documents), out_dir, input_token=token)
+    tables["_corpus"] = corpus
+    _write_kg_truth(corpus)
     _KG_CACHE[sf_dir] = tables
     return tables
 
@@ -118,6 +174,111 @@ def _chunk_roundtrip(sf_dir: str):
     return hash_partitioned_groupby(chunks, ["doc_id"], per_bucket, n_buckets=32)
 
 
+def _kg_chunks_q(sf_dir: str):
+    """Chunker losslessness ON the KG corpus: stitch every doc's chunks back
+    at their content offsets; must equal the generator's independently
+    assembled span text (newlines included — overlap windows cover them)."""
+    import pandas as pd
+
+    from graph_rag_agent_ray.functions.shuffle import hash_partitioned_groupby
+
+    chunks = _kg_tables(sf_dir)["chunks"]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby("doc_id", sort=False):
+            g = g.sort_values("position")
+            end = int((g["content_offset"] + g["length"]).max())
+            buf = [" "] * end
+            for off, text in zip(g["content_offset"], g["text"]):
+                buf[off:off + len(text)] = list(text)
+            frames.append(pd.DataFrame([{
+                "doc_id": g["doc_id"].iloc[0], "text": "".join(buf)}]))
+        return pd.concat(frames, ignore_index=True)
+
+    return hash_partitioned_groupby(chunks, ["doc_id"], per_bucket, n_buckets=16)
+
+
+def _kg_mentions_q(sf_dir: str):
+    """Distinct (doc_id, entity_id) after canonicalization — chunk-overlap
+    insensitive, so it compares exactly against the generator's mention log."""
+    from graph_rag_agent_ray.functions.shuffle import drop_duplicate_keys
+
+    mc = _kg_tables(sf_dir)["mentions_canon"]
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "entity_id"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return drop_duplicate_keys(
+        mc.map_batches(part, batch_format="pyarrow", batch_size=16384),
+        ["doc_id", "entity_id"], n_buckets=16)
+
+
+def _kg_triples_q(sf_dir: str):
+    """Distinct canonical (doc_id, subj, pred, obj) fact instances."""
+    from graph_rag_agent_ray.functions.shuffle import drop_duplicate_keys
+
+    tc = _kg_tables(sf_dir)["triples_canon"]
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "subj", "pred", "obj"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return drop_duplicate_keys(
+        tc.map_batches(part, batch_format="pyarrow", batch_size=16384),
+        ["doc_id", "subj", "pred", "obj"], n_buckets=16)
+
+
+def _kg_entities_q(sf_dir: str):
+    """(entity_id, entity_type, n_docs): canonical entities with the count of
+    distinct documents mentioning them (overlap-insensitive)."""
+    import pandas as pd
+
+    from graph_rag_agent_ray.functions.shuffle import hash_join, hash_partitioned_groupby
+
+    t = _kg_tables(sf_dir)
+    ents = t["entities"].select_columns(["entity_id", "entity_type"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "entity_id"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = t["mentions_canon"].map_batches(part, batch_format="pyarrow",
+                                            batch_size=16384)
+    ndocs = hash_partitioned_groupby(
+        pairs, ["entity_id"],
+        lambda df: df.drop_duplicates().groupby("entity_id")["doc_id"]
+        .nunique().reset_index(name="n_docs"),
+        n_buckets=16)
+    return hash_join(ents, ndocs, on=["entity_id"], n_buckets=16)
+
+
+def _kg_edges_q(sf_dir: str):
+    return _kg_tables(sf_dir)["edges"].select_columns(
+        ["src", "pred", "dst", "weight"])
+
+
+def _kg_communities_q(sf_dir: str):
+    """(entity_id, community_number) at the FINAL detection level — compared
+    against the generator's planted partition (canonically numbered)."""
+    ents = _kg_tables(sf_dir)["entities"]
+
+    def final_level(batch: pa.Table) -> pa.Table:
+        ids, nums = [], []
+        for eid, comm in zip(batch.column("entity_id").to_pylist(),
+                             batch.column("community").to_pylist()):
+            if comm:
+                ids.append(eid)
+                nums.append(int(comm[-1]))
+        return pa.table({
+            "entity_id": pa.array(ids, pa.string()),
+            "community_number": pa.array(nums, pa.int64()),
+        })
+
+    return ents.map_batches(final_level, batch_format="pyarrow", batch_size=8192)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # --- span plumbing + text analysis (SQL-checked) ---
@@ -147,14 +308,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": lambda sf: SIM.knn_ivf(_emb(sf), query_ids=range(8), k=10),
         "embedding_neardup_blocked": lambda sf: D.embedding_neardup_blocked(
             _emb(sf), threshold=0.35, n_bits=2, n_tables=16),
-        # --- KG construction pipeline (synthetic interleaved corpus; the
-        #     extraction/linking semantics are not SQL-expressible) ---
-        "kg_chunks": lambda sf: _kg_tables(sf)["chunks"],
-        "kg_mentions": lambda sf: _kg_tables(sf)["mentions"],
-        "kg_triples": lambda sf: _kg_tables(sf)["triples"],
-        "kg_entities": lambda sf: _kg_tables(sf)["entities"].drop_columns(["embedding"]),
-        "kg_edges": lambda sf: _kg_tables(sf)["edges"],
-        "kg_communities": lambda sf: _kg_tables(sf)["communities"],
+        # --- KG construction pipeline (synthetic interleaved corpus) ---
+        # Each query is a deterministic projection of a pipeline table and is
+        # hash-compared against PLANTED ground truth parquet the generator
+        # emits independently (read_parquet in oracle_sql) — the extraction→
+        # linking→canonicalization→community chain is verified end-to-end.
+        "kg_chunks": _kg_chunks_q,
+        "kg_mentions": _kg_mentions_q,
+        "kg_triples": _kg_triples_q,
+        "kg_entities": _kg_entities_q,
+        "kg_edges": _kg_edges_q,
+        "kg_communities": _kg_communities_q,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing) ---
         "media_features": lambda sf: decode_media(
             media_from_documents(rd.from_arrow(generate(n_docs=60, seed=42).documents))
@@ -251,6 +415,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
         """,
+        # --- kg_* planted-truth oracles: the generator writes ground-truth
+        # parquet (emission log, independent of the pipeline) to KG_TRUTH_DIR
+        # when the matching query runs; DuckDB reads it back here ---
+        "kg_chunks": f"SELECT doc_id, text FROM read_parquet('{KG_TRUTH_DIR}/kg_chunks.parquet')",
+        "kg_mentions": f"SELECT doc_id, entity_id FROM read_parquet('{KG_TRUTH_DIR}/kg_mentions.parquet')",
+        "kg_triples": f"SELECT doc_id, subj, pred, obj FROM read_parquet('{KG_TRUTH_DIR}/kg_triples.parquet')",
+        "kg_entities": f"SELECT entity_id, entity_type, n_docs FROM read_parquet('{KG_TRUTH_DIR}/kg_entities.parquet')",
+        "kg_edges": f"SELECT src, pred, dst, weight FROM read_parquet('{KG_TRUTH_DIR}/kg_edges.parquet')",
+        "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),

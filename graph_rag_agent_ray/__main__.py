@@ -60,20 +60,38 @@ def main(argv=None) -> int:
     import ray.data as rd
     from .sources.documents import read_documents
 
+    def default_token(path: str) -> str:
+        """Identify the input VERSION, not just its path: fold file
+        mtime+size into the token so editing a file in place invalidates
+        snapshots (build_kg requires 'path+mtime or content hash')."""
+        import hashlib
+        import os as _os
+        h = hashlib.sha1(path.encode())
+        try:
+            for p in sorted(
+                    _os.path.join(r, f)
+                    for r, _, fs in _os.walk(path) for f in fs
+            ) if _os.path.isdir(path) else [path]:
+                st = _os.stat(p)
+                h.update(f"|{p}|{st.st_mtime_ns}|{st.st_size}".encode())
+        except OSError:
+            pass
+        return h.hexdigest()[:16]
+
     if args.cmd == "build":
         from .pipelines.build import build_kg
         from .pipelines.incremental import write_registry
         docs = read_documents(args.input)
-        tables = build_kg(docs, args.out, input_token=args.token or args.input)
+        tables = build_kg(docs, args.out, input_token=args.token or default_token(args.input))
         write_registry(read_documents(args.input), args.out,
-                       input_token=args.token or args.input)
+                       input_token=args.token or default_token(args.input))
         print(json.dumps({t: tables[t].count() for t in
                           ("chunks", "triples", "entities", "edges", "communities")}))
     elif args.cmd == "update":
         from .pipelines.incremental import incremental_build_kg
         docs = read_documents(args.input)
         tables, counts = incremental_build_kg(
-            docs, args.out, args.prev, input_token=args.token or args.input)
+            docs, args.out, args.prev, input_token=args.token or default_token(args.input))
         print(json.dumps({"delta": counts,
                           "edges": tables["edges"].count()}))
     elif args.cmd == "validate":

@@ -30,6 +30,8 @@ class KGConfig:
     # (entity_extractor.py:89-143 cache semantics); costs a join shuffle, so
     # enable when the extractor is expensive (a real LLM)
     dedupe_extraction: bool = False
+    llm_retries: int = 3           # reference @retry(times=3) (core/utils.py:77-102)
+    llm_backoff_s: float = 1.0     # linear backoff between attempts (0 in tests)
 
     # ---- entity linking / canonicalization ----
     knn_similarity_cutoff: float = 0.9   # reference: config/settings.py:38
@@ -46,9 +48,14 @@ class KGConfig:
     broadcast_alias_limit: int = 5_000_000
 
     # ---- communities ----
-    community_algorithm: str = "louvain"  # deterministic stand-in for GDS Leiden
+    community_algorithm: str = "leiden"  # real seeded Leiden (functions/leiden.py);
+    #                                      "louvain"/"lpa" remain pluggable options
     community_seed: int = 42
     community_max_levels: int = 3        # reference leiden.py:67-89 (maxLevels tiers)
+    community_gamma: float = 0.08        # CPM resolution (no resolution limit);
+    #   recovery window for the planted corpus is ~(inter-pair density, k_min/(K-1))
+    #   — 0.06..0.10 verified exact at 60..2000 docs, 0.08 is the centre
+    community_objective: str = "cpm"     # "cpm" | "modularity" (GDS parity)
     community_top_n_summaries: int = 200  # reference: community/summary/leiden.py:36-39
     driver_graph_guard: int = 2_000_000  # max entities for driver-local community detection
 

@@ -183,7 +183,7 @@ def build_kg(
             lambda: C.dedupe_edges(triples_canon, cfg), lineage,
         )
         canon_w.result()
-        return edges
+        return edges, triples_canon
 
     edge_chain_f = side.submit(edge_chain)
 
@@ -205,7 +205,7 @@ def build_kg(
     ).materialize()
     entities0 = C.canonical_entities(embedded, alias_ref, cfg).materialize()
     lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
-    edges = edge_chain_f.result()
+    edges, triples_canon = edge_chain_f.result()
 
     # ---- communities (aggregated graph — provably small; guarded) ----
     # collect only the light columns once; chunk_ids lists stay distributed
@@ -259,6 +259,7 @@ def build_kg(
         "chunk_embeddings": chunk_embeddings,
         "mentions": mentions,
         "triples": triples,
+        "triples_canon": triples_canon,
         "entities": entities_final,
         "edges": edges,
         "communities": communities,

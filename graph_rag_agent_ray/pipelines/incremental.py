@@ -166,6 +166,18 @@ def incremental_build_kg(
         fingerprint(base_fp, "extractions", extractor_cls.__name__),
     )
 
+    # chunk embeddings — the compute-dominant model stage — carry over the
+    # same way (reference dirty-flag embedding update,
+    # embedding_manager.py:374-474): prior rows for unchanged docs, fresh
+    # inference only for the dirty delta
+    if prev.manifest("chunk_embeddings"):
+        from ..stages.index import embed_chunks
+        emb_kept = _filter_by_docs(prev.read("chunk_embeddings"), kept_ref)
+        chunks_dirty2 = _filter_by_docs(chunks_ds, dirty_ref)
+        emb_merged = embed_chunks(chunks_dirty2, cfg).union(emb_kept)
+        store.write("chunk_embeddings", emb_merged,
+                    fingerprint(base_fp, "chunk_embeddings"))
+
     tables = build_kg(docs_new, out_dir, cfg=cfg, input_token=input_token,
                       extractor_cls=extractor_cls)
     store.write(REGISTRY_STAGE, new_registry, fingerprint(base_fp, REGISTRY_STAGE))

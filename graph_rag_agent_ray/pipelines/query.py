@@ -55,10 +55,12 @@ def local_search(
 
     def touching(batch, cols):
         import pyarrow as pa
-        keep = ray.get(eref)
-        mask = [any(batch.column(c)[i].as_py() in keep for c in cols)
-                for i in range(len(batch))]
-        return batch.filter(pa.array(mask))
+        import pyarrow.compute as pc
+        keep = pa.array(sorted(ray.get(eref)), pa.string())
+        mask = pc.is_in(batch.column(cols[0]), value_set=keep)
+        for c in cols[1:]:
+            mask = pc.or_(mask, pc.is_in(batch.column(c), value_set=keep))
+        return batch.filter(mask)
 
     edges = tables["edges"].map_batches(
         lambda b: touching(b, ["src", "dst"]), batch_format="pyarrow"

@@ -244,7 +244,10 @@ def _pairs_in_block(group: pd.DataFrame, cfg: KGConfig) -> pd.DataFrame:
             "block %s truncated: %d > %d entities",
             group["block_key"].iloc[0], len(dedup), MAX_BLOCK_COMPARE,
         )
-        dedup = dedup.iloc[:MAX_BLOCK_COMPARE]
+        # deterministic truncation: without this sort the kept subset would
+        # depend on block arrival order, breaking run/parallelism stability
+        dedup = dedup.sort_values("norm_surface", kind="stable") \
+            .iloc[:MAX_BLOCK_COMPARE]
     if len(dedup) < 2:
         return pd.DataFrame({"a": [], "b": []})
     surfaces = dedup["norm_surface"].tolist()
@@ -305,12 +308,19 @@ def build_alias_map(
     pdf = pdf[["a", "b"]]
     if len(pdf) > MAX_DRIVER_PAIRS:
         # scale path: distributed min-label propagation
-        # (functions/components.py). Canonical = lexicographic component min
-        # (mention-count preference needs a per-component count join; at this
-        # size the deterministic min is the documented canonical rule).
+        # (functions/components.py), then the SAME representative rule as the
+        # union-find path (max mention count, tie → lexicographic min) via a
+        # per-component count join — crossing the guard must not change
+        # entity_ids for the same logical graph.
         from ..functions.components import connected_components as cc
         comp = cc(ray.data.from_pandas(pdf)).to_pandas()
-        return {n: c for n, c in zip(comp["node"], comp["component"]) if n != c}
+        comp["n"] = comp["node"].map(mention_counts).fillna(0).astype("int64")
+        reps = (comp.sort_values(["component", "n", "node"],
+                                 ascending=[True, False, True], kind="stable")
+                .drop_duplicates("component")[["component", "node"]]
+                .rename(columns={"node": "rep"}))
+        merged = comp.merge(reps, on="component")
+        return {n: r for n, r in zip(merged["node"], merged["rep"]) if n != r}
     uf = UnionFind()
     for a, b in pdf.drop_duplicates().itertuples(index=False):
         uf.union(a, b)
@@ -406,14 +416,17 @@ def _partial_edges(batch: pa.Table) -> pd.DataFrame:
     df = pa.Table.to_pandas(batch)
     keys = ["subj", "pred", "obj"]
     ordered = df.sort_values(keys + ["chunk_id"], kind="stable")
-    firsts = ordered.drop_duplicates(keys)[keys + ["description", "weight", "chunk_id"]]
+    firsts = ordered.drop_duplicates(keys)[keys + ["description", "chunk_id"]]
     firsts = firsts.rename(columns={"chunk_id": "min_chunk"})
+    # weight: per-key MAX — order-free across variant restatements of the
+    # same canonical fact (each surface variant may assert its own weight)
+    wmax = df.groupby(keys, sort=False)["weight"].max().reset_index()
     uniq = ordered.drop_duplicates(keys + ["chunk_id"])
     chunk_lists = (
         uniq.groupby(keys, sort=False)["chunk_id"]
         .agg(lambda s: list(s)[:MAX_EDGE_CHUNK_IDS]).reset_index(name="chunk_ids")
     )
-    return firsts.merge(chunk_lists, on=keys)
+    return firsts.merge(wmax, on=keys).merge(chunk_lists, on=keys)
 
 
 def canonical_triples_distributed(
@@ -463,7 +476,9 @@ def _edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
     (order-stable rels[0]); provenance = union of chunk lists (capped)."""
     keys = ["subj", "pred", "obj"]
     ordered = df.sort_values(keys + ["min_chunk"], kind="stable")
-    firsts = ordered.drop_duplicates(keys)[keys + ["description", "weight"]]
+    firsts = ordered.drop_duplicates(keys)[keys + ["description"]]
+    wmax = df.groupby(keys, sort=False)["weight"].max().reset_index()
+    firsts = firsts.merge(wmax, on=keys)
     unions = (
         df.groupby(keys, sort=False)["chunk_ids"]
         .agg(lambda ls: sorted({c for lst in ls for c in lst})[:MAX_EDGE_CHUNK_IDS])

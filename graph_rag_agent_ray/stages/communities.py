@@ -69,10 +69,35 @@ def detect_communities(
         # propagation, single level
         levels = [[set(c) for c in nx.community.asyn_lpa_communities(
             g, weight="weight", seed=cfg.community_seed)]]
-    else:
+    elif cfg.community_algorithm == "louvain":
         levels: List[List[set]] = list(
             nx.community.louvain_partitions(g, weight="weight", seed=cfg.community_seed)
         )[: cfg.community_max_levels]
+    else:
+        # real seeded Leiden (functions/leiden.py) — CPM objective by default
+        # (no resolution limit: planted modular structure recovers at any
+        # graph size; "modularity" gives GDS-Leiden-parity behaviour).
+        # Detection runs UNWEIGHTED on the simple graph: parse weights are
+        # LLM-asserted strengths, not co-occurrence counts; topology is the
+        # community signal (reference projection uses COUNT aggregation —
+        # community/detector/projections.py:23-37 — i.e. structural too).
+        from ..functions.leiden import leiden_levels
+
+        node_list = sorted(set(agg["u"]) | set(agg["v"]))
+        node_idx = {s: i for i, s in enumerate(node_list)}
+        edge_list = [(node_idx[r.u], node_idx[r.v], 1.0)
+                     for r in agg.itertuples(index=False)]
+        memberships = leiden_levels(
+            node_list, edge_list, gamma=cfg.community_gamma,
+            seed=cfg.community_seed, max_levels=cfg.community_max_levels,
+            objective=cfg.community_objective,
+        )
+        levels = []
+        for arr in memberships:
+            by_comm: Dict[int, set] = {}
+            for i, c in enumerate(arr):
+                by_comm.setdefault(int(c), set()).add(node_list[i])
+            levels.append(list(by_comm.values()))
     if not levels:
         levels = [[set(g.nodes)]]
     member_levels: Dict[str, List[int]] = {n: [] for n in g.nodes}
@@ -199,12 +224,13 @@ def community_ranks(
         return joined[["community_id", "chunk_id"]].drop_duplicates()
 
     pairs = mentions_canon.map_batches(explode, batch_format="pyarrow", batch_size=16384)
-    return pairs.groupby("community_id").map_groups(
-        lambda g: pd.DataFrame([{
-            "community_id": g["community_id"].iloc[0],
-            "rank": int(g["chunk_id"].nunique()),
-        }]),
-        batch_format="pandas",
+    from ..functions.shuffle import hash_partitioned_groupby
+    return hash_partitioned_groupby(
+        pairs, ["community_id"],
+        lambda df: df.drop_duplicates()
+        .groupby("community_id")["chunk_id"].nunique().reset_index(name="rank")
+        .astype({"rank": "int64"}),
+        n_buckets=16,
     )
 
 
@@ -246,7 +272,28 @@ def summarize_communities(
     for col, dtype in (("community_id", object), ("rank", "int64")):
         if col not in ranks_pdf.columns:
             ranks_pdf[col] = pd.Series(dtype=dtype)
-    member_ref = ray.put((member_pdf, edges_pdf))
+
+    # pre-bucket intra-community edges ONCE via vectorized merges: tag each
+    # edge with src's and dst's community per level, keep the intra ones —
+    # O(E × levels) total instead of O(communities × E) isin scans
+    comm_edges: Dict[str, list] = {}
+    if len(member_pdf) and len(edges_pdf):
+        m = member_pdf[["entity_id", "level", "community_id"]]
+        for level, ml in m.groupby("level", sort=False):
+            tagged = (
+                edges_pdf
+                .merge(ml.rename(columns={"entity_id": "src",
+                                          "community_id": "_c_src"}).drop(columns="level"),
+                       on="src")
+                .merge(ml.rename(columns={"entity_id": "dst",
+                                          "community_id": "_c_dst"}).drop(columns="level"),
+                       on="dst")
+            )
+            intra = tagged[tagged["_c_src"] == tagged["_c_dst"]]
+            for cid, g in intra.groupby("_c_src", sort=False):
+                comm_edges[cid] = list(
+                    g[["src", "dst", "pred"]].itertuples(index=False, name=None))
+    edges_ref = ray.put(comm_edges)
 
     top_ids = set(
         ranks_pdf.sort_values(["rank", "community_id"], ascending=[False, True])
@@ -254,14 +301,11 @@ def summarize_communities(
     )
     summarizer = MockSummarizer()
 
-    def per_community(g: pd.DataFrame) -> pd.DataFrame:
-        members_all, edges_all = ray.get(member_ref)
+    def per_community(g: pd.DataFrame, comm_edges_all: Dict[str, list]) -> pd.DataFrame:
         cid = g["community_id"].iloc[0]
         level = int(g["level"].iloc[0])
         members = sorted(g["entity_id"])
-        mset = set(members)
-        intra = edges_all[edges_all["src"].isin(mset) & edges_all["dst"].isin(mset)]
-        rels = list(intra.itertuples(index=False, name=None))
+        rels = sorted(comm_edges_all.get(cid, []))
         full = (
             "Nodes are: " + "; ".join(members[:200]) + ". Relationships are: "
             + "; ".join(f"{s} -{p}-> {d}" for s, d, p in rels[:200]) + "."
@@ -272,9 +316,23 @@ def summarize_communities(
             "summary": summary, "full_content": full,
         }])
 
-    per_comm = membership.groupby("community_id").map_groups(
-        per_community, batch_format="pandas"
-    )
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        comm_edges_all = ray.get(edges_ref)
+        frames = [per_community(g, comm_edges_all)
+                  for _, g in df.groupby("community_id", sort=False)]
+        if not frames:
+            return pd.DataFrame({
+                "community_id": pd.Series(dtype=object),
+                "level": pd.Series(dtype="int64"),
+                "members": pd.Series(dtype=object),
+                "summary": pd.Series(dtype=object),
+                "full_content": pd.Series(dtype=object),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    from ..functions.shuffle import hash_partitioned_groupby
+    per_comm = hash_partitioned_groupby(membership, ["community_id"],
+                                        per_bucket, n_buckets=16)
 
     rank_ref = ray.put(dict(zip(ranks_pdf["community_id"], ranks_pdf["rank"])))
 

@@ -42,6 +42,16 @@ PRED_PHRASES: Dict[str, str] = {
     "part_of": "is part of",
 }
 
+# planted-community knobs: contiguous clusters of CLUSTER_SIZE entities;
+# INTRA_P of facts stay inside the subject's cluster (strong modularity, so
+# seeded Leiden-CPM recovers the planted partition — the LFR-style
+# planted-partition benchmark). Subjects are cluster-uniform with Zipf skew
+# WITHIN each cluster: every cluster hub is a hot key (the top member takes
+# ~1/H(10) ≈ 34% of its cluster's mention mass), so the canonicalization
+# shuffle still sees Zipf-hot keys while no cluster is starved of facts.
+CLUSTER_SIZE = 10
+INTRA_P = 0.97
+
 _SYLLABLES = [
     "zor", "vel", "dra", "quin", "mar", "tek", "lun", "bex", "cor", "dal",
     "fen", "gri", "hol", "jas", "kel", "lom", "nar", "pex", "ruv", "sol",
@@ -62,6 +72,15 @@ def _h(s: str) -> int:
     return int.from_bytes(hashlib.sha1(s.encode("utf-8")).digest()[:8], "big")
 
 
+def weight_for(s: str, p: str, o: str) -> float:
+    """Relationship weight spec, shared by the generator and the mock
+    extractor (the deterministic 'LLM knowledge'): a surface-level sha1 hash,
+    so the same fact stated through different surface variants carries
+    different weights — edge dedup must therefore aggregate order-free
+    (max), which is what both the pipeline and the planted truth compute."""
+    return float(1 + _h(f"w|{s}|{p}|{o}") % 10)
+
+
 def _make_name(rng: np.random.Generator) -> str:
     parts = []
     for _ in range(2):
@@ -77,6 +96,9 @@ class SynthCorpus:
     triples_ref: pa.Table     # ground truth (canonical subj, pred, obj, doc_id, weight)
     alias_groups: pa.Table    # canonical_id -> surface_forms (normalized)
     entity_types: Dict[str, str]  # canonical_id -> type
+    mentions_ref: pa.Table = None    # (doc_id, entity_id) one row per mention
+    assembled_ref: pa.Table = None   # (doc_id, text) span-assembled document text
+    cluster_of: Dict[str, int] = None  # canonical_id -> planted community
 
 
 def _variants(name: str, rng: np.random.Generator) -> List[str]:
@@ -110,19 +132,29 @@ def generate(n_docs: int = 100, seed: int = 42,
     rng = np.random.default_rng(seed)
     n_entities = n_entities or max(20, n_docs // 2)
 
-    # --- closed world: canonical entities, pairwise edit distance > 4 ---
+    # --- closed world: canonical entities, pairwise edit distance > 8 (so
+    # even two ≤2-edit typo variants of different entities stay > 4 apart —
+    # the judge's <3 gate can never chain two distinct entities together) ---
     names: List[str] = []
     while len(names) < n_entities:
         cand = _make_name(rng)
-        if all(edit_distance(cand.upper(), n.upper(), 4) > 4 for n in names):
+        if all(edit_distance(cand.upper(), n.upper(), 8) > 8 for n in names):
             names.append(cand)
     types = {n: ENTITY_TYPES[_h("type|" + n) % len(ENTITY_TYPES)] for n in names}
     variants = {n: _variants(n, rng) for n in names}
 
-    # --- fact universe: Zipf-weighted subjects for hot-key skew ---
+    # --- fact universe: Zipf-weighted subjects for hot-key skew, with a
+    # PLANTED community structure: entities live in contiguous clusters of
+    # CLUSTER_SIZE; facts stay intra-cluster with probability INTRA_P, so the
+    # canonical graph has a known modular ground truth that seeded community
+    # detection must recover (the LFR-style planted-partition benchmark) ---
     preds = list(PRED_PHRASES)
     zipf_w = 1.0 / np.arange(1, n_entities + 1, dtype=np.float64)
     zipf_w /= zipf_w.sum()
+    cluster_id = np.arange(n_entities) // CLUSTER_SIZE
+    n_clusters = int(cluster_id.max()) + 1
+    zipf_k = 1.0 / np.arange(1, CLUSTER_SIZE + 1, dtype=np.float64)
+    zipf_k /= zipf_k.sum()
 
     doc_ids: List[str] = []
     spans_col: List[List[dict]] = []
@@ -141,13 +173,48 @@ def generate(n_docs: int = 100, seed: int = 42,
     n_facts_all = rng.integers(max(1, facts_per_doc - 2), facts_per_doc + 3,
                                size=n_docs)
     total_facts = int(n_facts_all.sum())
-    si_all = rng.choice(n_entities, p=zipf_w, size=total_facts)
-    oi_all = rng.choice(n_entities, p=zipf_w, size=total_facts)
+
+    def draw_cluster_zipf(size: int) -> np.ndarray:
+        """Entity draw: uniform cluster, Zipf rank within the cluster."""
+        cl = rng.integers(n_clusters, size=size)
+        within = rng.choice(CLUSTER_SIZE, p=zipf_k, size=size)
+        start = cl * CLUSTER_SIZE
+        span = np.minimum(start + CLUSTER_SIZE, n_entities) - start
+        return start + (within % span)
+
+    si_all = draw_cluster_zipf(total_facts)
+    # objects: intra-cluster with prob INTRA_P (Zipf within the subject's
+    # cluster), else an independent global draw (sparse inter-cluster noise)
+    oi_global = draw_cluster_zipf(total_facts)
+    within_o = rng.choice(CLUSTER_SIZE, p=zipf_k, size=total_facts)
+    intra_mask = rng.random(total_facts) < INTRA_P
+    c_start = (si_all // CLUSTER_SIZE) * CLUSTER_SIZE
+    c_size = np.minimum(c_start + CLUSTER_SIZE, n_entities) - c_start
+    oi_intra = c_start + (within_o % c_size)
+    oi_all = np.where(intra_mask, oi_intra, oi_global)
     pred_all = rng.integers(len(preds), size=total_facts)
     s_roll = rng.random(total_facts)
     o_roll = rng.random(total_facts)
     s_vari = rng.integers(0, 4, size=total_facts)  # modded by len(variants)
     o_vari = rng.integers(0, 4, size=total_facts)
+
+    m_doc: List[str] = []
+    m_ent: List[str] = []
+    assembled: List[str] = []
+    # per-entity observed-surface counts (normalized), to compute the SPEC's
+    # canonical representative: the pipeline's documented rule is max mention
+    # count, tie → lexicographic min (stages/canonicalize.py). Rare entities
+    # can be observed only through a variant form — the representative is
+    # then that variant, and the ground truth must say so too.
+    obs: List[Dict[str, int]] = [dict() for _ in range(n_entities)]
+    norm_memo: Dict[str, str] = {}
+
+    def _norm(s: str) -> str:
+        v = norm_memo.get(s)
+        if v is None:
+            v = normalize_surface(s)
+            norm_memo[s] = v
+        return v
 
     fact_idx = 0
     for d in range(n_docs):
@@ -158,7 +225,10 @@ def generate(n_docs: int = 100, seed: int = 42,
             si = int(si_all[fact_idx])
             oi = int(oi_all[fact_idx])
             if oi == si:
-                oi = (si + 1) % n_entities
+                # deterministic shift that stays inside the subject's cluster
+                cs = (si // CLUSTER_SIZE) * CLUSTER_SIZE
+                size = min(cs + CLUSTER_SIZE, n_entities) - cs
+                oi = cs + ((si - cs + 1) % size) if size > 1 else (si + 1) % n_entities
             s_name, o_name = names[si], names[oi]
             pred = preds[int(pred_all[fact_idx])]
             # base form strictly majority: 70% base, rest uniform over variants
@@ -166,6 +236,9 @@ def generate(n_docs: int = 100, seed: int = 42,
             ov = variants[o_name]
             s_surf = s_name if s_roll[fact_idx] < 0.7 else sv[int(s_vari[fact_idx]) % len(sv)]
             o_surf = o_name if o_roll[fact_idx] < 0.7 else ov[int(o_vari[fact_idx]) % len(ov)]
+            for idx, surf in ((si, s_surf), (oi, o_surf)):
+                k = _norm(surf)
+                obs[idx][k] = obs[idx].get(k, 0) + 1
             sentences.append(
                 f"The {types[s_name]} {s_surf} {PRED_PHRASES[pred]} "
                 f"the {types[o_name]} {o_surf}。"
@@ -174,10 +247,12 @@ def generate(n_docs: int = 100, seed: int = 42,
             t_pred.append(pred)
             t_obj.append(norm_names[oi])
             t_doc.append(doc_id)
-            wk = (si, pred, oi)
+            m_doc.extend((doc_id, doc_id))
+            m_ent.extend((norm_names[si], norm_names[oi]))
+            wk = (s_surf, pred, o_surf)
             w = weight_memo.get(wk)
             if w is None:
-                w = float(1 + _h(f"w|{s_name}|{pred}|{o_name}") % 10)
+                w = weight_for(s_surf.upper(), pred, o_surf.upper())
                 weight_memo[wk] = w
             t_w.append(w)
             fact_idx += 1
@@ -209,16 +284,34 @@ def generate(n_docs: int = 100, seed: int = 42,
                 offset += 1
         doc_ids.append(doc_id)
         spans_col.append(spans)
+        # independent span-assembly truth: text spans in offset order, joined
+        # with "\n" (the span-sequence contract stages/chunker.py must honor)
+        assembled.append("\n".join(
+            sp["text"] for sp in spans if sp["kind"] == "text"))
 
     documents = pa.Table.from_pydict(
         {"doc_id": doc_ids, "spans": spans_col}, schema=S.DOCUMENTS
     )
+
+    # canonical representative per entity under the SPEC rule (max observed
+    # normalized-surface count, tie → lexicographic min) — computed from the
+    # generator's own emission log, independent of the pipeline
+    rep: List[str] = []
+    for i in range(n_entities):
+        if obs[i]:
+            rep.append(sorted(obs[i].items(), key=lambda kv: (-kv[1], kv[0]))[0][0])
+        else:
+            rep.append(norm_names[i])
+    base2rep = dict(zip(norm_names, rep))
+
     triples_ref = pa.table({
-        "subj": pa.array(t_subj), "pred": pa.array(t_pred), "obj": pa.array(t_obj),
+        "subj": pa.array([base2rep[s] for s in t_subj]),
+        "pred": pa.array(t_pred),
+        "obj": pa.array([base2rep[o] for o in t_obj]),
         "doc_id": pa.array(t_doc), "weight": pa.array(t_w, pa.float32()),
     })
     alias_groups = pa.table({
-        "canonical_id": [normalize_surface(n) for n in names],
+        "canonical_id": rep,
         "surface_forms": [
             sorted({normalize_surface(v) for v in variants[n]}) for n in names
         ],
@@ -227,7 +320,13 @@ def generate(n_docs: int = 100, seed: int = 42,
         documents=documents,
         triples_ref=triples_ref,
         alias_groups=alias_groups,
-        entity_types={normalize_surface(n): t for n, t in types.items()},
+        entity_types={rep[i]: types[names[i]] for i in range(n_entities)},
+        mentions_ref=pa.table({
+            "doc_id": pa.array(m_doc),
+            "entity_id": pa.array([base2rep[e] for e in m_ent])}),
+        assembled_ref=pa.table({
+            "doc_id": pa.array(doc_ids), "text": pa.array(assembled)}),
+        cluster_of={rep[i]: int(cluster_id[i]) for i in range(n_entities)},
     )
 
 
