@@ -125,8 +125,14 @@ def run_bench() -> dict:
     timed("exact_dedup", lambda: D.exact_dedup(docs_flat()).count())
     timed("minhash_dups", lambda: D.minhash_duplicate_pairs(docs_flat(), threshold=0.7).count())
     timed("simhash_dups", lambda: D.simhash_duplicate_pairs(docs_flat()).count())
+    timed("ngram_jaccard", lambda: D.ngram_jaccard_pairs(docs_flat(), n=3, threshold=0.5).count())
+    timed("winnow_fps", lambda: TS.winnow_fingerprints(docs_flat()).count())
     timed("knn_topk", lambda: SIM.knn_bruteforce(emb(), range(8), k=10).count())
+    timed("knn_ivf", lambda: SIM.knn_ivf(emb(), range(8), k=10).count())
     timed("embedding_neardup", lambda: D.embedding_neardup_pairs(emb(), 0.35).count())
+    timed("neardup_blocked",
+          lambda: D.embedding_neardup_blocked(emb(), 0.35, n_bits=2, n_tables=16).count())
+    ivf_recall = SIM.knn_recall(emb(), range(8), k=10)
 
     return {
         "metric": "kg_build_end_to_end",
@@ -138,6 +144,7 @@ def run_bench() -> dict:
         "n_docs": n_docs,
         "n_triples": int(n_triples),
         "triples_per_sec": round(n_triples / headline, 2),
+        "knn_ivf_recall_at_10": round(ivf_recall, 4),
     }
 
 

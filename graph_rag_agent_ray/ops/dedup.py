@@ -47,6 +47,10 @@ from ..functions.sqlhash import (
     to_signed64,
 )
 
+# broadcast the gram-frequency dict below this many distinct grams;
+# beyond it the prefix ranking falls back to a distributed hash_join
+_FREQ_BROADCAST_LIMIT = 2_000_000
+
 
 # ---------------------------------------------------------------- exact ----
 
@@ -335,41 +339,78 @@ def ngram_jaccard_pairs(
         ["gram"],
         lambda df: df.groupby("gram", sort=False)["freq"].sum().reset_index(),
         n_buckets=32,
-    )
-    ranked = hash_join(grams, freq, on=["gram"], n_buckets=32)
+    ).materialize()
 
-    # 3. per-doc prefix under the (freq, gram) global order
-    def prefix_of_doc(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "freq", "gram"], kind="stable")
-        plen = (df["sz"] - np.ceil(threshold * df["sz"] - 1e-9).astype(int) + 1)
-        keep = df.groupby("doc_id", sort=False).cumcount() < plen
-        return df.loc[keep, ["doc_id", "gram", "sz"]]
+    # 3. per-doc prefix under the (freq, gram) global order. Two physical
+    # plans, auto-selected (the alias-remap pattern): when the distinct-gram
+    # table fits a broadcast, recompute grams per doc IN-MAP with the freq
+    # dict at hand — zero shuffles; otherwise hash_join + a doc_id shuffle
+    # (the 100 TB fallback; any consistent global order keeps exactness).
+    if freq.count() <= _FREQ_BROADCAST_LIMIT:
+        freq_pdf = freq.to_pandas()
+        freq_ref = ray.put(dict(zip(freq_pdf["gram"], freq_pdf["freq"])))
 
-    prefixes = hash_partitioned_groupby(ranked, ["doc_id"], prefix_of_doc,
-                                        n_buckets=32)
+        def prefix_in_map(batch: pa.Table) -> pa.Table:
+            fr = ray.get(freq_ref)
+            doc_ids, grams_out, sizes = [], [], []
+            for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("text").to_pylist()):
+                toks = (text or "").split()
+                gs = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+                if not gs:
+                    continue
+                sz = len(gs)
+                plen = sz - math.ceil(threshold * sz - 1e-9) + 1
+                pref = sorted(gs, key=lambda g: (fr.get(g, 0), g))[:plen]
+                doc_ids.extend([doc_id] * len(pref))
+                grams_out.extend(pref)
+                sizes.extend([sz] * len(pref))
+            return pa.table({
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "gram": pa.array(grams_out, pa.string()),
+                "sz": pa.array(sizes, pa.int64()),
+            })
+
+        prefixes = ds.map_batches(prefix_in_map, batch_format="pyarrow",
+                                  batch_size=2048)
+    else:
+        ranked = hash_join(grams, freq, on=["gram"], n_buckets=32)
+
+        def prefix_of_doc(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["doc_id", "freq", "gram"], kind="stable")
+            plen = (df["sz"] - np.ceil(threshold * df["sz"] - 1e-9).astype(int) + 1)
+            keep = df.groupby("doc_id", sort=False).cumcount() < plen
+            return df.loc[keep, ["doc_id", "gram", "sz"]]
+
+        prefixes = hash_partitioned_groupby(ranked, ["doc_id"], prefix_of_doc,
+                                            n_buckets=32)
 
     # 4. candidate pairs from shared prefix grams (+ length filter)
     def pairs_in_gram(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, g in df.groupby("gram", sort=False):
-            docs = g.drop_duplicates("doc_id").sort_values("doc_id")
-            if len(docs) < 2:
-                continue
-            m = docs.merge(docs, how="cross", suffixes=("_a", "_b"))
-            m = m[m["doc_id_a"] < m["doc_id_b"]]
-            # length filter: J >= t needs t*|B| <= |A| (A smaller)
-            lo = m[["sz_a", "sz_b"]].min(axis=1)
-            hi = m[["sz_a", "sz_b"]].max(axis=1)
-            m = m[lo >= threshold * hi]
-            if len(m):
-                frames.append(m[["doc_id_a", "doc_id_b", "sz_a", "sz_b"]]
-                              .rename(columns={"doc_id_a": "a", "doc_id_b": "b"}))
-        if not frames:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "sz_a": pd.Series(dtype="int64"),
-                                 "sz_b": pd.Series(dtype="int64")})
-        return pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
+        """One self-merge over the NON-singleton grams of the bucket —
+        almost every prefix gram appears once; dropping those vectorized
+        first avoids a per-gram Python loop."""
+        empty_c = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                "b": pd.Series(dtype="int64"),
+                                "sz_a": pd.Series(dtype="int64"),
+                                "sz_b": pd.Series(dtype="int64")})
+        df = df.drop_duplicates(["gram", "doc_id"])
+        shared = df[df.duplicated("gram", keep=False)]
+        if not len(shared):
+            return empty_c
+        m = shared.merge(shared, on="gram", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return empty_c
+        # length filter: J >= t needs t*|B| <= |A| (A smaller)
+        lo = m[["sz_a", "sz_b"]].min(axis=1)
+        hi = m[["sz_a", "sz_b"]].max(axis=1)
+        m = m[lo >= threshold * hi]
+        if not len(m):
+            return empty_c
+        return (m[["doc_id_a", "doc_id_b", "sz_a", "sz_b"]]
+                .rename(columns={"doc_id_a": "a", "doc_id_b": "b"})
+                .drop_duplicates(["a", "b"]))
 
     cand = hash_partitioned_groupby(prefixes, ["gram"], pairs_in_gram, n_buckets=32)
     cand_pdf = cand.to_pandas().drop_duplicates(["a", "b"])  # output-sized
@@ -412,28 +453,24 @@ def ngram_jaccard_pairs(
 
     partial_common = hash_partitioned_groupby(cand_grams, ["gram"],
                                               common_in_bucket, n_buckets=32)
-    common = hash_partitioned_groupby(
-        partial_common, ["a", "b"],
-        lambda df: df.groupby(["a", "b"], sort=False)["c"].sum().reset_index(),
-        n_buckets=16,
-    )
+    # final reduce is OUTPUT-sized (≤ candidate pairs × buckets partial rows)
+    # — a driver groupby, not another full shuffle
+    pc_pdf = partial_common.to_pandas()
+    if len(pc_pdf) == 0 or "a" not in pc_pdf.columns:
+        return ray.data.from_pandas(empty)
+    common = pc_pdf.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
 
     sizes = dict(zip(cand_pdf["a"], cand_pdf["sz_a"]))
     sizes.update(zip(cand_pdf["b"], cand_pdf["sz_b"]))
-    sizes_ref = ray.put(sizes)
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(sizes_ref)
-        df = df.copy()
-        df["n_common"] = df["c"].astype("int64")
-        df["n_union"] = (df["a"].map(sz) + df["b"].map(sz) - df["c"]).astype("int64")
-        df["jaccard"] = df["n_common"] / df["n_union"]
-        df = df[df["jaccard"] >= threshold]
-        return df[["a", "b", "n_common", "n_union", "jaccard"]]
-
-    out = common.map_batches(finish, batch_format="pandas", batch_size=16384)
-    # schema can be empty-widowed if no pair survives; normalize
-    return out
+    common["n_common"] = common["c"].astype("int64")
+    common["n_union"] = (common["a"].map(sizes) + common["b"].map(sizes)
+                         - common["c"]).astype("int64")
+    common["jaccard"] = common["n_common"] / common["n_union"]
+    out = common[common["jaccard"] >= threshold]
+    out = out[["a", "b", "n_common", "n_union", "jaccard"]].reset_index(drop=True)
+    if len(out) == 0:
+        return ray.data.from_pandas(empty)
+    return ray.data.from_pandas(out)
 
 
 # ------------------------------------------- embedding-cosine near-dup ----

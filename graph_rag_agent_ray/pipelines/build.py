@@ -133,23 +133,12 @@ def build_kg(
     pairs = C.candidate_pairs(embedded, cfg)
     pairs_pdf = pairs.to_pandas()  # judged merge decisions — small by construction
     lineage.record("canon_blocking", cached=False, wall_s=_time.monotonic() - _t)
-    if len(pairs_pdf) and "a" in pairs_pdf.columns:
-        members = set(pairs_pdf["a"]) | set(pairs_pdf["b"])
-    else:
-        members = set()
-    if members:
-        member_ref = ray.put(members)
-
-        def only_members(batch: pa.Table) -> pa.Table:
-            keep = ray.get(member_ref)
-            mask = pa.array([s in keep for s in batch.column("norm_surface").to_pylist()])
-            return batch.filter(mask)
-
-        counts_pdf = (
-            embedded.map_batches(only_members, batch_format="pyarrow", batch_size=8192)
-            .select_columns(["norm_surface", "n_mentions"]).to_pandas()
-        )
-        counts = dict(zip(counts_pdf["norm_surface"], counts_pdf["n_mentions"]))
+    # mention counts ride on the pair rows (canonicalize._pairs_in_block), so
+    # the alias map needs no second scan over the entity table — one driver
+    # collect total in the serial decision section
+    if len(pairs_pdf) and "n_a" in pairs_pdf.columns:
+        counts = dict(zip(pairs_pdf["a"], pairs_pdf["n_a"]))
+        counts.update(zip(pairs_pdf["b"], pairs_pdf["n_b"]))
     else:
         counts = {}
     alias = C.build_alias_map(pairs_pdf, counts)

@@ -170,8 +170,10 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
         return pa.table({
             "block_key": pa.array([], pa.string()),
             "norm_surface": pa.array([], pa.string()),
+            "n_mentions": pa.array([], pa.int64()),
             "embedding": pa.array([], pa.list_(pa.float32())),
         })
+    n_mentions = batch.column("n_mentions").to_pylist()
     vecs = list_column_to_matrix(batch.column("embedding"), cfg.embed_dim).astype(np.float32)
     keys: List[str] = []
     surf_out: List[str] = []
@@ -194,6 +196,7 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
     return pa.table({
         "block_key": pa.array(keys, pa.string()),
         "norm_surface": pa.array(surf_out, pa.string()),
+        "n_mentions": pa.array([int(n_mentions[i]) for i in idx], pa.int64()),
         "embedding": emb,
     })
 
@@ -265,8 +268,15 @@ def _pairs_in_block(group: pd.DataFrame, cfg: KGConfig) -> pd.DataFrame:
 
     out = sorted(p for p in candidates if judge_pair(p[0], p[1], cfg))
     if not out:
-        return pd.DataFrame({"a": [], "b": []})
-    return pd.DataFrame({"a": [p[0] for p in out], "b": [p[1] for p in out]})
+        return pd.DataFrame({"a": [], "b": [], "n_a": [], "n_b": []})
+    # carry mention counts on the pair rows so the driver's alias-map step
+    # needs NO second scan over the entity table (the Amdahl serial section)
+    counts = dict(zip(dedup["norm_surface"], dedup["n_mentions"]))
+    return pd.DataFrame({
+        "a": [p[0] for p in out], "b": [p[1] for p in out],
+        "n_a": [int(counts.get(p[0], 0)) for p in out],
+        "n_b": [int(counts.get(p[1], 0)) for p in out],
+    })
 
 
 def candidate_pairs(embedded: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":

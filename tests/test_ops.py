@@ -100,6 +100,23 @@ class TestKnn:
         # identical-direction vector must share every LSH bucket with query
         assert 10 in set(out["neighbor_id"])
 
+    def test_ivf_recall_gates(self, emb_ds):
+        # default config: useful recall on random-ish vectors (the hard case
+        # for LSH — no cluster structure at top-10 granularity)
+        assert SIM.knn_recall(emb_ds, range(8), k=10) >= 0.8
+        # tuned config (documented): full Hamming coverage at n_bits=2 is
+        # exact — recall 1.0 (bench reports the probe/recall curve)
+        assert SIM.knn_recall(emb_ds, range(8), k=10, n_bits=2, n_probes=4) == 1.0
+
+    def test_ivf_full_probe_equals_bruteforce(self, emb_ds):
+        """Probing every cell makes multi-probe IVF exact."""
+        ex = SIM.knn_bruteforce(emb_ds, query_ids=[0, 1], k=5).to_pandas()
+        ap = SIM.knn_ivf(emb_ds, query_ids=[0, 1], k=5,
+                         n_bits=2, n_probes=4).to_pandas()
+        cols = ["query_id", "neighbor_id", "rank"]
+        assert ex[cols].sort_values(cols).values.tolist() == \
+            ap[cols].sort_values(cols).values.tolist()
+
     def test_neardup_pairs(self, emb_ds):
         pairs = D.embedding_neardup_pairs(emb_ds, threshold=0.95).to_pandas()
         got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
