@@ -89,6 +89,9 @@ class SnapshotStore:
         # cluster's CPUs (read tasks cap at the file/row-group count anyway)
         import ray as _ray
         n_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+        m = self.manifest(stage)
+        if m and m.get("format") == "lance" and HAVE_LANCE:
+            return ray.data.read_lance(self._stage_dir(stage))
         return ray.data.read_parquet(
             self._stage_dir(stage), override_num_blocks=n_blocks
         )
@@ -104,8 +107,34 @@ class SnapshotStore:
             shutil.rmtree(tmp)
         os.makedirs(tmp, exist_ok=True)
         t0 = time.monotonic()
-        ds.write_parquet(tmp)
+        fmt = "parquet"
+        if HAVE_LANCE and hasattr(ds, "write_lance"):
+            try:  # production format; fall back to parquet on any failure
+                ds.write_lance(tmp)
+                fmt = "lance"
+            except Exception:  # noqa: BLE001 - e.g. empty dataset edge cases
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp, exist_ok=True)
+                ds.write_parquet(tmp)
+        else:
+            ds.write_parquet(tmp)
         wall = time.monotonic() - t0
+        if fmt == "lance":
+            import lance as _lance
+            n_rows = _lance.dataset(tmp).count_rows()
+            manifest = {
+                "stage": stage, "fingerprint": fp, "wall_s": round(wall, 3),
+                "n_files": 1, "n_rows": n_rows, "format": "lance",
+                "written_at": time.time(),
+            }
+            if extra:
+                manifest.update(extra)
+            with open(os.path.join(tmp, MANIFEST), "w") as f:
+                json.dump(manifest, f)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(tmp, final)
+            return self.read(stage)
         n_files = len([f for f in os.listdir(tmp) if f.endswith(".parquet")])
         if n_files == 0:
             # empty dataset: write_parquet emits nothing — persist an explicit
@@ -130,7 +159,7 @@ class SnapshotStore:
             "wall_s": round(wall, 3),
             "n_files": n_files,
             "n_rows": n_rows,
-            "format": "lance" if HAVE_LANCE else "parquet",
+            "format": "parquet",
             "written_at": time.time(),
         }
         manifest.update(extra or {})
