@@ -46,16 +46,24 @@ def embed_texts(texts: Sequence[str], dim: int = 64) -> np.ndarray:
 
     Multi-width character n-grams (2/3/4) — wider grams separate distinct
     surfaces, narrow grams keep typo/suffix variants close, which is the
-    property the cosine-0.9 blocking gate needs."""
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    sha1 = hashlib.sha1
+    property the cosine-0.9 blocking gate needs. Fully vectorized: n-gram
+    hashes via the code-point rolling hash (functions/sqlhash.py) and a
+    bincount scatter-add per row — no per-gram Python (this stage is the
+    model-inference stand-in and dominates build wall-clock at scale)."""
+    from .sqlhash import gram_hashes
+
+    out = np.empty((len(texts), dim), dtype=np.float64)
     for row, text in enumerate(texts):
+        t = f"  {text.lower()}  "
+        acc = np.zeros(dim, dtype=np.float64)
         for n in NGRAM_SIZES:
-            for g in _ngrams(text, n):
-                d = sha1(g.encode("utf-8")).digest()
-                idx = int.from_bytes(d[:4], "big") % dim
-                sign = 1.0 if d[4] & 1 else -1.0
-                out[row, idx] += sign
+            h = gram_hashes(t, n)
+            if len(h) == 0:
+                continue
+            idx = (h % np.uint64(dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+            acc += np.bincount(idx, weights=sign, minlength=dim)
+        out[row] = acc
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return (out / norms).astype(np.float32)

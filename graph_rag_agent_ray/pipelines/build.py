@@ -188,29 +188,49 @@ def build_kg(
             "doc_id": batch.column("doc_id"),
         })
 
+    # mention/entity canonicalization overlaps the edge chain on side
+    # threads — three independent sub-DAGs sharing the streaming executor
     _t = _time.monotonic()
-    mentions_canon = mentions.map_batches(
-        canon_mentions, batch_format="pyarrow", batch_size=8192
-    ).materialize()
-    entities0 = C.canonical_entities(embedded, alias_ref, cfg).materialize()
-    lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
+    mentions_canon_f = side.submit(
+        lambda: mentions.map_batches(
+            canon_mentions, batch_format="pyarrow", batch_size=8192
+        ).materialize())
+    entities0_f = side.submit(
+        lambda: C.canonical_entities(embedded, alias_ref, cfg).materialize())
     edges, triples_canon = edge_chain_f.result()
+    mentions_canon = mentions_canon_f.result()
+    entities0 = entities0_f.result()
+    lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
 
     # ---- communities (aggregated graph — provably small; guarded) ----
     # collect only the light columns once; chunk_ids lists stay distributed
     _t = _time.monotonic()
     edges_pdf = edges.select_columns(["src", "dst", "pred", "weight"]).to_pandas()
-    if len(edges_pdf) > CM.MAX_DRIVER_GRAPH_EDGES:
-        member_levels = CM.detect_communities_distributed(edges, cfg)
-    else:
+    driver_local = len(edges_pdf) <= CM.MAX_DRIVER_GRAPH_EDGES
+    if driver_local:
         member_levels = CM.detect_communities(edges_pdf, cfg)
+    else:
+        member_levels = CM.detect_communities_distributed(edges, cfg)
     lineage.record("louvain", cached=False, wall_s=_time.monotonic() - _t)
-    membership = ray.data.from_arrow(CM.community_membership_table(member_levels))
-    ranks = CM.community_ranks(membership, mentions_canon)
-    communities = store.run_stage(
-        "communities", fingerprint(alias_fp, "communities"),
-        lambda: CM.summarize_communities(membership, edges_pdf, ranks, cfg), lineage,
-    )
+    membership_pdf = CM.community_membership_table(member_levels).to_pandas()
+    # one distributed aggregate over the big mentions side; everything else
+    # in the community chain is community-count-sized
+    ranks = CM.community_ranks(membership_pdf, mentions_canon)
+    if driver_local:
+        ranks_pdf = ranks.to_pandas()
+        comm_pdf = CM.summarize_communities_local(
+            member_levels, edges_pdf, ranks_pdf, cfg)
+        communities = store.run_stage(
+            "communities", fingerprint(alias_fp, "communities"),
+            lambda: ray.data.from_pandas(comm_pdf), lineage,
+        )
+    else:
+        membership = ray.data.from_pandas(membership_pdf)
+        communities = store.run_stage(
+            "communities", fingerprint(alias_fp, "communities"),
+            lambda: CM.summarize_communities(membership, edges_pdf, ranks, cfg),
+            lineage,
+        )
 
     # ---- final entities: attach degree + community levels (broadcast maps) ----
     if len(edges_pdf) and "src" in edges_pdf.columns:

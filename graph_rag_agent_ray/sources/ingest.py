@@ -78,6 +78,39 @@ def read_json_documents(path, id_field: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
 
 
+def read_yaml_documents(paths, id_field: str = "doc_id",
+                        text_field: str = "text") -> "ray.data.Dataset":
+    """YAML files → documents (read_yaml_as_dict parity,
+    file_reader.py:376-399). Each file holds either one mapping or a list of
+    mappings; a mapping without ``text_field`` is serialized back to YAML
+    text (the reference's 'yaml → dumped text' behaviour). Parsing happens
+    inside map_batches — the safe_load per file runs on workers."""
+    import yaml  # PyYAML; gate at call time like the other codec readers
+
+    raw = ray.data.read_binary_files(paths, include_paths=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for path, b in zip(batch.column("path").to_pylist(),
+                           batch.column("bytes").to_pylist()):
+            base = os.path.basename(str(path))
+            try:
+                obj = yaml.safe_load(b.decode("utf-8", "replace"))
+            except yaml.YAMLError:
+                obj = None
+            rows = obj if isinstance(obj, list) else [obj]
+            for i, row in enumerate(rows):
+                if isinstance(row, dict) and text_field in row:
+                    ids.append(str(row.get(id_field, f"{base}#{i}")))
+                    texts.append(str(row[text_field]))
+                elif row is not None:
+                    ids.append(f"{base}#{i}")
+                    texts.append(yaml.safe_dump(row, allow_unicode=True))
+        return _wrap(ids, texts)
+
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=64)
+
+
 def read_parquet_documents(path, id_column: str = "doc_id",
                            text_column: str = "text") -> "ray.data.Dataset":
     ds = ray.data.read_parquet(path, columns=[id_column, text_column])

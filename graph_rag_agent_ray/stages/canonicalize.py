@@ -508,8 +508,11 @@ def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None)
     combine, then a vectorized hash-bucket reduce (functions/shuffle.py).
     n_sources saturates at MAX_EDGE_CHUNK_IDS (documented provenance cap)."""
     cfg = cfg or KGConfig()
+    # large combine batches: duplicate facts are spread uniformly, so the
+    # map-side combine ratio improves with batch size (a 64k batch sees ~all
+    # hot (s,p,o) keys and emits one row each) — less data into the shuffle
     partial = triples_canon.map_batches(
-        _partial_edges, batch_format="pyarrow", batch_size=16384
+        _partial_edges, batch_format="pyarrow", batch_size=65536
     )
     return hash_partitioned_groupby(
         partial, ["subj", "pred", "obj"], _edges_bucket,

@@ -193,6 +193,10 @@ def chunk_documents(docs: "ray.data.Dataset", cfg: KGConfig | None = None) -> "r
 
 def build_span_index(docs: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
     cfg = cfg or KGConfig()
+    # 4× the chunker batch: span indexing is a cheap per-doc loop, so fewer,
+    # larger tasks beat scheduling overhead (it shares cores with the chunk/
+    # extract chain and must not flood the scheduler with tiny tasks)
     return docs.map_batches(
-        SpanIndexBatch(), batch_format="pyarrow", batch_size=cfg.chunk_batch_size
+        SpanIndexBatch(), batch_format="pyarrow",
+        batch_size=cfg.chunk_batch_size * 4
     )

@@ -208,14 +208,17 @@ def community_membership_table(member_levels: Dict[str, List[int]]) -> pa.Table:
 
 
 def community_ranks(
-    membership: "ray.data.Dataset", mentions_canon: "ray.data.Dataset"
+    membership, mentions_canon: "ray.data.Dataset"
 ) -> "ray.data.Dataset":
     """rank = distinct chunks mentioning any member (summary/base.py:53-68).
 
     Broadcast the (small) membership map and aggregate over the (large)
     mentions stream — the shuffle key is community_id, pre-aggregated per
-    batch to (community_id, chunk_id) pairs before the distinct count."""
-    member_ref = ray.put(membership.to_pandas())
+    batch to (community_id, chunk_id) pairs before the distinct count.
+    ``membership`` may be a Dataset or an already-collected DataFrame."""
+    member_pdf = (membership.to_pandas()
+                  if not isinstance(membership, pd.DataFrame) else membership)
+    member_ref = ray.put(member_pdf)
 
     def explode(batch: pa.Table) -> pd.DataFrame:
         members = ray.get(member_ref)
@@ -232,6 +235,74 @@ def community_ranks(
         .astype({"rank": "int64"}),
         n_buckets=16,
     )
+
+
+def summarize_communities_local(
+    member_levels: Dict[str, List[int]],
+    edges_pdf: pd.DataFrame,
+    ranks_pdf: pd.DataFrame,
+    cfg: KGConfig | None = None,
+) -> pd.DataFrame:
+    """Driver-side fast path of :func:`summarize_communities` for builds that
+    already detected communities driver-locally (the membership, edge list
+    and ranks are ALL on the driver and guarded-small) — one function call
+    instead of three Dataset executions on community-count-sized data. Same
+    output columns/values as the distributed variant."""
+    cfg = cfg or KGConfig()
+    member_pdf = community_membership_table(member_levels).to_pandas()
+    edges_pdf = edges_pdf.copy()
+    for col in ("src", "dst", "pred"):
+        if col not in edges_pdf.columns:
+            edges_pdf[col] = pd.Series(dtype=object)
+    edges_pdf = edges_pdf[["src", "dst", "pred"]]
+    comm_edges: Dict[str, list] = {}
+    if len(member_pdf) and len(edges_pdf):
+        m = member_pdf[["entity_id", "level", "community_id"]]
+        for _level, ml in m.groupby("level", sort=False):
+            tagged = (
+                edges_pdf
+                .merge(ml.rename(columns={"entity_id": "src",
+                                          "community_id": "_c_src"}).drop(columns="level"),
+                       on="src")
+                .merge(ml.rename(columns={"entity_id": "dst",
+                                          "community_id": "_c_dst"}).drop(columns="level"),
+                       on="dst")
+            )
+            intra = tagged[tagged["_c_src"] == tagged["_c_dst"]]
+            for cid, g in intra.groupby("_c_src", sort=False):
+                comm_edges[cid] = list(
+                    g[["src", "dst", "pred"]].itertuples(index=False, name=None))
+    rank_map = dict(zip(ranks_pdf.get("community_id", []),
+                        ranks_pdf.get("rank", [])))
+    top_ids = set(
+        ranks_pdf.sort_values(["rank", "community_id"], ascending=[False, True])
+        .head(cfg.community_top_n_summaries)["community_id"]
+    ) if len(ranks_pdf) else set()
+    summarizer = MockSummarizer()
+    rows = []
+    for (cid, level), g in member_pdf.groupby(["community_id", "level"], sort=False):
+        members = sorted(g["entity_id"])
+        rels = sorted(comm_edges.get(cid, []))
+        full = (
+            "Nodes are: " + "; ".join(members[:200]) + ". Relationships are: "
+            + "; ".join(f"{s} -{p}-> {d}" for s, d, p in rels[:200]) + "."
+        )
+        summary = summarizer.summarize(cid, members, rels) if cid in top_ids else ""
+        rows.append({
+            "community_id": cid, "level": int(level), "members": members,
+            "summary": summary, "full_content": full,
+            "rank": int(rank_map.get(cid, 0)),
+        })
+    if not rows:
+        return pd.DataFrame({
+            "community_id": pd.Series(dtype=object),
+            "level": pd.Series(dtype="int64"),
+            "members": pd.Series(dtype=object),
+            "summary": pd.Series(dtype=object),
+            "full_content": pd.Series(dtype=object),
+            "rank": pd.Series(dtype="int64"),
+        })
+    return pd.DataFrame(rows).sort_values("community_id").reset_index(drop=True)
 
 
 class MockSummarizer:

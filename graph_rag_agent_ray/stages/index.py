@@ -61,11 +61,13 @@ def embed_chunks(
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     max_pool = concurrency or max(2, n_cpus - 2)
     from .pool import stage_map_batches
-    # fine-grained tasks: this stage dominates wall-clock, so its straggler
-    # tail is the job's tail — many small tasks keep every core busy to the end
-    chunks = chunks.repartition(max(64, n_cpus * 8))
+    # batch size is sized to the embedder's throughput: the vectorized hash
+    # embedder does ~10k chunks/s/core, so sub-1k batches are pure task
+    # overhead. A MODEL-backed embedder would drop this toward its inference
+    # batch (reference EMBEDDING_BATCH_SIZE=64, config/settings.py:75) and
+    # re-enable the fine-grained repartition for straggler smoothing.
     return stage_map_batches(
         chunks, EmbedChunks, {"cfg": cfg},
-        batch_size=128,  # 2× reference EMBEDDING_BATCH_SIZE (config/settings.py:75)
+        batch_size=2048,
         max_pool=max_pool,
     )

@@ -169,3 +169,31 @@ class TestDistributedAliasPath:
         key = ["src", "pred", "dst", "n_sources"]
         assert sorted(map(tuple, a[key].to_numpy().tolist())) == \
             sorted(map(tuple, b[key].to_numpy().tolist()))
+
+
+class TestCommunitySummarizePaths:
+    def test_local_fast_path_matches_distributed(self, built):
+        """build_kg uses the driver-local community build under the guard;
+        the distributed variant must produce identical rows (it is the
+        beyond-guard path)."""
+        import ray.data as rd_
+        from graph_rag_agent_ray.stages import communities as CM
+
+        _, tables, _ = built
+        edges_pdf = tables["edges"].to_pandas()[["src", "dst", "pred", "weight"]]
+        member_levels = CM.detect_communities(edges_pdf)
+        membership_pdf = CM.community_membership_table(member_levels).to_pandas()
+        ranks_pdf = CM.community_ranks(
+            membership_pdf, tables["mentions_canon"]).to_pandas()
+        local = CM.summarize_communities_local(
+            member_levels, edges_pdf, ranks_pdf)
+        ranks_ds = CM.community_ranks(membership_pdf, tables["mentions_canon"])
+        dist = CM.summarize_communities(
+            rd_.from_pandas(membership_pdf), edges_pdf, ranks_ds).to_pandas()
+        cols = ["community_id", "level", "summary", "full_content", "rank"]
+        a = local[cols].sort_values("community_id").reset_index(drop=True)
+        b = dist[cols].sort_values("community_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        am = {r.community_id: list(r.members) for r in local.itertuples()}
+        bm = {r.community_id: list(r.members) for r in dist.itertuples()}
+        assert am == bm

@@ -67,3 +67,50 @@ class TestHybridSearch:
         eset = set(out["low_entities"]["entity_id"])
         assert all(s in eset or d in eset
                    for s, d in zip(out["low_edges"]["src"], out["low_edges"]["dst"]))
+
+
+class TestChainOfExploration:
+    def test_beam_explores_and_collects_evidence(self, built):
+        from graph_rag_agent_ray.pipelines.query import chain_of_exploration
+        corpus, tables = built
+        target = corpus.alias_groups.column("canonical_id")[0].as_py()
+        out = chain_of_exploration(tables, target, max_hops=2, beam_width=4)
+        assert target in out["visited"]
+        assert len(out["visited"]) > 4          # explored beyond the seed
+        assert len(out["hops"]) >= 2
+        ev = out["evidence"]
+        assert len(ev) > 0
+        assert not ev.duplicated(["src", "dst", "pred"]).any()
+        # evidence edges touch the visited set
+        touched = set(ev["src"]) | set(ev["dst"])
+        assert touched & set(out["visited"])
+
+    def test_explicit_seed_and_determinism(self, built):
+        from graph_rag_agent_ray.pipelines.query import chain_of_exploration
+        corpus, tables = built
+        target = corpus.alias_groups.column("canonical_id")[0].as_py()
+        a = chain_of_exploration(tables, "anything", start_entities=[target],
+                                 max_hops=1, beam_width=3)
+        b = chain_of_exploration(tables, "anything", start_entities=[target],
+                                 max_hops=1, beam_width=3)
+        assert a["visited"] == b["visited"]
+        assert a["hops"] == b["hops"]
+
+
+class TestYamlReader:
+    def test_yaml_documents(self, ray_session, tmp_path):
+        import yaml
+        from graph_rag_agent_ray.sources.ingest import read_yaml_documents
+        p1 = tmp_path / "a.yaml"
+        p1.write_text(yaml.safe_dump([
+            {"doc_id": "y1", "text": "first yaml doc"},
+            {"doc_id": "y2", "text": "second yaml doc"},
+        ]))
+        p2 = tmp_path / "b.yaml"
+        p2.write_text(yaml.safe_dump({"title": "no text field", "n": 3}))
+        docs = read_yaml_documents([str(p1), str(p2)]).to_pandas()
+        ids = set(docs["doc_id"])
+        assert {"y1", "y2"} <= ids and len(docs) == 3
+        # mapping without text field serialized back to yaml text
+        other = docs[~docs["doc_id"].isin({"y1", "y2"})].iloc[0]
+        assert "title" in other["spans"][0]["text"]
