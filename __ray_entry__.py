@@ -102,6 +102,19 @@ def _write_kg_truth(corpus) -> None:
     comm = pd.DataFrame(rows, columns=["entity_id", "community_number"])
     pq.write_table(pa.Table.from_pandas(comm, preserve_index=False),
                    f"{KG_TRUTH_DIR}/kg_communities.parquet")
+    # media inventory truth: every non-text span + the decode stage's
+    # feature-dim contract (independent pandas walk over the input spans)
+    from graph_rag_agent_ray.ops.multimodal import FEATURE_DIM
+    m_rows = []
+    for doc_id, spans in zip(corpus.documents.column("doc_id").to_pylist(),
+                             corpus.documents.column("spans").to_pylist()):
+        for s in spans or []:
+            if s["kind"] != "text":
+                m_rows.append((doc_id, s["media_ref"], s["kind"], FEATURE_DIM))
+    media = pd.DataFrame(m_rows, columns=["doc_id", "media_ref", "kind",
+                                          "n_features"])
+    pq.write_table(pa.Table.from_pandas(media, preserve_index=False),
+                   f"{KG_TRUTH_DIR}/media_features.parquet")
 
 
 def _kg_tables(sf_dir: str) -> dict:
@@ -279,6 +292,26 @@ def _kg_communities_q(sf_dir: str):
     return ents.map_batches(final_level, batch_format="pyarrow", batch_size=8192)
 
 
+def _media_features_q(sf_dir: str):
+    """Media decode plumbing over the KG corpus: extract media spans →
+    actor-pool decode (deterministic fake features) → inventory projection
+    (doc_id, media_ref, kind, n_features)."""
+    corpus = _kg_tables(sf_dir)["_corpus"]
+    feats = decode_media(media_from_documents(rd.from_arrow(corpus.documents)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+            "kind": batch.column("kind"),
+            "n_features": pa.array(
+                [len(f) for f in batch.column("feature").to_pylist()],
+                pa.int64()),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow", batch_size=4096)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # --- span plumbing + text analysis (SQL-checked) ---
@@ -304,8 +337,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": lambda sf: D.simhash_duplicate_pairs(_docs(sf), max_hamming=3),
         "ngram_jaccard": lambda sf: D.ngram_jaccard_pairs(_docs(sf), n=3, threshold=0.5),
         "winnow_fps": lambda sf: TS.winnow_fingerprints(_docs(sf)),
-        # --- rows-only (approximate-by-design; recall measured in bench) ---
-        "knn_ivf": lambda sf: SIM.knn_ivf(_emb(sf), query_ids=range(8), k=10),
+        # multi-probe IVF at full Hamming coverage (n_probes=2^n_bits) is
+        # EXACT, so the bucketize/probe/partial-topk/merge machinery verifies
+        # against the same SQL oracle as brute force; the approximate default
+        # config's recall@10 is measured in bench instead
+        "knn_ivf": lambda sf: SIM.knn_ivf(
+            _emb(sf), query_ids=range(8), k=10, n_bits=2, n_probes=4
+        ).drop_columns(["sim"]),
         "embedding_neardup_blocked": lambda sf: D.embedding_neardup_blocked(
             _emb(sf), threshold=0.35, n_bits=2, n_tables=16),
         # --- KG construction pipeline (synthetic interleaved corpus) ---
@@ -319,10 +357,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities_q,
         "kg_edges": _kg_edges_q,
         "kg_communities": _kg_communities_q,
-        # --- multimodal plumbing (stubbed decode, real Ray plumbing) ---
-        "media_features": lambda sf: decode_media(
-            media_from_documents(rd.from_arrow(generate(n_docs=60, seed=42).documents))
-        ),
+        # --- multimodal plumbing (stubbed decode, real Ray plumbing):
+        # inventory projection (which media spans were found + the decode
+        # stage's feature-dim contract) verifies against the generator's
+        # span log; feature VALUES stay unverifiable until a real codec ---
+        "media_features": _media_features_q,
     }
     return q
 
@@ -424,11 +463,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": f"SELECT entity_id, entity_type, n_docs FROM read_parquet('{KG_TRUTH_DIR}/kg_entities.parquet')",
         "kg_edges": f"SELECT src, pred, dst, weight FROM read_parquet('{KG_TRUTH_DIR}/kg_edges.parquet')",
         "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
+        "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),
         "winnow_fps": O.winnow_sql(),
         "knn_topk": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, v.embedding), 6) AS sim
+                FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 8
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        """,
+        # full-Hamming-coverage multi-probe IVF is exact — same ground truth
+        "knn_ivf": """
             WITH sims AS (
                 SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
                        round(list_cosine_similarity(q.embedding, v.embedding), 6) AS sim

@@ -190,8 +190,12 @@ def _calibrate(ncpu: int) -> float:
 def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (the in-sandbox
     evidence for the N vs 4N cluster-size criterion), plus a platform
-    calibration so pipeline scaling is separable from single-box limits."""
-    lo, hi = 8, 32
+    calibration so pipeline scaling is separable from single-box limits.
+    Override the pair with GRAFT_SCALE_LO/GRAFT_SCALE_HI (e.g. 4/16, which
+    avoids the full-width frequency-throttling artifact — BASELINE.md carries
+    the full 4/8/16/32 curve and the Amdahl decomposition)."""
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     results = {}
     for ncpu in (lo, hi):
         best = None

@@ -102,3 +102,55 @@ class TestRecordProperties:
         assert len(parsed.relationships) == 1
         got = parsed.relationships[0]
         assert got == (s, t, r, d, float(w))
+
+
+class TestSqlHashEquivalence:
+    """The SQL-reproducible hash spec (functions/sqlhash.py) must compute
+    identical values in numpy and DuckDB for arbitrary unicode input — the
+    foundation every SQL-exact dedup oracle stands on."""
+
+    @given(st.text(max_size=60), st.sampled_from([2, 5, 8]))
+    @settings(max_examples=40, deadline=None)
+    def test_gram_hashes_match_duckdb(self, text, k):
+        import duckdb
+        import pandas as pd
+        from graph_rag_agent_ray.functions.sqlhash import gram_hashes, sql_gram_hash
+
+        py = [int(x) for x in gram_hashes(text, k)]
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"text": [text]}))
+        sql = (f"SELECT {sql_gram_hash('text', 'i', k)} AS h FROM t, "
+               f"unnest(range(1, length(text) - {k} + 2)) AS u(i) ORDER BY i")
+        theirs = [int(r[0]) for r in con.execute(sql).fetchall()]
+        assert py == theirs
+
+    @given(st.text(min_size=1, max_size=30).filter(lambda s: not any(
+        ch.isspace() for ch in s)))
+    @settings(max_examples=40, deadline=None)
+    def test_md5_u64_matches_duckdb(self, token):
+        import duckdb
+        import pandas as pd
+        from graph_rag_agent_ray.functions.sqlhash import md5_u64, sql_md5_u64
+
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"tok": [token]}))
+        theirs = con.execute(
+            f"SELECT {sql_md5_u64('tok')}::HUGEINT FROM t").fetchone()[0]
+        assert md5_u64(token) == int(theirs)
+
+    @given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+    @settings(max_examples=30, deadline=None)
+    def test_minhash_perm_matches_duckdb(self, h):
+        import duckdb
+        from graph_rag_agent_ray.functions.sqlhash import minhash_perm_params
+
+        a, b = minhash_perm_params(4, seed=42)
+        con = duckdb.connect()
+        for i in range(4):
+            with __import__("numpy").errstate(over="ignore"):
+                import numpy as np
+                py = int((np.uint64(a[i]) * np.uint64(h) + np.uint64(b[i])))
+            theirs = con.execute(
+                f"SELECT ({int(a[i])}::HUGEINT * {h}::HUGEINT + {int(b[i])}) "
+                f"% 18446744073709551616").fetchone()[0]
+            assert py == int(theirs)
