@@ -51,6 +51,9 @@ from ..functions.sqlhash import (
 # beyond it the prefix ranking falls back to a distributed hash_join
 _FREQ_BROADCAST_LIMIT = 2_000_000
 
+# refuse to collect more candidate pairs than this to the driver
+MAX_DRIVER_CANDIDATE_PAIRS = 20_000_000
+
 
 # ---------------------------------------------------------------- exact ----
 
@@ -413,6 +416,15 @@ def ngram_jaccard_pairs(
                 .drop_duplicates(["a", "b"]))
 
     cand = hash_partitioned_groupby(prefixes, ["gram"], pairs_in_gram, n_buckets=32)
+    # candidate pairs are output-sized by the prefix+length filters; guard the
+    # driver collect anyway (a pathologically dup-heavy corpus could exceed it
+    # — the fix there is raising the threshold or sharding the verify pass)
+    n_cand = cand.count()
+    if n_cand > MAX_DRIVER_CANDIDATE_PAIRS:
+        raise RuntimeError(
+            f"ngram_jaccard_pairs: {n_cand} candidate pairs exceed the driver "
+            f"guard ({MAX_DRIVER_CANDIDATE_PAIRS}); corpus is duplicate-heavy "
+            "— raise the threshold or shard the verification pass")
     cand_pdf = cand.to_pandas().drop_duplicates(["a", "b"])  # output-sized
     empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
                           "n_common": pd.Series(dtype="int64"),

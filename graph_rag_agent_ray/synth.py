@@ -128,7 +128,14 @@ def _variants(name: str, rng: np.random.Generator) -> List[str]:
 def generate(n_docs: int = 100, seed: int = 42,
              n_entities: int | None = None,
              facts_per_doc: int = 6,
-             media_rate: float = 0.03) -> SynthCorpus:
+             media_rate: float = 0.03,
+             dup_rate: float = 0.0) -> SynthCorpus:
+    """``dup_rate`` appends ``int(n_docs * dup_rate)`` EXACT-duplicate
+    documents (copies of earlier docs under fresh doc_ids, media refs
+    rewritten to the new doc). Duplicate docs share every chunk_id
+    (chunk_id = sha1(text)) with their source — the collision case the
+    work-dedup join and provenance bookkeeping must survive; ground-truth
+    tables are duplicated alongside so the oracles stay exact."""
     rng = np.random.default_rng(seed)
     n_entities = n_entities or max(20, n_docs // 2)
 
@@ -149,8 +156,6 @@ def generate(n_docs: int = 100, seed: int = 42,
     # canonical graph has a known modular ground truth that seeded community
     # detection must recover (the LFR-style planted-partition benchmark) ---
     preds = list(PRED_PHRASES)
-    zipf_w = 1.0 / np.arange(1, n_entities + 1, dtype=np.float64)
-    zipf_w /= zipf_w.sum()
     cluster_id = np.arange(n_entities) // CLUSTER_SIZE
     n_clusters = int(cluster_id.max()) + 1
     zipf_k = 1.0 / np.arange(1, CLUSTER_SIZE + 1, dtype=np.float64)
@@ -207,6 +212,7 @@ def generate(n_docs: int = 100, seed: int = 42,
     # can be observed only through a variant form — the representative is
     # then that variant, and the ground truth must say so too.
     obs: List[Dict[str, int]] = [dict() for _ in range(n_entities)]
+    obs_log: Dict[str, List[tuple]] = {}  # doc_id -> (entity idx, norm surface)
     norm_memo: Dict[str, str] = {}
 
     def _norm(s: str) -> str:
@@ -239,6 +245,8 @@ def generate(n_docs: int = 100, seed: int = 42,
             for idx, surf in ((si, s_surf), (oi, o_surf)):
                 k = _norm(surf)
                 obs[idx][k] = obs[idx].get(k, 0) + 1
+                if dup_rate > 0:  # replayed for duplicate docs (rep rule
+                    obs_log.setdefault(doc_id, []).append((idx, k))
             sentences.append(
                 f"The {types[s_name]} {s_surf} {PRED_PHRASES[pred]} "
                 f"the {types[o_name]} {o_surf}。"
@@ -288,6 +296,40 @@ def generate(n_docs: int = 100, seed: int = 42,
         # with "\n" (the span-sequence contract stages/chunker.py must honor)
         assembled.append("\n".join(
             sp["text"] for sp in spans if sp["kind"] == "text"))
+
+    # exact-duplicate documents (see docstring): copy spans + truth rows
+    n_dups = int(n_docs * dup_rate)
+    if n_dups:
+        by_doc_t: Dict[str, List[int]] = {}
+        for i, d in enumerate(t_doc):
+            by_doc_t.setdefault(d, []).append(i)
+        by_doc_m: Dict[str, List[int]] = {}
+        for i, d in enumerate(m_doc):
+            by_doc_m.setdefault(d, []).append(i)
+        src_idx = rng.integers(0, n_docs, size=n_dups)
+        for j in range(n_dups):
+            src = doc_ids[int(src_idx[j])]
+            new_id = f"dup-{j:08d}"
+            spans = []
+            for s in spans_col[int(src_idx[j])]:
+                s2 = dict(s)
+                if s2["media_ref"]:
+                    s2["media_ref"] = s2["media_ref"].replace(src, new_id, 1)
+                spans.append(s2)
+            doc_ids.append(new_id)
+            spans_col.append(spans)
+            assembled.append(assembled[int(src_idx[j])])
+            for i in by_doc_t.get(src, []):
+                t_subj.append(t_subj[i])
+                t_pred.append(t_pred[i])
+                t_obj.append(t_obj[i])
+                t_doc.append(new_id)
+                t_w.append(t_w[i])
+            for i in by_doc_m.get(src, []):
+                m_doc.append(new_id)
+                m_ent.append(m_ent[i])
+            for idx, k in obs_log.get(src, []):  # duplicates count toward
+                obs[idx][k] = obs[idx].get(k, 0) + 1  # the representative rule
 
     documents = pa.Table.from_pydict(
         {"doc_id": doc_ids, "spans": spans_col}, schema=S.DOCUMENTS
