@@ -415,10 +415,13 @@ def ngram_jaccard_pairs(
                 .rename(columns={"doc_id_a": "a", "doc_id_b": "b"})
                 .drop_duplicates(["a", "b"]))
 
-    cand = hash_partitioned_groupby(prefixes, ["gram"], pairs_in_gram, n_buckets=32)
+    cand = hash_partitioned_groupby(prefixes, ["gram"], pairs_in_gram,
+                                    n_buckets=32).materialize()
     # candidate pairs are output-sized by the prefix+length filters; guard the
     # driver collect anyway (a pathologically dup-heavy corpus could exceed it
-    # — the fix there is raising the threshold or sharding the verify pass)
+    # — the fix there is raising the threshold or sharding the verify pass).
+    # materialize() above makes the guard count + the collect read the same
+    # computed blocks instead of re-executing the candidate pipeline.
     n_cand = cand.count()
     if n_cand > MAX_DRIVER_CANDIDATE_PAIRS:
         raise RuntimeError(

@@ -45,6 +45,11 @@ WEIRD_DOCS = [
         {"kind": "text",
          "text": "The person Alfa Beta leads the organization Gamma Delta Corp。",
          "media_ref": "", "offset": 0}]},
+    # oversized document (> the reference's MAX_TEXT_LENGTH=500k chars,
+    # text_chunker.py:43-163) — the offset-window chunker must stay bounded
+    {"doc_id": "huge", "spans": [
+        {"kind": "text", "text": "Many words fill this sentence fully。 " * 15000,
+         "media_ref": "", "offset": 0}]},
 ]
 
 
