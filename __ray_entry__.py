@@ -292,6 +292,62 @@ def _kg_communities_q(sf_dir: str):
     return ents.map_batches(final_level, batch_format="pyarrow", batch_size=8192)
 
 
+_INC_CACHE: Dict[str, "rd.Dataset"] = {}
+
+
+def _kg_incremental_q(sf_dir: str):
+    """Incremental-update path under the hard gate: tick 0 builds the base
+    corpus, tick 1 incrementally adds exact-duplicate documents (registry
+    diff → carry-over of unchanged chunks/extractions/embeddings → rebuild).
+    The final canonical per-doc triples must equal the generator's ground
+    truth for the FULL corpus — i.e. the incremental build must be
+    indistinguishable from a fresh build."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from graph_rag_agent_ray.functions.shuffle import drop_duplicate_keys
+    from graph_rag_agent_ray.pipelines.incremental import (
+        incremental_build_kg, write_registry)
+    from graph_rag_agent_ray.pipelines.build import build_kg as _build
+
+    n_docs = 200 if "0.01" in sf_dir else (800 if "0.1" in sf_dir else 60)
+    gen2 = generate(n_docs=n_docs, seed=42, dup_rate=0.15)
+    # truth: distinct per-doc canonical triples of the FULL (v2) corpus
+    import pandas as pd
+    os.makedirs(KG_TRUTH_DIR, exist_ok=True)
+    tref = gen2.triples_ref.to_pandas()[["doc_id", "subj", "pred", "obj"]]
+    pq.write_table(
+        pa.Table.from_pandas(tref.drop_duplicates(), preserve_index=False),
+        f"{KG_TRUTH_DIR}/kg_incremental.parquet")
+    if sf_dir in _INC_CACHE:
+        return _INC_CACHE[sf_dir]
+
+    v2 = rd.from_arrow(gen2.documents)
+    v1 = v2.filter(
+        lambda row: not str(row["doc_id"]).startswith("dup-"))
+    token = hashlib.sha1(f"kginc|{n_docs}|42".encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", "graft_kg_inc", token)
+    t0_dir, t1_dir = f"{base}/tick0", f"{base}/tick1"
+    if not os.path.exists(f"{t1_dir}/_lineage.jsonl"):
+        _build(v1, t0_dir, input_token=token + "v1")
+        write_registry(v1, t0_dir, input_token=token + "v1")
+        tables, _delta = incremental_build_kg(
+            v2, t1_dir, t0_dir, input_token=token + "v2")
+    else:
+        tables = _build(v2, t1_dir, input_token=token + "v2")  # cached resume
+    tc = tables["triples_canon"]
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "subj", "pred", "obj"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = drop_duplicate_keys(
+        tc.map_batches(part, batch_format="pyarrow", batch_size=16384),
+        ["doc_id", "subj", "pred", "obj"], n_buckets=16)
+    _INC_CACHE[sf_dir] = out
+    return out
+
+
 def _media_features_q(sf_dir: str):
     """Media decode plumbing over the KG corpus: extract media spans →
     actor-pool decode (deterministic fake features) → inventory projection
@@ -357,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities_q,
         "kg_edges": _kg_edges_q,
         "kg_communities": _kg_communities_q,
+        "kg_incremental": _kg_incremental_q,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing):
         # inventory projection (which media spans were found + the decode
         # stage's feature-dim contract) verifies against the generator's
@@ -464,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": f"SELECT src, pred, dst, weight FROM read_parquet('{KG_TRUTH_DIR}/kg_edges.parquet')",
         "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",
+        "kg_incremental": f"SELECT doc_id, subj, pred, obj FROM read_parquet('{KG_TRUTH_DIR}/kg_incremental.parquet')",
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),
