@@ -137,19 +137,26 @@ def hybrid_search(
 
     def touching(batch):
         import pyarrow as pa
-        keep = ray.get(eref)
-        mask = [batch.column("src")[i].as_py() in keep
-                or batch.column("dst")[i].as_py() in keep
-                for i in range(len(batch))]
-        return batch.filter(pa.array(mask))
+        import pyarrow.compute as pc
+        keep = pa.array(sorted(ray.get(eref)), pa.string())
+        mask = pc.or_(pc.is_in(batch.column("src"), value_set=keep),
+                      pc.is_in(batch.column("dst"), value_set=keep))
+        return batch.filter(mask)
 
     one_hop = tables["edges"].map_batches(touching, batch_format="pyarrow").to_pandas()
 
-    mentions = tables["mentions_canon"].to_pandas()
+    def hit_mentions(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        keep = pa.array(sorted(ray.get(eref)), pa.string())
+        return batch.filter(pc.is_in(batch.column("entity_id"), value_set=keep))
+
+    # collect only the matched entities' mention rows, never the full table
+    mentions = tables["mentions_canon"].map_batches(
+        hit_mentions, batch_format="pyarrow").to_pandas()
     rel_chunks = (
-        mentions[mentions["entity_id"].isin(eset)]
-        .groupby("chunk_id").size().sort_values(ascending=False, kind="stable")
-        .head(k_chunks)
+        mentions.groupby("chunk_id").size()
+        .sort_values(ascending=False, kind="stable").head(k_chunks)
     )
     cset = set(rel_chunks.index)
     cref = ray.put(cset)

@@ -37,6 +37,25 @@ def _anti_join_small(ds: "ray.data.Dataset", col: str, keep_if_in: "ray.ObjectRe
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
+def _distinct_values(ds: "ray.data.Dataset", col: str) -> set:
+    """Distinct values of one column, deduped DISTRIBUTEDLY before the
+    driver collect — the collect is distinct-value-sized (entity/chunk-id
+    scale), never row-count-sized (a full mentions take_all would be a
+    corpus-scale driver materialization)."""
+    import pandas as pd
+
+    from ..functions.shuffle import hash_partitioned_groupby
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select([col]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = hash_partitioned_groupby(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=16384),
+        [col], lambda df: df.drop_duplicates(), n_buckets=16)
+    return set(distinct.to_pandas()[col])
+
+
 def validate_graph(
     tables: Dict[str, "ray.data.Dataset"]
 ) -> Dict[str, int]:
@@ -52,17 +71,13 @@ def validate_graph(
     chunks = tables["chunks"]
     edges = tables["edges"]
 
-    entity_ids = set(
-        r["entity_id"] for r in entities.select_columns(["entity_id"]).take_all()
-    )
+    entity_ids = _distinct_values(entities, "entity_id")
     eref = ray.put(entity_ids)
 
     issues: Dict[str, int] = {}
 
     if mentions is not None:
-        mentioned = set(
-            r["entity_id"] for r in mentions.select_columns(["entity_id"]).take_all()
-        )
+        mentioned = _distinct_values(mentions, "entity_id")
         issues["orphan_entities"] = len(entity_ids - mentioned)
     else:
         issues["orphan_entities"] = -1
@@ -78,13 +93,45 @@ def validate_graph(
     dangling_dst = _anti_join_small(edges, "dst", eref)
     issues["dangling_edges"] = dangling_src.count() + dangling_dst.count()
 
-    chunk_ids = set(r["chunk_id"] for r in chunks.select_columns(["chunk_id"]).take_all())
-    cref = ray.put(chunk_ids)
     if mentions is not None:
-        issues["orphan_mentions"] = _anti_join_small(mentions, "chunk_id", cref).count()
+        # both sides are corpus-scale (mention rows vs chunk ids) — a
+        # hash-bucket anti-join count, never a broadcast of all chunk ids
+        issues["orphan_mentions"] = _anti_count(
+            mentions, "chunk_id", chunks, "chunk_id")
     else:
         issues["orphan_mentions"] = -1
     return issues
+
+
+def _anti_count(left: "ray.data.Dataset", left_col: str,
+                right: "ray.data.Dataset", right_col: str) -> int:
+    """COUNT of left rows whose key has no right row — the large⋈large
+    anti-join shape: both sides shuffled by key, counted per bucket, summed
+    distributedly (only the scalar reaches the driver)."""
+    import pandas as pd
+
+    from ..functions.shuffle import hash_partitioned_groupby
+
+    def tag(ds, col, side, dedup):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.select([col]).to_pandas()
+            if dedup:
+                df = df.drop_duplicates()
+            df.columns = ["key"]
+            df["side"] = side
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+
+    both = tag(left, left_col, "l", dedup=False).union(
+        tag(right, right_col, "r", dedup=True))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        has_r = set(df.loc[df["side"] == "r", "key"])
+        lrows = df.loc[df["side"] == "l", "key"]
+        return pd.DataFrame({"n": [int((~lrows.isin(has_r)).sum())]})
+
+    total = hash_partitioned_groupby(both, ["key"], bucket, n_buckets=16).sum("n")
+    return int(total or 0)
 
 
 def repair_graph(
@@ -97,9 +144,7 @@ def repair_graph(
     entities = tables["entities"]
     edges = tables["edges"]
 
-    entity_ids = set(
-        r["entity_id"] for r in entities.select_columns(["entity_id"]).take_all()
-    )
+    entity_ids = _distinct_values(entities, "entity_id")
     eref = ray.put(entity_ids)
     edges_clean = _anti_join_small(
         _anti_join_small(edges, "src", eref, invert=True), "dst", eref, invert=True
@@ -108,10 +153,7 @@ def repair_graph(
     cleaned = dict(tables)
     cleaned["edges"] = edges_clean
     if tables.get("mentions_canon") is not None:
-        mentioned = set(
-            r["entity_id"]
-            for r in tables["mentions_canon"].select_columns(["entity_id"]).take_all()
-        )
+        mentioned = _distinct_values(tables["mentions_canon"], "entity_id")
         mref = ray.put(mentioned)
         cleaned["entities"] = _anti_join_small(entities, "entity_id", mref, invert=True)
     return cleaned, issues
