@@ -220,9 +220,10 @@ def build_kg(
         ranks_pdf = ranks.to_pandas()
         comm_pdf = CM.summarize_communities_local(
             member_levels, edges_pdf, ranks_pdf, cfg)
+        comm_arrow = pa.Table.from_pandas(comm_pdf, preserve_index=False)
         communities = store.run_stage(
             "communities", fingerprint(alias_fp, "communities"),
-            lambda: ray.data.from_pandas(comm_pdf), lineage,
+            lambda: ray.data.from_arrow(comm_arrow), lineage,
         )
     else:
         membership = ray.data.from_pandas(membership_pdf)

@@ -143,8 +143,10 @@ class SnapshotStore:
             import pyarrow.parquet as pq
             schema = ds.schema(fetch_if_missing=True)
             arrow_schema = getattr(schema, "base_schema", None) if schema else None
-            if arrow_schema is None:
-                arrow_schema = pa.schema([])
+            if not isinstance(arrow_schema, pa.Schema):
+                # pandas-block schemas have no Arrow base — rebuild from names
+                names = list(getattr(schema, "names", []) or [])
+                arrow_schema = pa.schema([(n, pa.string()) for n in names])
             pq.write_table(arrow_schema.empty_table(), os.path.join(tmp, "empty.parquet"))
             n_files = 1
         try:
