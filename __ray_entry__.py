@@ -400,6 +400,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": lambda sf: SIM.knn_ivf(
             _emb(sf), query_ids=range(8), k=10, n_bits=2, n_probes=4
         ).drop_columns(["sim"]),
+        # trained-centroid IVF probing ALL cells is exact too — verifies the
+        # k-means train/assign/probe machinery against the brute-force oracle;
+        # the approximate config's recall@10 is measured in bench
+        "knn_ivf_trained": lambda sf: SIM.knn_ivf_trained(
+            _emb(sf), query_ids=range(8), k=10, n_centroids=8, n_probes=8
+        ).drop_columns(["sim"]),
         "embedding_neardup_blocked": lambda sf: D.embedding_neardup_blocked(
             _emb(sf), threshold=0.35, n_bits=2, n_tables=16),
         # --- KG construction pipeline (synthetic interleaved corpus) ---
@@ -527,6 +533,21 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),
         "winnow_fps": O.winnow_sql(),
         "knn_topk": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, v.embedding), 6) AS sim
+                FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 8
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        """,
+        # all-cells trained IVF is exact — same ground truth as brute force
+        "knn_ivf_trained": """
             WITH sims AS (
                 SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
                        round(list_cosine_similarity(q.embedding, v.embedding), 6) AS sim

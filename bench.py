@@ -43,14 +43,16 @@ def corpus_spec_for(sf_dir: str) -> tuple:
     return CORPUS["0.1"]
 
 
-def ensure_corpus(n_docs: int, facts_per_doc: int) -> str:
+def ensure_corpus(n_docs: int, facts_per_doc: int, dup_rate: float = 0.0) -> str:
     """Generate the corpus parquet once (untimed) and reuse it."""
-    path = f"/tmp/bench_corpus_{n_docs}_{facts_per_doc}"
+    tag = f"_dup{int(dup_rate * 100)}" if dup_rate else ""
+    path = f"/tmp/bench_corpus_{n_docs}_{facts_per_doc}{tag}"
     if not os.path.exists(f"{path}/documents.parquet"):
         from graph_rag_agent_ray.synth import generate, write_corpus
         corpus = generate(n_docs=n_docs, seed=42,
                           facts_per_doc=facts_per_doc,
-                          n_entities=min(500, max(20, n_docs // 2)))
+                          n_entities=min(500, max(20, n_docs // 2)),
+                          dup_rate=dup_rate)
         write_corpus(corpus, path)
     return path
 
@@ -115,6 +117,24 @@ def run_bench() -> dict:
         fn()
         timings[name] = round(time.monotonic() - t, 3)
 
+    # ---- secondary headline: work-dedup join over a duplicate-heavy corpus
+    # (TODO #7): 50% extra exact-duplicate docs; dedupe_extraction=True sends
+    # each unique chunk text to the extractor ONCE (distinct + hash-bucket
+    # join re-attributes results to every occurrence) — the reference's
+    # sha1-keyed LLM cache semantics under load ----
+    from graph_rag_agent_ray.config import KGConfig
+    dup_path = ensure_corpus(n_docs, facts_per_doc, dup_rate=0.5)
+    dup_docs = rd.read_parquet(f"{dup_path}/documents.parquet")
+    n_dup_docs = dup_docs.count()  # warms the page cache too
+    out_dup = f"/tmp/bench_kg_dup_{n_docs}_{NUM_CPUS}"
+    shutil.rmtree(out_dup, ignore_errors=True)
+    t0 = time.monotonic()
+    tables_dup = build_kg(dup_docs, out_dup, cfg=KGConfig(dedupe_extraction=True),
+                          input_token=f"benchdup{n_docs}")
+    n_triples_dup = tables_dup["triples"].count()
+    dup_headline = time.monotonic() - t0
+    timings["kg_build_dedup"] = round(dup_headline, 3)
+
     docs_flat = lambda: rd.read_parquet(  # noqa: E731
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     emb = lambda: rd.read_parquet(  # noqa: E731
@@ -129,10 +149,18 @@ def run_bench() -> dict:
     timed("winnow_fps", lambda: TS.winnow_fingerprints(docs_flat()).count())
     timed("knn_topk", lambda: SIM.knn_bruteforce(emb(), range(8), k=10).count())
     timed("knn_ivf", lambda: SIM.knn_ivf(emb(), range(8), k=10).count())
+    timed("knn_ivf_trained",
+          lambda: SIM.knn_ivf_trained(emb(), range(8), k=10,
+                                      n_centroids=16, n_probes=12).count())
     timed("embedding_neardup", lambda: D.embedding_neardup_pairs(emb(), 0.35).count())
     timed("neardup_blocked",
           lambda: D.embedding_neardup_blocked(emb(), 0.35, n_bits=2, n_tables=16).count())
     ivf_recall = SIM.knn_recall(emb(), range(8), k=10)
+    # matched probe FRACTION vs the LSH config (12/16 vs 3/4 cells) so the
+    # two recall numbers are comparable; finer cells are the scale shape
+    ivf_trained_recall = SIM.knn_recall(
+        emb(), range(8), k=10, method=SIM.knn_ivf_trained,
+        n_centroids=16, n_probes=12)
 
     return {
         "metric": "kg_build_end_to_end",
@@ -145,6 +173,13 @@ def run_bench() -> dict:
         "n_triples": int(n_triples),
         "triples_per_sec": round(n_triples / headline, 2),
         "knn_ivf_recall_at_10": round(ivf_recall, 4),
+        "knn_ivf_trained_recall_at_10": round(ivf_trained_recall, 4),
+        "dedup_headline": {
+            "n_docs": int(n_dup_docs),
+            "n_triples": int(n_triples_dup),
+            "sec": round(dup_headline, 3),
+            "triples_per_sec": round(n_triples_dup / dup_headline, 2),
+        },
     }
 
 

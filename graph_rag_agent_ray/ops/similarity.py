@@ -122,8 +122,20 @@ def knn_ivf(
         buckets = lsh_bucket(mat / norms, n_bits, seed)
         return batch.append_column("bucket", pa.array(buckets, pa.int64()))
 
+    bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=4096
+    )
+    return _probe_and_merge(bucketed, q_ref, k, round_digits)
+
+
+def _probe_and_merge(bucketed: "ray.data.Dataset", q_ref, k: int,
+                     round_digits: int) -> "ray.data.Dataset":
+    """Shared IVF tail: per-cell partial top-k for every query probing the
+    cell (``q_ref`` = ray.put'd {cell: [(query_id, unit_vec), ...]}), then a
+    per-query merge. Each cell's work is one vectorized matmul; only
+    (query, k)-sized partials shuffle to the merge."""
+
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        """Partial top-k of one probed cell for every query probing it."""
         by_bucket = ray.get(q_ref)
         bucket = int(group["bucket"].iloc[0])
         queries = by_bucket.get(bucket, [])
@@ -154,21 +166,119 @@ def knn_ivf(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "neighbor_id", "rank", "sim"]]
 
-    bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
-        bucketize, batch_format="pyarrow", batch_size=4096
-    )
     partials = bucketed.groupby("bucket").map_groups(per_bucket,
                                                      batch_format="pandas")
     return partials.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pandas")
 
 
+def train_centroids(
+    emb: "ray.data.Dataset", n_centroids: int = 16, sample_cap: int = 16384,
+    n_iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer.
+
+    Training reads a BOUNDED sample — each row is kept by a multiplicative
+    hash of its vec_id (layout-independent, so the sample and hence the
+    centroids are identical across block orders and parallelism levels) — and
+    runs seeded k-means++ on the driver over ≤ ``sample_cap`` unit vectors.
+    The returned (n_centroids × dim) matrix is tiny and broadcast once.
+    Replaces random-hyperplane LSH cells when the corpus is clustered (the
+    IVF literature's standard coarse quantizer, Jégou et al. 2011)."""
+    n = emb.count()
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    keep_below = np.uint32(min(1.0, sample_cap / n) * 0xFFFFFFFF)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return batch.filter(pa.array(h <= keep_below))
+
+    pdf = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        sample, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    k_eff = min(n_centroids, len(unit))
+    if k_eff == 0:
+        return np.zeros((0, mat.shape[1] if mat.ndim == 2 else 0))
+
+    # seeded k-means++ init over cosine distance, then Lloyd iterations with
+    # re-normalized means (spherical k-means); empty cells re-seed to the
+    # farthest point so k stays constant
+    rng = np.random.default_rng(seed)
+    cents = [unit[int(rng.integers(0, len(unit)))]]
+    for _ in range(1, k_eff):
+        sims = np.max(unit @ np.asarray(cents).T, axis=1)
+        d2 = np.maximum(1.0 - sims, 1e-12) ** 2
+        cents.append(unit[int(rng.choice(len(unit), p=d2 / d2.sum()))])
+    cents = np.asarray(cents)
+    for _ in range(n_iters):
+        assign = np.argmax(unit @ cents.T, axis=1)
+        for c in range(k_eff):
+            members = unit[assign == c]
+            if len(members) == 0:
+                far = int(np.argmin(np.max(unit @ cents.T, axis=1)))
+                cents[c] = unit[far]
+                continue
+            m = members.mean(axis=0)
+            nrm = np.linalg.norm(m)
+            cents[c] = m / nrm if nrm > 0 else m
+    return cents
+
+
+def knn_ivf_trained(
+    emb: "ray.data.Dataset", query_ids: Sequence[int], k: int = 10,
+    n_centroids: int = 16, n_probes: int = 4, round_digits: int = 6,
+    sample_cap: int = 16384, seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> "ray.data.Dataset":
+    """IVF top-k with TRAINED coarse cells: vectors assign to their nearest
+    k-means centroid (one matmul per batch against the broadcast centroid
+    matrix); each query probes its ``n_probes`` nearest cells. Same partial
+    top-k / merge machinery as :func:`knn_ivf` — only the cell geometry
+    differs, which is what lifts recall on clustered embeddings. With
+    ``n_probes >= n_centroids`` every cell is probed and the result is EXACT
+    (the driver-oracle configuration)."""
+    if centroids is None:
+        centroids = train_centroids(emb, n_centroids, sample_cap, seed=seed)
+    if centroids.size == 0:
+        return knn_bruteforce(emb, query_ids, k=k, round_digits=round_digits)
+    n_probes = min(n_probes, len(centroids))
+    q_ids, q_unit = _query_matrix(emb, query_ids)
+    q_by_cell: dict = {}
+    q_cells = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probes]
+    for qid, qv, cells in zip(q_ids, q_unit, q_cells):
+        for cell in cells:
+            q_by_cell.setdefault(int(cell), []).append((int(qid), qv))
+    q_ref = ray.put(q_by_cell)
+    cent_ref = ray.put(centroids)
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cells = np.argmax((mat / norms) @ cents.T, axis=1)
+        return batch.append_column("bucket", pa.array(cells, pa.int64()))
+
+    bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        assign_cells, batch_format="pyarrow", batch_size=4096
+    )
+    return _probe_and_merge(bucketed, q_ref, k, round_digits)
+
+
 def knn_recall(emb: "ray.data.Dataset", query_ids: Sequence[int], k: int = 10,
-               **ivf_kwargs) -> float:
-    """recall@k of knn_ivf vs the exact brute-force baseline (same ordering
-    rules). The bench harness reports this next to the ivf timing."""
+               method=None, **ivf_kwargs) -> float:
+    """recall@k of an approximate method (default :func:`knn_ivf`; pass
+    ``method=knn_ivf_trained`` for the trained quantizer) vs the exact
+    brute-force baseline (same ordering rules). The bench harness reports
+    this next to the ivf timings."""
+    method = method or knn_ivf
     exact = knn_bruteforce(emb, query_ids, k=k).to_pandas()
-    approx = knn_ivf(emb, query_ids, k=k, **ivf_kwargs).to_pandas()
+    approx = method(emb, query_ids, k=k, **ivf_kwargs).to_pandas()
     ex = set(zip(exact["query_id"], exact["neighbor_id"]))
     ap = set(zip(approx["query_id"], approx["neighbor_id"]))
     return len(ex & ap) / len(ex) if ex else 1.0

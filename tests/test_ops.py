@@ -123,6 +123,59 @@ class TestKnn:
         assert (0, 10) in got
 
 
+class TestKnnTrained:
+    def test_centroids_deterministic_and_unit(self, emb_ds):
+        c1 = SIM.train_centroids(emb_ds, n_centroids=4, seed=42)
+        c2 = SIM.train_centroids(emb_ds, n_centroids=4, seed=42)
+        assert np.array_equal(c1, c2)
+        assert c1.shape == (4, 16)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+    def test_centroids_layout_independent(self, emb_ds):
+        """Hash-sampled training set ⇒ identical centroids across block
+        layouts (the parallelism-invariance requirement)."""
+        c1 = SIM.train_centroids(emb_ds, n_centroids=4, seed=42)
+        c2 = SIM.train_centroids(emb_ds.repartition(7), n_centroids=4, seed=42)
+        assert np.array_equal(c1, c2)
+
+    def test_full_probe_equals_bruteforce(self, emb_ds):
+        """Probing every trained cell is exact (the driver-oracle config)."""
+        ex = SIM.knn_bruteforce(emb_ds, query_ids=[0, 1, 2], k=5).to_pandas()
+        ap = SIM.knn_ivf_trained(emb_ds, query_ids=[0, 1, 2], k=5,
+                                 n_centroids=4, n_probes=4).to_pandas()
+        cols = ["query_id", "neighbor_id", "rank"]
+        assert ex[cols].sort_values(cols).values.tolist() == \
+            ap[cols].sort_values(cols).values.tolist()
+
+    def test_trained_beats_or_matches_lsh_on_clustered(self, ray_session):
+        """On clustered embeddings (the realistic corpus shape) trained
+        cells recover neighbours a single-probe LSH cut can split."""
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((4, 16)).astype(np.float32) * 4
+        vecs = np.concatenate([
+            c + 0.3 * rng.standard_normal((25, 16)).astype(np.float32)
+            for c in centers])
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        r = SIM.knn_recall(ds, range(8), k=10, method=SIM.knn_ivf_trained,
+                           n_centroids=4, n_probes=1)
+        assert r >= 0.9  # one probe suffices when cells match the clusters
+
+    def test_small_corpus_fallback(self, ray_session):
+        """Fewer points than requested centroids must not crash."""
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32())),
+        }))
+        out = SIM.knn_ivf_trained(ds, query_ids=[0], k=1,
+                                  n_centroids=16, n_probes=16).to_pandas()
+        assert list(out["neighbor_id"]) == [1]
+
+
 class TestTextStats:
     def test_token_count_matches_python_split(self, docs_with_dups):
         out = TS.token_count(docs_with_dups).to_pandas().set_index("doc_id")
