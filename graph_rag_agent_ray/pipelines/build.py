@@ -179,11 +179,11 @@ def build_kg(
     # canonical mentions (entity_id, chunk_id) for community ranks
     def canon_mentions(batch: pa.Table) -> pa.Table:
         amap = ray.get(alias_ref)
-        surf = pd.Series(batch.column("entity_surface").to_pylist())
+        surf = batch.column("entity_surface").to_pandas()
         norm = normalize_surface_series(surf)
         ids = norm.map(amap).fillna(norm) if amap else norm
         return pa.table({
-            "entity_id": pa.array(ids.tolist(), pa.string()),
+            "entity_id": pa.Array.from_pandas(ids, type=pa.string()),
             "chunk_id": batch.column("chunk_id"),
             "doc_id": batch.column("doc_id"),
         })

@@ -156,31 +156,84 @@ class ChunkBatch:
 class SpanIndexBatch:
     """map_batches callable: documents → span_index rows (doc_id, span_idx,
     kind, media_ref, offset, char_start, char_end). Together with the chunks
-    table this reconstructs every row's exact span sequence."""
+    table this reconstructs every row's exact span sequence.
+
+    Fully vectorized re-statement of :func:`assemble_document`'s index
+    bookkeeping: flatten the list<struct> column once, lexsort all spans by
+    (doc, offset, list position), then derive char ranges from segmented
+    cumulative sums (text length + "\\n" joiner per non-first text span;
+    media spans are zero-width). No per-span Python objects — the hot-loop
+    version cost ~10s of a 100k-doc build."""
+
+    _EMPTY = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "span_idx": pa.array([], pa.int32()),
+        "kind": pa.array([], pa.string()),
+        "media_ref": pa.array([], pa.string()),
+        "offset": pa.array([], pa.int32()),
+        "char_start": pa.array([], pa.int64()),
+        "char_end": pa.array([], pa.int64()),
+    })
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in
-               ("doc_id", "span_idx", "kind", "media_ref", "offset", "char_start", "char_end")}
-        doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        for doc_id, spans in zip(doc_ids, spans_col):
-            assembled = assemble_document(spans or [])
-            for s in assembled["spans"]:
-                out["doc_id"].append(doc_id)
-                out["span_idx"].append(s["span_idx"])
-                out["kind"].append(s["kind"])
-                out["media_ref"].append(s["media_ref"])
-                out["offset"].append(s["offset"])
-                out["char_start"].append(s["char_start"])
-                out["char_end"].append(s["char_end"])
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return self._EMPTY
+        ls = batch.column("spans")
+        if isinstance(ls, pa.ChunkedArray):
+            ls = ls.combine_chunks()
+        counts = pc.fill_null(pc.list_value_length(ls), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(ls)  # null/empty docs contribute no rows
+        n = len(flat)
+        if n == 0:
+            return self._EMPTY
+        parent = np.repeat(np.arange(len(ls), dtype=np.int64), counts)
+        # original list position — assemble_document's enumerate() index
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        span_idx = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+
+        offs = pc.fill_null(flat.field("offset"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        is_text = pc.fill_null(pc.equal(flat.field("kind"), "text"), False) \
+            .to_numpy(zero_copy_only=False)
+        tlen = pc.fill_null(pc.utf8_length(flat.field("text")), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        order = np.lexsort((span_idx, offs, parent))
+        parent_s = parent[order]
+        is_text_s = is_text[order]
+        tlen_s = np.where(is_text_s, tlen[order], 0)
+
+        first_mask = np.empty(n, dtype=bool)
+        first_mask[0] = True
+        np.not_equal(parent_s[1:], parent_s[:-1], out=first_mask[1:])
+        first_idx = np.flatnonzero(first_mask)
+        doc_sizes = np.diff(np.concatenate((first_idx, [n])))
+
+        def seg_cumsum(vals):
+            """Cumulative sum restarting at each doc boundary."""
+            cum = np.cumsum(vals)
+            base = np.concatenate(([0], cum[first_idx[1:] - 1]))
+            return cum - np.repeat(base, doc_sizes)
+
+        # "\n" joiner precedes every text span except the doc's first one
+        joiner = is_text_s & (seg_cumsum(is_text_s.astype(np.int64)) >= 2)
+        pos_after = seg_cumsum(tlen_s + joiner)
+        char_end = pos_after
+        char_start = pos_after - tlen_s
+
+        take = pa.array(order)
         return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.string()),
-            "span_idx": pa.array(out["span_idx"], pa.int32()),
-            "kind": pa.array(out["kind"], pa.string()),
-            "media_ref": pa.array(out["media_ref"], pa.string()),
-            "offset": pa.array(out["offset"], pa.int32()),
-            "char_start": pa.array(out["char_start"], pa.int64()),
-            "char_end": pa.array(out["char_end"], pa.int64()),
+            "doc_id": batch.column("doc_id").take(pa.array(parent_s)),
+            "span_idx": pa.array(span_idx[order].astype(np.int32), pa.int32()),
+            "kind": flat.field("kind").take(take),
+            "media_ref": flat.field("media_ref").take(take),
+            "offset": pc.cast(flat.field("offset").take(take), pa.int32()),
+            "char_start": pa.array(char_start, pa.int64()),
+            "char_end": pa.array(char_end, pa.int64()),
         })
 
 

@@ -98,3 +98,56 @@ class TestChunking:
     def test_empty_doc(self):
         assert chunk_one_document("d", [], CFG) == []
         assert chunk_one_document("d", [{"kind": "image", "text": "", "media_ref": "m", "offset": 0}], CFG) == []
+
+
+class TestSpanIndexVectorized:
+    """The vectorized SpanIndexBatch must emit exactly the rows the
+    per-doc assemble_document bookkeeping produces."""
+
+    def _reference_rows(self, doc_id, spans):
+        out = []
+        for s in assemble_document(spans or [])["spans"]:
+            out.append((doc_id, s["span_idx"], s["kind"], s["media_ref"],
+                        s["offset"], s["char_start"], s["char_end"]))
+        return out
+
+    def test_equivalence_mixed_docs(self):
+        import pyarrow as pa
+        from graph_rag_agent_ray.stages.chunker import SpanIndexBatch
+
+        docs = {
+            "a": _doc(["First sentence。", "Second one。"], media_at=(0,)),
+            # out-of-order offsets + duplicate offsets (tie → list position)
+            "b": [
+                {"kind": "text", "text": "tail", "media_ref": "", "offset": 9},
+                {"kind": "image", "text": "", "media_ref": "m://x", "offset": 9},
+                {"kind": "text", "text": "héad 多字", "media_ref": "", "offset": 0},
+                {"kind": "audio", "text": "", "media_ref": "m://y", "offset": 0},
+            ],
+            "c": [],                                      # empty list
+            "d": [{"kind": "image", "text": "", "media_ref": "m", "offset": 3}],
+            "e": [{"kind": "text", "text": "", "media_ref": "", "offset": 0},
+                  {"kind": "text", "text": "after empty", "media_ref": "", "offset": 1}],
+        }
+        batch = pa.table({
+            "doc_id": pa.array(list(docs), pa.string()),
+            "spans": pa.array([docs[k] for k in docs],
+                              pa.list_(__import__("graph_rag_agent_ray.schema",
+                                                  fromlist=["SPAN_STRUCT"]).SPAN_STRUCT)),
+        })
+        got = SpanIndexBatch()(batch).to_pandas()
+        got_rows = sorted(map(tuple, got.to_numpy()))
+        want = sorted(r for k in docs for r in self._reference_rows(k, docs[k]))
+        assert got_rows == want
+
+    def test_null_spans_and_empty_batch(self):
+        import pyarrow as pa
+        import graph_rag_agent_ray.schema as S
+        from graph_rag_agent_ray.stages.chunker import SpanIndexBatch
+
+        batch = pa.table({
+            "doc_id": pa.array(["x"], pa.string()),
+            "spans": pa.array([None], pa.list_(S.SPAN_STRUCT)),
+        })
+        assert len(SpanIndexBatch()(batch)) == 0
+        assert len(SpanIndexBatch()(S.DOCUMENTS.empty_table())) == 0
