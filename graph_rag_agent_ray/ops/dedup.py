@@ -294,14 +294,16 @@ def _gram_rows(batch: pa.Table, n: int) -> pa.Table:
     """(doc_id, gram, sz): distinct word n-grams per doc, with the doc's
     gram-set size carried on every row (computed in-map — no size join)."""
     doc_ids, grams, sizes = [], [], []
+    join = " ".join
     for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
         toks = (text or "").split()
-        gs = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-        for g in gs:
-            doc_ids.append(doc_id)
-            grams.append(g)
-            sizes.append(len(gs))
+        gs = set(map(join, zip(*(toks[i:] for i in range(n)))))
+        if not gs:
+            continue
+        grams.extend(gs)
+        doc_ids.extend([doc_id] * len(gs))
+        sizes.extend([len(gs)] * len(gs))
     return pa.table({
         "doc_id": pa.array(doc_ids, pa.int64()),
         "gram": pa.array(grams, pa.string()),
@@ -311,6 +313,7 @@ def _gram_rows(batch: pa.Table, n: int) -> pa.Table:
 
 def ngram_jaccard_pairs(
     ds: "ray.data.Dataset", n: int = 3, threshold: float = 0.5,
+    freq_sample_rate: float = 1.0,
 ) -> "ray.data.Dataset":
     """EXACT (a, b, n_common, n_union, jaccard) over word n-gram sets with
     jaccard >= threshold — a distributed prefix-filtered set-similarity join
@@ -324,8 +327,17 @@ def ngram_jaccard_pairs(
     4. candidates: per-gram pairs over prefix rows with the |A|>=t|B| length
        filter, deduped;
     5. exact verification: intersection sizes counted distributedly over the
-       full gram rows of candidate docs only (candidate pair set broadcast
-       via ray.put — it is output-sized, never the corpus).
+       gram rows of candidate docs only (docs filtered BEFORE gram
+       generation; the candidate pair set is broadcast via ray.put — it is
+       output-sized, never the corpus).
+
+    ``freq_sample_rate < 1`` estimates the step-2 ranking from a
+    deterministic hash-sample of docs (multiplicative hash of doc_id), which
+    shrinks the one corpus-sized shuffle by that factor. The prefix lemma
+    needs only a CONSISTENT global gram order — any deterministic ranking
+    yields the identical verified output; frequency order is purely a
+    candidate-count heuristic, so sampling trades a few extra candidates for
+    a much smaller shuffle (the 100 TB configuration; tested equivalent).
 
     Matches the DuckDB oracle exactly (same tokenization: str.split())."""
     grams = ds.map_batches(lambda b: _gram_rows(b, n),
@@ -337,8 +349,20 @@ def ngram_jaccard_pairs(
         agg = df.groupby("gram", sort=False).size().reset_index(name="freq")
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    freq_in = grams
+    if freq_sample_rate < 1.0:
+        keep_below = np.uint64(int(freq_sample_rate * 0xFFFFFFFF))
+
+        def doc_sample(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.uint64)
+            h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+            return batch.filter(pa.array(h <= keep_below))
+
+        freq_in = grams.map_batches(doc_sample, batch_format="pyarrow",
+                                    batch_size=16384)
+
     freq = hash_partitioned_groupby(
-        grams.map_batches(partial_freq, batch_format="pyarrow", batch_size=16384),
+        freq_in.map_batches(partial_freq, batch_format="pyarrow", batch_size=16384),
         ["gram"],
         lambda df: df.groupby("gram", sort=False)["freq"].sum().reset_index(),
         n_buckets=32,
@@ -355,11 +379,12 @@ def ngram_jaccard_pairs(
 
         def prefix_in_map(batch: pa.Table) -> pa.Table:
             fr = ray.get(freq_ref)
+            join = " ".join
             doc_ids, grams_out, sizes = [], [], []
             for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                     batch.column("text").to_pylist()):
                 toks = (text or "").split()
-                gs = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+                gs = set(map(join, zip(*(toks[i:] for i in range(n)))))
                 if not gs:
                     continue
                 sz = len(gs)
@@ -441,12 +466,17 @@ def ngram_jaccard_pairs(
     bcast = ray.put((cand_docs, pair_key))
 
     def filter_docs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
         docs, _ = ray.get(bcast)
-        mask = pa.array([d in docs for d in batch.column("doc_id").to_pylist()])
-        return batch.filter(mask)
+        value_set = pa.array(list(docs), pa.int64())
+        return batch.filter(_pc.is_in(batch.column("doc_id"), value_set=value_set))
 
-    cand_grams = grams.map_batches(filter_docs, batch_format="pyarrow",
-                                   batch_size=16384)
+    # filter the candidate DOCS first, regenerate grams only for them —
+    # the verification scan never tokenizes the non-candidate corpus
+    cand_grams = ds.map_batches(filter_docs, batch_format="pyarrow",
+                                batch_size=16384) \
+        .map_batches(lambda b: _gram_rows(b, n),
+                     batch_format="pyarrow", batch_size=2048)
 
     # 5. intersection counts: per-gram pair emission restricted to candidate
     # pairs, then a (a, b) count reduce — exact |A ∩ B|

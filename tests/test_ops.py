@@ -292,3 +292,26 @@ class TestMultimodal:
             decode_real(b"payload", "image")
         with pytest.raises(NotImplementedError):
             DecodeMedia(use_real_codec=True)
+
+
+class TestNgramSampledRanking:
+    def test_sampled_freq_order_identical_output(self, ray_session):
+        """freq_sample_rate changes only the candidate heuristic; the
+        verified pair set must be byte-identical (prefix lemma holds under
+        any consistent gram order)."""
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, 30)) for _ in range(60)]
+        texts[50] = texts[0]                       # exact dup
+        texts[51] = texts[1] + " extra tail words here"   # near dup
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        full = D.ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+        sampled = D.ngram_jaccard_pairs(ds, n=3, threshold=0.5,
+                                        freq_sample_rate=0.3).to_pandas()
+        cols = ["a", "b", "n_common", "n_union", "jaccard"]
+        assert full[cols].sort_values(["a", "b"]).values.tolist() == \
+            sampled[cols].sort_values(["a", "b"]).values.tolist()
+        assert ((full["a"] == 0) & (full["b"] == 50)).any()
