@@ -49,7 +49,10 @@ class KGConfig:
 
     # ---- communities ----
     community_algorithm: str = "leiden"  # real seeded Leiden (functions/leiden.py);
-    #                                      "louvain"/"lpa" remain pluggable options
+    #                                      "louvain"/"sllpa" remain pluggable options
+    # SLPA (sllpa) knobs — reference small-memory tier (sllpa.py:75-80)
+    sllpa_max_iterations: int = 50
+    sllpa_min_association: float = 0.1
     community_seed: int = 42
     community_max_levels: int = 3        # reference leiden.py:67-89 (maxLevels tiers)
     community_gamma: float = 0.08        # CPM resolution (no resolution limit);

@@ -63,12 +63,31 @@ def detect_communities(
     g.add_weighted_edges_from(agg.itertuples(index=False, name=None))
     if g.number_of_nodes() == 0:
         return {}
-    if cfg.community_algorithm == "lpa":
-        # SLLPA stand-in (reference alternative detector,
-        # community/detector/sllpa.py:10-80): seeded asynchronous label
-        # propagation, single level
-        levels = [[set(c) for c in nx.community.asyn_lpa_communities(
-            g, weight="weight", seed=cfg.community_seed)]]
+    if cfg.community_algorithm in ("lpa", "sllpa"):
+        # real SLPA (reference alternative detector via GDS sllpa,
+        # community/detector/sllpa.py:10-80): label memories + association
+        # threshold → overlapping communities. Level 0 is every node's
+        # strongest label (a full partition); level L>0 holds the (L+1)-th
+        # passing label of nodes that have one — the columnar analogue of
+        # GDS's per-node communityIds array.
+        from ..functions.slpa import slpa_memberships
+
+        node_list = sorted(g.nodes)
+        node_idx = {s: i for i, s in enumerate(node_list)}
+        edge_idx = [(node_idx[r.u], node_idx[r.v], float(r.weight))
+                    for r in agg.itertuples(index=False)]
+        mems = slpa_memberships(
+            len(node_list), edge_idx, seed=cfg.community_seed,
+            max_iterations=cfg.sllpa_max_iterations,
+            min_association=cfg.sllpa_min_association,
+        )
+        levels = []
+        for lvl in range(max((len(m) for m in mems), default=0)):
+            by_lab: Dict[int, set] = {}
+            for i, labels in enumerate(mems):
+                if lvl < len(labels):
+                    by_lab.setdefault(labels[lvl], set()).add(node_list[i])
+            levels.append(list(by_lab.values()))
     elif cfg.community_algorithm == "louvain":
         levels: List[List[set]] = list(
             nx.community.louvain_partitions(g, weight="weight", seed=cfg.community_seed)

@@ -78,7 +78,7 @@ class TestPackedExtraction:
 
 
 class TestCommunityAlgorithms:
-    def test_lpa_detector(self, ray_session):
+    def test_sllpa_detector(self, ray_session):
         import pandas as pd
         from graph_rag_agent_ray.stages.communities import detect_communities
         edges = pd.DataFrame({
@@ -86,11 +86,41 @@ class TestCommunityAlgorithms:
             "dst": ["b", "c", "a", "y", "z"],
             "weight": [1.0] * 5,
         })
-        out = detect_communities(edges, KGConfig(community_algorithm="lpa"))
+        out = detect_communities(edges, KGConfig(community_algorithm="sllpa"))
         assert set(out) == {"a", "b", "c", "x", "y", "z"}
-        assert all(len(v) == 1 for v in out.values())
-        # deterministic across calls
+        # every node has a primary (level-0) community; overlap may add more
+        assert all(len(v) >= 1 for v in out.values())
+        # the triangle ends up in one level-0 community, disjoint from x/y/z
+        assert out["a"][0] == out["b"][0] == out["c"][0]
+        assert out["a"][0] != out["z"][0]
+        # deterministic across calls (seeded); "lpa" is an accepted alias
         assert out == detect_communities(edges, KGConfig(community_algorithm="lpa"))
+
+    def test_sllpa_overlap_bridge_node(self, ray_session):
+        """A node bridging two dense cliques retains both labels above the
+        association threshold — SLPA's overlapping-communities signature."""
+        import itertools
+        import pandas as pd
+        from graph_rag_agent_ray.stages.communities import detect_communities
+        left = [f"l{i}" for i in range(5)]
+        right = [f"r{i}" for i in range(5)]
+        rows = [(a, b) for a, b in itertools.combinations(left, 2)]
+        rows += [(a, b) for a, b in itertools.combinations(right, 2)]
+        rows += [("bridge", n) for n in left[:3] + right[:3]]
+        edges = pd.DataFrame({
+            "src": [r[0] for r in rows],
+            "dst": [r[1] for r in rows],
+            "weight": [1.0] * len(rows),
+        })
+        out = detect_communities(
+            edges, KGConfig(community_algorithm="sllpa",
+                            sllpa_min_association=0.15))
+        # the two cliques separate at level 0...
+        assert out["l0"][0] == out["l4"][0]
+        assert out["r0"][0] == out["r4"][0]
+        assert out["l0"][0] != out["r0"][0]
+        # ...and the bridge node retains BOTH labels above threshold
+        assert len(out["bridge"]) > 1
 
 
 class TestEvaluate:
