@@ -78,8 +78,10 @@ def local_search(
 
     def chunk_keep(batch):
         import pyarrow as pa
+        import pyarrow.compute as pc
         keep = ray.get(cref)
-        return batch.filter(pa.array([c in keep for c in batch.column("chunk_id").to_pylist()]))
+        return batch.filter(pc.is_in(batch.column("chunk_id"),
+                                     value_set=pa.array(sorted(keep), pa.string())))
 
     chunks = tables["chunks"].map_batches(chunk_keep, batch_format="pyarrow").to_pandas()
 
@@ -163,8 +165,10 @@ def hybrid_search(
 
     def chunk_keep(batch):
         import pyarrow as pa
+        import pyarrow.compute as pc
         ks = ray.get(cref)
-        return batch.filter(pa.array([c in ks for c in batch.column("chunk_id").to_pylist()]))
+        return batch.filter(pc.is_in(batch.column("chunk_id"),
+                                     value_set=pa.array(sorted(ks), pa.string())))
 
     chunks = tables["chunks"].map_batches(chunk_keep, batch_format="pyarrow").to_pandas()
 
@@ -199,8 +203,10 @@ def naive_search(
 
     def keep(batch):
         import pyarrow as pa
+        import pyarrow.compute as pc
         ks = ray.get(cref)
-        return batch.filter(pa.array([c in ks for c in batch.column("chunk_id").to_pylist()]))
+        return batch.filter(pc.is_in(batch.column("chunk_id"),
+                                     value_set=pa.array(sorted(ks), pa.string())))
 
     chunks = tables["chunks"].map_batches(keep, batch_format="pyarrow").to_pandas()
     return top[["chunk_id", "score"]].merge(chunks[["chunk_id", "doc_id", "text"]],
