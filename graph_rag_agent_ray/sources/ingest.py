@@ -128,3 +128,100 @@ def read_pdf_documents(paths) -> "ray.data.Dataset":
         "use read_text_documents/read_parquet_documents, or plug a pdf "
         "extractor into the read_binary_files → map_batches decode pattern."
     )
+
+
+SUPPORTED_DISPATCH_EXTS = (".txt", ".md", ".csv", ".json", ".yaml", ".yml")
+GATED_DISPATCH_EXTS = (".pdf", ".docx", ".doc")  # codec libs absent here
+
+
+def read_directory(directory, file_extensions=None,
+                   recursive: bool = True) -> "ray.data.Dataset":
+    """FileReader.read_files parity (file_reader.py:36-143): walk a
+    directory, dispatch per extension, ONE document per file with
+    doc_id = path relative to ``directory`` (the reference stores relative
+    paths so same-named files in different subdirs stay distinct).
+
+    Only the LISTING happens on the driver (metadata-sized); file contents
+    are read by ``ray.data.read_binary_files`` and decoded inside
+    map_batches. Per-extension content semantics match the reference:
+    txt/md raw text with the utf-8 → gb18030 → latin-1 encoding ladder
+    (:164-188); csv rows re-joined ``','``/``'\\n'`` (:297-329); json
+    pretty-printed ``json.dumps(ensure_ascii=False, indent=2)`` (:351-360);
+    yaml re-dumped ``yaml.dump(allow_unicode=True)`` (:376-386). Decode
+    failures yield the reference's bracketed error sentinel text rather
+    than dropping the file. Gated binary formats (.pdf/.docx/.doc) are
+    logged and skipped — the reference logs-and-continues on reader errors
+    (:119-124)."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    wanted = tuple(e.lower() for e in (file_extensions or SUPPORTED_DISPATCH_EXTS))
+    paths, gated = [], []
+    if recursive:
+        walker = os.walk(directory)
+    else:
+        walker = [(directory, [],
+                   [f for f in sorted(os.listdir(directory))
+                    if os.path.isfile(os.path.join(directory, f))])]
+    for root, _dirs, files in walker:
+        for f in sorted(files):
+            ext = os.path.splitext(f)[1].lower()
+            p = os.path.join(root, f)
+            if ext in wanted and ext in SUPPORTED_DISPATCH_EXTS:
+                paths.append(p)
+            elif ext in GATED_DISPATCH_EXTS and (file_extensions is None
+                                                 or ext in wanted):
+                gated.append(p)
+    if gated:
+        log.warning(
+            "read_directory: skipping %d gated binary files (%s) — pdf/docx "
+            "codec libs are unavailable; plug a decoder into "
+            "read_binary_files → map_batches to enable them",
+            len(gated), ", ".join(sorted({os.path.splitext(g)[1] for g in gated})))
+    if not paths:
+        import graph_rag_agent_ray.schema as S
+        return ray.data.from_arrow(S.DOCUMENTS.empty_table())
+
+    root_abs = os.path.abspath(directory)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import csv as _csv
+        import io
+        import json as _json
+
+        ids, texts = [], []
+        for path, b in zip(batch.column("path").to_pylist(),
+                           batch.column("bytes").to_pylist()):
+            # ray's paths may be absolute or relative to cwd; normalize
+            ap = os.path.abspath(str(path))
+            rel = os.path.relpath(ap, root_abs) if ap.startswith(root_abs) \
+                else os.path.basename(ap)
+            ext = os.path.splitext(rel)[1].lower()
+            for enc in ("utf-8", "gb18030", "latin-1"):
+                try:
+                    text = b.decode(enc)
+                    break
+                except UnicodeDecodeError:
+                    continue
+            else:
+                text = b.decode("utf-8", "replace")
+            try:
+                if ext == ".csv":
+                    rows = _csv.reader(io.StringIO(text))
+                    text = "\n".join(",".join(r) for r in rows)
+                elif ext == ".json":
+                    text = _json.dumps(_json.loads(text),
+                                       ensure_ascii=False, indent=2)
+                elif ext in (".yaml", ".yml"):
+                    import yaml as _yaml
+                    text = _yaml.dump(_yaml.safe_load(text),
+                                      allow_unicode=True,
+                                      default_flow_style=False)
+            except Exception as e:  # noqa: BLE001 — reference sentinel text
+                text = f"[无法读取{ext[1:].upper()}文件内容: {e}]"
+            ids.append(rel)
+            texts.append(text)
+        return _wrap(ids, texts)
+
+    raw = ray.data.read_binary_files(paths, include_paths=True)
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=64)

@@ -51,6 +51,45 @@ class TestIngest:
         with pytest.raises(NotImplementedError):
             read_pdf_documents("/tmp/x.pdf")
 
+    def test_read_directory_dispatch(self, ray_session, tmp_path):
+        """FileReader.read_files parity: recursive walk, per-extension
+        dispatch, relative-path doc ids, gated formats skipped, decode
+        errors produce the reference's sentinel text."""
+        from graph_rag_agent_ray.sources.ingest import read_directory
+        (tmp_path / "a.txt").write_text("plain text。", encoding="utf-8")
+        (tmp_path / "sub").mkdir()
+        (tmp_path / "sub" / "a.txt").write_bytes("中文。".encode("gb18030"))
+        (tmp_path / "t.csv").write_text("h1,h2\nv1,v2\n")
+        (tmp_path / "d.json").write_text('{"k": "v"}')
+        (tmp_path / "bad.json").write_text("{not json")
+        (tmp_path / "y.yaml").write_text("k: v\n")
+        (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake")   # gated -> skipped
+        ds = read_directory(str(tmp_path))
+        rows = {r["doc_id"]: r["spans"][0]["text"] for r in ds.take_all()}
+        assert set(rows) == {"a.txt", os.path.join("sub", "a.txt"),
+                             "t.csv", "d.json", "bad.json", "y.yaml"}
+        assert rows["a.txt"] == "plain text。"
+        assert rows[os.path.join("sub", "a.txt")] == "中文。"
+        assert rows["t.csv"] == "h1,h2\nv1,v2"
+        assert json.loads(rows["d.json"]) == {"k": "v"}
+        assert rows["bad.json"].startswith("[无法读取JSON文件内容")
+        assert "k: v" in rows["y.yaml"]
+
+    def test_read_directory_filters_and_nonrecursive(self, ray_session, tmp_path):
+        from graph_rag_agent_ray.sources.ingest import read_directory
+        (tmp_path / "a.txt").write_text("keep")
+        (tmp_path / "b.md").write_text("drop via filter")
+        (tmp_path / "sub").mkdir()
+        (tmp_path / "sub" / "c.txt").write_text("drop via nonrecursive")
+        ds = read_directory(str(tmp_path), file_extensions=[".txt"],
+                            recursive=False)
+        rows = {r["doc_id"] for r in ds.take_all()}
+        assert rows == {"a.txt"}
+
+    def test_read_directory_empty(self, ray_session, tmp_path):
+        from graph_rag_agent_ray.sources.ingest import read_directory
+        assert read_directory(str(tmp_path)).count() == 0
+
 
 class TestPackedExtraction:
     def test_packed_equals_per_chunk(self, ray_session):
