@@ -135,6 +135,35 @@ def run_bench() -> dict:
     dup_headline = time.monotonic() - t0
     timings["kg_build_dedup"] = round(dup_headline, 3)
 
+    # ---- third headline: incremental update with 1% dirty docs — the
+    # work-skipping path (unchanged docs' chunks/extractions/embeddings
+    # carry over; only the delta re-runs the expensive stages) ----
+    from graph_rag_agent_ray.pipelines.incremental import (
+        incremental_build_kg, write_registry)
+    write_registry(docs, out_dir, input_token=f"bench{n_docs}")
+
+    def mutate(batch):
+        rows = batch.to_pylist()
+        for r in rows:
+            if int(r["doc_id"].rsplit("-", 1)[-1]) % 100 == 0:
+                for s in r["spans"]:
+                    if s["kind"] == "text":
+                        s["text"] = s["text"] + " Revised content marker。"
+                        break
+        import pyarrow as pa_
+        return pa_.Table.from_pylist(rows, schema=batch.schema)
+
+    docs_mut = rd.read_parquet(f"{corpus_path}/documents.parquet") \
+        .map_batches(mutate, batch_format="pyarrow").materialize()
+    out_inc = f"/tmp/bench_kg_inc_{n_docs}_{NUM_CPUS}"
+    shutil.rmtree(out_inc, ignore_errors=True)
+    t0 = time.monotonic()
+    tables_inc, delta = incremental_build_kg(
+        docs_mut, out_inc, out_dir, input_token=f"bench{n_docs}v2")
+    n_triples_inc = tables_inc["triples"].count()
+    inc_headline = time.monotonic() - t0
+    timings["kg_update_1pct"] = round(inc_headline, 3)
+
     docs_flat = lambda: rd.read_parquet(  # noqa: E731
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     emb = lambda: rd.read_parquet(  # noqa: E731
@@ -179,6 +208,12 @@ def run_bench() -> dict:
             "n_triples": int(n_triples_dup),
             "sec": round(dup_headline, 3),
             "triples_per_sec": round(n_triples_dup / dup_headline, 2),
+        },
+        "incremental_headline": {
+            "sec": round(inc_headline, 3),
+            "n_triples": int(n_triples_inc),
+            "delta": {k: int(v) for k, v in delta.items()},
+            "speedup_vs_full_build": round(headline / inc_headline, 2),
         },
     }
 

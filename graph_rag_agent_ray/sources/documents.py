@@ -23,8 +23,18 @@ from ..state.snapshots import HAVE_LANCE
 
 
 def read_documents(path: str) -> "ray.data.Dataset":
+    """Dispatch by input shape: Lance table, Parquet file/dir, or a raw-file
+    directory (txt/md/csv/json/yaml — the reference's FileReader surface,
+    handled by :func:`..sources.ingest.read_directory`)."""
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))):
         return ray.data.read_lance(path)
+    if path.endswith(".parquet"):
+        return ray.data.read_parquet(path, columns=["doc_id", "spans"])
+    if os.path.isdir(path):
+        has_parquet = any(f.endswith(".parquet") for f in os.listdir(path))
+        if not has_parquet:
+            from .ingest import read_directory
+            return read_directory(path)
     return ray.data.read_parquet(path, columns=["doc_id", "spans"])
 
 

@@ -50,3 +50,28 @@ class TestCLI:
                   "--out", kg2, "--prev", kg])
         assert r["delta"]["modified"] == 1
         assert r["delta"]["unchanged"] == 39
+
+
+def test_build_from_raw_file_directory(tmp_path):
+    """CLI --input pointed at a raw-file directory routes through the
+    read_directory dispatcher and builds end-to-end."""
+    import subprocess, sys, os
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text(
+        "The person Alfa Beta leads the organization Gamma Delta。",
+        encoding="utf-8")
+    (d / "b.md").write_text(
+        "The person Alfa Beta uses the technology Epsilon Zeta。",
+        encoding="utf-8")
+    out = tmp_path / "kg"
+    r = subprocess.run(
+        [sys.executable, "-m", "graph_rag_agent_ray", "build",
+         "--input", str(d), "--out", str(out)],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pyarrow.parquet as pq
+    chunks = pq.read_table(str(out / "chunks"))
+    assert chunks.num_rows == 2
+    assert set(chunks.column("doc_id").to_pylist()) == {"a.txt", "b.md"}
