@@ -135,35 +135,6 @@ def run_bench() -> dict:
     dup_headline = time.monotonic() - t0
     timings["kg_build_dedup"] = round(dup_headline, 3)
 
-    # ---- third headline: incremental update with 1% dirty docs — the
-    # work-skipping path (unchanged docs' chunks/extractions/embeddings
-    # carry over; only the delta re-runs the expensive stages) ----
-    from graph_rag_agent_ray.pipelines.incremental import (
-        incremental_build_kg, write_registry)
-    write_registry(docs, out_dir, input_token=f"bench{n_docs}")
-
-    def mutate(batch):
-        rows = batch.to_pylist()
-        for r in rows:
-            if int(r["doc_id"].rsplit("-", 1)[-1]) % 100 == 0:
-                for s in r["spans"]:
-                    if s["kind"] == "text":
-                        s["text"] = s["text"] + " Revised content marker。"
-                        break
-        import pyarrow as pa_
-        return pa_.Table.from_pylist(rows, schema=batch.schema)
-
-    docs_mut = rd.read_parquet(f"{corpus_path}/documents.parquet") \
-        .map_batches(mutate, batch_format="pyarrow").materialize()
-    out_inc = f"/tmp/bench_kg_inc_{n_docs}_{NUM_CPUS}"
-    shutil.rmtree(out_inc, ignore_errors=True)
-    t0 = time.monotonic()
-    tables_inc, delta = incremental_build_kg(
-        docs_mut, out_inc, out_dir, input_token=f"bench{n_docs}v2")
-    n_triples_inc = tables_inc["triples"].count()
-    inc_headline = time.monotonic() - t0
-    timings["kg_update_1pct"] = round(inc_headline, 3)
-
     docs_flat = lambda: rd.read_parquet(  # noqa: E731
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     emb = lambda: rd.read_parquet(  # noqa: E731
@@ -184,6 +155,41 @@ def run_bench() -> dict:
     timed("embedding_neardup", lambda: D.embedding_neardup_pairs(emb(), 0.35).count())
     timed("neardup_blocked",
           lambda: D.embedding_neardup_blocked(emb(), 0.35, n_bits=2, n_tables=16).count())
+    # ---- third headline: incremental update with 1% dirty docs — the
+    # work-skipping path (unchanged docs' chunks/extractions/embeddings
+    # carry over; only the delta re-runs the per-document stages). Runs
+    # LAST so its mutated-corpus blocks don't pressure the other headlines.
+    # NOTE the mock extractor is nearly free, so at this corpus the
+    # downstream canonicalization (which must rerun on any graph change)
+    # dominates and the speedup is modest; the carried-over stages are
+    # exactly the ones that dominate with a REAL model (see
+    # incremental_replay_speedup in BASELINE.md for that measurement).
+    from graph_rag_agent_ray.pipelines.incremental import (
+        incremental_build_kg, write_registry)
+    write_registry(docs, out_dir, input_token=f"bench{n_docs}")
+
+    def mutate(batch):
+        rows = batch.to_pylist()
+        for r in rows:
+            if int(r["doc_id"].rsplit("-", 1)[-1]) % 100 == 0:
+                for s in r["spans"]:
+                    if s["kind"] == "text":
+                        s["text"] = s["text"] + " Revised content marker。"
+                        break
+        import pyarrow as pa_
+        return pa_.Table.from_pylist(rows, schema=batch.schema)
+
+    docs_mut = rd.read_parquet(f"{corpus_path}/documents.parquet") \
+        .map_batches(mutate, batch_format="pyarrow")
+    out_inc = f"/tmp/bench_kg_inc_{n_docs}_{NUM_CPUS}"
+    shutil.rmtree(out_inc, ignore_errors=True)
+    t0 = time.monotonic()
+    tables_inc, delta = incremental_build_kg(
+        docs_mut, out_inc, out_dir, input_token=f"bench{n_docs}v2")
+    n_triples_inc = tables_inc["triples"].count()
+    inc_headline = time.monotonic() - t0
+    timings["kg_update_1pct"] = round(inc_headline, 3)
+
     ivf_recall = SIM.knn_recall(emb(), range(8), k=10)
     # matched probe FRACTION vs the LSH config (12/16 vs 3/4 cells) so the
     # two recall numbers are comparable; finer cells are the scale shape
