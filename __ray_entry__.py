@@ -115,6 +115,20 @@ def _write_kg_truth(corpus) -> None:
                                           "n_features"])
     pq.write_table(pa.Table.from_pandas(media, preserve_index=False),
                    f"{KG_TRUTH_DIR}/media_features.parquet")
+    # frame-sampling truth: images yield one frame at ts 0, temporal media
+    # (audio/video) n_frames uniform samples — mirrors ops/multimodal
+    # SampleFrames' documented contract, computed independently here
+    N_FRAMES, DUR_MS = 4, 4000
+    f_rows = []
+    for doc_id, ref, kind, _fd in m_rows:
+        n = 1 if kind == "image" else N_FRAMES
+        step = DUR_MS // N_FRAMES
+        for i in range(n):
+            f_rows.append((doc_id, ref, kind, i, i * step))
+    frames = pd.DataFrame(f_rows, columns=["doc_id", "media_ref", "kind",
+                                           "frame_idx", "ts_ms"])
+    pq.write_table(pa.Table.from_pandas(frames, preserve_index=False),
+                   f"{KG_TRUTH_DIR}/media_frames.parquet")
 
 
 def _kg_tables(sf_dir: str) -> dict:
@@ -368,6 +382,19 @@ def _media_features_q(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow", batch_size=4096)
 
 
+def _media_frames_q(sf_dir: str):
+    """Frame-sampling plumbing: media spans → actor-pool SampleFrames
+    (uniform timestamps; stills degenerate to one frame) → projection
+    (doc_id, media_ref, kind, frame_idx, ts_ms) checked against the
+    independently-planted truth table."""
+    from graph_rag_agent_ray.ops.multimodal import sample_frames
+
+    corpus = _kg_tables(sf_dir)["_corpus"]
+    frames = sample_frames(media_from_documents(rd.from_arrow(corpus.documents)),
+                           n_frames=4, duration_ms=4000)
+    return frames.drop_columns(["frame"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # --- span plumbing + text analysis (SQL-checked) ---
@@ -425,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stage's feature-dim contract) verifies against the generator's
         # span log; feature VALUES stay unverifiable until a real codec ---
         "media_features": _media_features_q,
+        "media_frames": _media_frames_q,
     }
     return q
 
@@ -527,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": f"SELECT src, pred, dst, weight FROM read_parquet('{KG_TRUTH_DIR}/kg_edges.parquet')",
         "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",
+        "media_frames": f"SELECT doc_id, media_ref, kind, frame_idx, ts_ms FROM read_parquet('{KG_TRUTH_DIR}/media_frames.parquet')",
         "kg_incremental": f"SELECT doc_id, subj, pred, obj FROM read_parquet('{KG_TRUTH_DIR}/kg_incremental.parquet')",
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),

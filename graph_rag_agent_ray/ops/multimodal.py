@@ -99,3 +99,106 @@ def decode_media(media: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.D
         DecodeMedia, batch_format="pyarrow", batch_size=64,
         concurrency=(1, concurrency), num_cpus=1,
     )
+
+
+class ResizeImages:
+    """Actor-pool image-resize stage (the standard pre-embedding transform).
+    ``__init__`` would load the codec once per actor; the decode→resample→
+    re-encode kernel is gated like :func:`decode_real` (codec libs absent),
+    so ``__call__`` produces a deterministic fake: the resized payload is
+    the sha1 stream of (payload, WxH) sized exactly width×height bytes —
+    REAL output sizing, so batch-size/heap math is exercised honestly.
+    Non-image rows pass through unchanged with resized=false."""
+
+    def __init__(self, width: int = 64, height: int = 64,
+                 use_real_codec: bool = False) -> None:
+        self.width = width
+        self.height = height
+        if use_real_codec:
+            decode_real(b"", "probe")  # raises: codec libs absent here
+
+    def _fake_resample(self, payload: bytes) -> bytes:
+        n = self.width * self.height
+        seed = hashlib.sha1(payload + f"|{self.width}x{self.height}".encode()).digest()
+        return (seed * (n // len(seed) + 1))[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out, flags = [], []
+        for k, p in zip(kinds, payloads):
+            if k == "image":
+                out.append(self._fake_resample(p or b""))
+                flags.append(True)
+            else:
+                out.append(p)
+                flags.append(False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+            "kind": batch.column("kind"),
+            "payload": pa.array(out, pa.binary()),
+            "width": pa.array([self.width] * len(out), pa.int32()),
+            "height": pa.array([self.height] * len(out), pa.int32()),
+            "resized": pa.array(flags, pa.bool_()),
+        })
+
+
+def resize_images(media: "ray.data.Dataset", width: int = 64, height: int = 64,
+                  concurrency: int = 4) -> "ray.data.Dataset":
+    return media.map_batches(
+        ResizeImages, fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency), num_cpus=1,
+    )
+
+
+class SampleFrames:
+    """Actor-pool frame-sampling stage for temporal media (video/audio):
+    one input row explodes into ``n_frames`` uniformly-spaced frame rows
+    (frame_idx, ts_ms, frame payload). The container decoder is gated like
+    :func:`decode_real`; the fake frame payload is sha1(media_ref|idx) so
+    results are deterministic and layout-independent. Image rows produce a
+    single frame at ts 0 (the degenerate case), matching how a real
+    pipeline treats stills."""
+
+    def __init__(self, n_frames: int = 4, duration_ms: int = 4000,
+                 use_real_codec: bool = False) -> None:
+        self.n_frames = n_frames
+        self.duration_ms = duration_ms
+        if use_real_codec:
+            decode_real(b"", "probe")  # raises: codec libs absent here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, refs, kinds, idxs, tss, frames = [], [], [], [], [], []
+        step = self.duration_ms // max(1, self.n_frames)
+        for doc_id, ref, kind in zip(batch.column("doc_id").to_pylist(),
+                                     batch.column("media_ref").to_pylist(),
+                                     batch.column("kind").to_pylist()):
+            n = 1 if kind == "image" else self.n_frames
+            for i in range(n):
+                doc_ids.append(doc_id)
+                refs.append(ref)
+                kinds.append(kind)
+                idxs.append(i)
+                tss.append(i * step)
+                frames.append(hashlib.sha1(f"{ref}|{i}".encode()).digest())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "ts_ms": pa.array(tss, pa.int64()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def sample_frames(media: "ray.data.Dataset", n_frames: int = 4,
+                  duration_ms: int = 4000,
+                  concurrency: int = 4) -> "ray.data.Dataset":
+    return media.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"n_frames": n_frames, "duration_ms": duration_ms},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency), num_cpus=1,
+    )

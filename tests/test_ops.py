@@ -315,3 +315,49 @@ class TestNgramSampledRanking:
         assert full[cols].sort_values(["a", "b"]).values.tolist() == \
             sampled[cols].sort_values(["a", "b"]).values.tolist()
         assert ((full["a"] == 0) & (full["b"] == 50)).any()
+
+
+class TestMultimodalStages:
+    @pytest.fixture(scope="class")
+    def media_ds(self, ray_session):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(["d1", "d1", "d2"], pa.string()),
+            "media_ref": pa.array(["m://a", "m://b", "m://c"], pa.string()),
+            "kind": pa.array(["image", "audio", "video"], pa.string()),
+            "payload": pa.array([b"x" * 40, b"y" * 40, b"z" * 40], pa.binary()),
+        }))
+
+    def test_resize_only_images_and_exact_sizing(self, media_ds):
+        from graph_rag_agent_ray.ops.multimodal import resize_images
+        out = resize_images(media_ds, width=8, height=8).to_pandas()
+        by_kind = out.set_index("kind")
+        assert by_kind.loc["image", "resized"]
+        assert len(by_kind.loc["image", "payload"]) == 64  # 8x8 bytes exactly
+        assert not by_kind.loc["audio", "resized"]
+        assert by_kind.loc["audio", "payload"] == b"y" * 40  # passthrough
+
+    def test_resize_deterministic(self, media_ds):
+        from graph_rag_agent_ray.ops.multimodal import ResizeImages
+        a = ResizeImages(width=8, height=8)._fake_resample(b"p")
+        b = ResizeImages(width=8, height=8)._fake_resample(b"p")
+        assert a == b
+        assert a != ResizeImages(width=16, height=16)._fake_resample(b"p")[:64]
+
+    def test_sample_frames_explode(self, media_ds):
+        from graph_rag_agent_ray.ops.multimodal import sample_frames
+        out = sample_frames(media_ds, n_frames=4, duration_ms=4000).to_pandas()
+        # image -> 1 frame at ts 0; audio/video -> 4 uniform frames
+        assert len(out[out["kind"] == "image"]) == 1
+        assert out[out["kind"] == "image"]["ts_ms"].iloc[0] == 0
+        vid = out[out["kind"] == "video"].sort_values("frame_idx")
+        assert list(vid["ts_ms"]) == [0, 1000, 2000, 3000]
+        assert len(out) == 9
+        # deterministic fake frames keyed by (ref, idx)
+        assert out["frame"].map(len).eq(20).all()
+
+    def test_real_codec_gated(self):
+        from graph_rag_agent_ray.ops.multimodal import ResizeImages, SampleFrames
+        with pytest.raises(NotImplementedError):
+            ResizeImages(use_real_codec=True)
+        with pytest.raises(NotImplementedError):
+            SampleFrames(use_real_codec=True)
