@@ -100,7 +100,12 @@ def _window_token_spans(tokens: List[tuple], cfg: KGConfig) -> List[tuple]:
     return out
 
 
-def chunk_one_document(doc_id: str, spans: List[dict], cfg: KGConfig) -> List[dict]:
+def chunk_one_document(doc_id: str, spans: List[dict], cfg: KGConfig,
+                       tokenizer=None) -> List[dict]:
+    """``tokenizer`` (optional): any offset-preserving callable
+    ``text -> [(token, char_start, char_end)]`` — the pluggable seam for a
+    HanLP-parity tokenizer (tools/tokenizer_divergence.py measures the
+    chunk-boundary impact of swapping it). Default: the regex tokenizer."""
     assembled = assemble_document(spans)
     text = assembled["text"]
     if not text:
@@ -112,7 +117,7 @@ def chunk_one_document(doc_id: str, spans: List[dict], cfg: KGConfig) -> List[di
     # pre-split huge texts by paragraph boundaries (text_chunker.py:43-163 is
     # a ¶/sentence/fixed ladder; our substring windows make a simple char cap
     # sufficient because tokenization is linear and windows are bounded)
-    tokens = tokenize_with_offsets(text)
+    tokens = (tokenizer or tokenize_with_offsets)(text)
     rows: List[dict] = []
     for position, (lo, hi) in enumerate(_window_token_spans(tokens, cfg)):
         char_lo = tokens[lo][1]

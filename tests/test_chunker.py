@@ -151,3 +151,29 @@ class TestSpanIndexVectorized:
         })
         assert len(SpanIndexBatch()(batch)) == 0
         assert len(SpanIndexBatch()(S.DOCUMENTS.empty_table())) == 0
+
+
+class TestTokenizerDivergence:
+    def test_harness_detects_and_clears(self):
+        """The divergence harness must report identity for an equivalent
+        tokenizer and real divergence for one with different token-count
+        semantics — and the char-coverage invariant must hold for both."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from tools.tokenizer_divergence import (
+            divergence, char_level_cjk_tokenizer, whitespace_tokenizer)
+        from graph_rag_agent_ray.functions.text import tokenize_with_offsets
+        from graph_rag_agent_ray.synth import generate
+        import dataclasses
+        cfg = dataclasses.replace(CFG, chunk_size=64, chunk_overlap=16)
+        corpus = generate(n_docs=40, seed=42, facts_per_doc=25)
+        docs = list(zip(corpus.documents.column("doc_id").to_pylist(),
+                        corpus.documents.column("spans").to_pylist()))
+        same = divergence(docs, tokenize_with_offsets,
+                          char_level_cjk_tokenizer, cfg)
+        assert same["boundary_jaccard"] == 1.0
+        diff = divergence(docs, tokenize_with_offsets,
+                          whitespace_tokenizer, cfg)
+        assert diff["boundary_jaccard"] < 0.5
+        assert same["coverage_equal_docs"] == 1.0
+        assert diff["coverage_equal_docs"] == 1.0
