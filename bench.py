@@ -180,7 +180,7 @@ def run_bench() -> dict:
         return pa_.Table.from_pylist(rows, schema=batch.schema)
 
     docs_mut = rd.read_parquet(f"{corpus_path}/documents.parquet") \
-        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(mutate, batch_format="pyarrow").materialize()
     out_inc = f"/tmp/bench_kg_inc_{n_docs}_{NUM_CPUS}"
     shutil.rmtree(out_inc, ignore_errors=True)
     t0 = time.monotonic()

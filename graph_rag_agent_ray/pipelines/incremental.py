@@ -94,10 +94,14 @@ def compute_delta(
 
 
 def _filter_by_docs(ds: "ray.data.Dataset", keep_ref, doc_col: str = "doc_id"):
+    """Broadcast semi-join: vectorized ``pc.is_in`` against the broadcast
+    doc-id value_set (``keep_ref`` = ray.put of a pa.Array or a set)."""
     def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         keep = ray.get(keep_ref)
-        mask = pa.array([d in keep for d in batch.column(doc_col).to_pylist()])
-        return batch.filter(mask)
+        if not isinstance(keep, pa.Array):  # legacy set-shaped refs
+            keep = pa.array(sorted(keep), pa.string())
+        return batch.filter(pc.is_in(batch.column(doc_col), value_set=keep))
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
@@ -139,32 +143,38 @@ def incremental_build_kg(
     changed_pdf = delta.to_pandas()
     dirty = set(changed_pdf.loc[changed_pdf["status"].isin(["added", "modified"]), "doc_id"])
     kept = set(changed_pdf.loc[changed_pdf["status"] == "unchanged", "doc_id"])
-    dirty_ref = ray.put(dirty)
-    kept_ref = ray.put(kept)
+    dirty_ref = ray.put(pa.array(sorted(dirty), pa.string()))
+    kept_ref = ray.put(pa.array(sorted(kept), pa.string()))
 
     base_fp = fingerprint(input_token, cfg)
 
-    # merged chunks / extractions: prior rows for unchanged docs + fresh rows
-    # for dirty docs — written under the NEW build's fingerprints so build_kg
-    # resumes straight into the downstream stages
+    # merged chunks / extractions / embeddings: prior rows for unchanged docs
+    # + fresh rows for dirty docs — materialized once, then all three
+    # snapshots written CONCURRENTLY (independent parquet jobs; build_kg only
+    # needs them on disk before it starts) under the NEW build's
+    # fingerprints so build_kg resumes straight into the downstream stages
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = ThreadPoolExecutor(max_workers=3)
     docs_dirty = _filter_by_docs(docs_new, dirty_ref)
     if prev.manifest("chunks"):
         chunks_kept = _filter_by_docs(prev.read("chunks"), kept_ref)
         chunks_merged = chunk_documents(docs_dirty, cfg).union(chunks_kept)
     else:
         chunks_merged = chunk_documents(docs_dirty, cfg)
-    chunks_ds = store.write("chunks", chunks_merged, fingerprint(base_fp, "chunks"))
+    chunks_merged = chunks_merged.materialize()
+    pending = [writes.submit(store.write, "chunks", chunks_merged,
+                             fingerprint(base_fp, "chunks"))]
 
     if prev.manifest("extractions"):
         extr_kept = _filter_by_docs(prev.read("extractions"), kept_ref)
-        chunks_dirty_only = _filter_by_docs(chunks_ds, dirty_ref)
+        chunks_dirty_only = _filter_by_docs(chunks_merged, dirty_ref)
         extr_merged = extract_chunks(chunks_dirty_only, cfg, extractor_cls).union(extr_kept)
     else:
-        extr_merged = extract_chunks(chunks_ds, cfg, extractor_cls)
-    store.write(
-        "extractions", extr_merged,
-        fingerprint(base_fp, "extractions", extractor_cls.__name__),
-    )
+        extr_merged = extract_chunks(chunks_merged, cfg, extractor_cls)
+    pending.append(writes.submit(
+        store.write, "extractions", extr_merged,
+        fingerprint(base_fp, "extractions", extractor_cls.__name__)))
 
     # chunk embeddings — the compute-dominant model stage — carry over the
     # same way (reference dirty-flag embedding update,
@@ -173,10 +183,15 @@ def incremental_build_kg(
     if prev.manifest("chunk_embeddings"):
         from ..stages.index import embed_chunks
         emb_kept = _filter_by_docs(prev.read("chunk_embeddings"), kept_ref)
-        chunks_dirty2 = _filter_by_docs(chunks_ds, dirty_ref)
+        chunks_dirty2 = _filter_by_docs(chunks_merged, dirty_ref)
         emb_merged = embed_chunks(chunks_dirty2, cfg).union(emb_kept)
-        store.write("chunk_embeddings", emb_merged,
-                    fingerprint(base_fp, "chunk_embeddings"))
+        pending.append(writes.submit(
+            store.write, "chunk_embeddings", emb_merged,
+            fingerprint(base_fp, "chunk_embeddings")))
+
+    for f in pending:
+        f.result()
+    writes.shutdown()
 
     tables = build_kg(docs_new, out_dir, cfg=cfg, input_token=input_token,
                       extractor_cls=extractor_cls)
