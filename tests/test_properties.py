@@ -154,3 +154,41 @@ class TestSqlHashEquivalence:
                 f"SELECT ({int(a[i])}::HUGEINT * {h}::HUGEINT + {int(b[i])}) "
                 f"% 18446744073709551616").fetchone()[0]
             assert py == int(theirs)
+
+
+class TestSpanIndexVectorizedProperties:
+    """The vectorized SpanIndexBatch must equal assemble_document's
+    bookkeeping on ARBITRARY span lists (kinds, offsets incl. duplicates,
+    empty/None texts, unicode lengths)."""
+
+    SPAN = st.fixed_dictionaries({
+        "kind": st.sampled_from(["text", "image", "audio", "video"]),
+        "text": st.text(alphabet="ab 中。\n", max_size=12),
+        "media_ref": st.text(alphabet="mxyz:/", max_size=6),
+        "offset": st.integers(min_value=0, max_value=5),
+    })
+
+    @given(st.lists(st.lists(SPAN, max_size=6), min_size=1, max_size=4))
+    @settings(max_examples=60, deadline=None)
+    def test_matches_assemble_document(self, docs):
+        import pyarrow as pa
+        import graph_rag_agent_ray.schema as S
+        from graph_rag_agent_ray.stages.chunker import SpanIndexBatch
+
+        # media spans carry no text in the real schema; normalize like the
+        # generator does (text only meaningful for kind == "text")
+        for spans in docs:
+            for s in spans:
+                if s["kind"] != "text":
+                    s["text"] = ""
+        batch = pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(len(docs))], pa.string()),
+            "spans": pa.array(docs, pa.list_(S.SPAN_STRUCT)),
+        })
+        got = sorted(map(tuple, SpanIndexBatch()(batch).to_pandas().to_numpy()))
+        want = []
+        for i, spans in enumerate(docs):
+            for s in assemble_document(spans)["spans"]:
+                want.append((f"d{i}", s["span_idx"], s["kind"], s["media_ref"],
+                             s["offset"], s["char_start"], s["char_end"]))
+        assert got == sorted(want)
