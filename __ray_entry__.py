@@ -460,6 +460,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from graph_rag_agent_ray.ops import oracles as O
 
+    # ordering insurance: if the driver evaluates an oracle before its query
+    # has run (truth files are normally written during query execution),
+    # plant the sf0.01-sized truth now — pure numpy, ~1 s, and identical to
+    # what the queries would write at the driver's correctness sf. Never
+    # overwrites truth already written by a query run.
+    if not os.path.exists(f"{KG_TRUTH_DIR}/kg_triples.parquet"):
+        _write_kg_truth(generate(n_docs=200, seed=42))
+
     ws = r"'\s+'"
     n_tokens = (
         "CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 "
