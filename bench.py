@@ -220,8 +220,23 @@ def run_bench() -> dict:
             "n_triples": int(n_triples_inc),
             "delta": {k: int(v) for k, v in delta.items()},
             "speedup_vs_full_build": round(headline / inc_headline, 2),
+            # work-skipping evidence: per-document stages that resumed from
+            # carried-over snapshots instead of recomputing (with a real
+            # model API these dominate cost; the mock extractor is ~free,
+            # so wall speedup here is bounded by the graph-side recompute)
+            "cached_stages": _cached_stages(out_inc),
         },
     }
+
+
+def _cached_stages(out_dir: str) -> list:
+    import json as _json
+    try:
+        with open(os.path.join(out_dir, "_lineage.jsonl")) as f:
+            return sorted({_json.loads(l).get("stage") for l in f
+                           if _json.loads(l).get("cached")})
+    except OSError:
+        return []
 
 
 _CALIBRATE_SRC = r"""
