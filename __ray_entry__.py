@@ -35,6 +35,11 @@ from graph_rag_agent_ray.sources.documents import read_flat_documents
 from graph_rag_agent_ray.stages.chunker import assemble_document
 from graph_rag_agent_ray.synth import generate
 
+
+def _clean():
+    from graph_rag_agent_ray.ops import clean
+    return clean
+
 _KG_CACHE: Dict[str, dict] = {}
 
 
@@ -420,6 +425,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": lambda sf: D.simhash_duplicate_pairs(_docs(sf), max_hamming=3),
         "ngram_jaccard": lambda sf: D.ngram_jaccard_pairs(_docs(sf), n=3, threshold=0.5),
         "winnow_fps": lambda sf: TS.winnow_fingerprints(_docs(sf)),
+        # substring-granular near-dup: pairs sharing winnowing fingerprints
+        "winnow_shared": lambda sf: D.winnow_shared_pairs(
+            _docs(sf), min_shared=2, max_df=64),
+        # corpus cleaning (C4-style): boilerplate lines + PII masking
+        "boilerplate_stats": lambda sf: _clean().boilerplate_stats(_docs(sf), min_df=2),
+        "mask_pii": lambda sf: _clean().mask_pii(_docs(sf)),
         # multi-probe IVF at full Hamming coverage (n_probes=2^n_bits) is
         # EXACT, so the bucketize/probe/partial-topk/merge machinery verifies
         # against the same SQL oracle as brute force; the approximate default
@@ -569,6 +580,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),
         "winnow_fps": O.winnow_sql(),
+        "winnow_shared": O.winnow_shared_sql(min_shared=2, max_df=64),
+        "boilerplate_stats": O.boilerplate_sql(min_df=2),
+        "mask_pii": O.pii_sql(),
         "knn_topk": """
             WITH sims AS (
                 SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

@@ -147,6 +147,10 @@ def run_bench() -> dict:
     timed("simhash_dups", lambda: D.simhash_duplicate_pairs(docs_flat()).count())
     timed("ngram_jaccard", lambda: D.ngram_jaccard_pairs(docs_flat(), n=3, threshold=0.5).count())
     timed("winnow_fps", lambda: TS.winnow_fingerprints(docs_flat()).count())
+    timed("winnow_shared", lambda: D.winnow_shared_pairs(docs_flat()).count())
+    from graph_rag_agent_ray.ops import clean as CL
+    timed("boilerplate_stats", lambda: CL.boilerplate_stats(docs_flat()).count())
+    timed("mask_pii", lambda: CL.mask_pii(docs_flat()).count())
     timed("knn_topk", lambda: SIM.knn_bruteforce(emb(), range(8), k=10).count())
     timed("knn_ivf", lambda: SIM.knn_ivf(emb(), range(8), k=10).count())
     timed("knn_ivf_trained",

@@ -636,3 +636,55 @@ def embedding_neardup_blocked(
         lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
         n_buckets=16,
     )
+
+
+# ------------------------------------------------- winnowing shared pairs ----
+
+def winnow_shared_pairs(
+    ds: "ray.data.Dataset", k: int = 8, window: int = 16,
+    min_shared: int = 2, max_df: int = 64,
+) -> "ray.data.Dataset":
+    """(a, b, n_shared): document pairs sharing >= ``min_shared`` winnowing
+    fingerprints — substring-granular near-duplicate detection (the MOSS
+    shape: shared fingerprints ≈ shared passages, robust to reordering that
+    defeats whole-document MinHash). Fingerprints appearing in more than
+    ``max_df`` docs are dropped BEFORE pairing — ubiquitous substrings are
+    boilerplate, carry no pair signal, and would make the per-fingerprint
+    pair emission quadratic in the hottest group; the SQL oracle applies the
+    identical df filter, so the operator stays exactly verifiable.
+
+    Scale shape: fingerprints shuffle once by fp (pair emission bounded by
+    max_df² per group), pair counts shuffle once by (a, b) — both rounds are
+    map-side-combined; no driver collection."""
+    from .textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(ds, k=k, window=window)
+
+    empty_p = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                            "b": pd.Series(dtype="int64"),
+                            "n": pd.Series(dtype="int64")})
+
+    def pairs_in_fp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["fp", "doc_id"])
+        sizes = df.groupby("fp", sort=False)["doc_id"].transform("size")
+        df = df[(sizes >= 2) & (sizes <= max_df)]
+        if not len(df):
+            return empty_p
+        m = df.merge(df, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return empty_p
+        agg = (m.groupby(["doc_id_x", "doc_id_y"], sort=False).size()
+               .reset_index(name="n")
+               .rename(columns={"doc_id_x": "a", "doc_id_y": "b"}))
+        return agg
+
+    partial = hash_partitioned_groupby(fps, ["fp"], pairs_in_fp, n_buckets=32)
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (df.groupby(["a", "b"], sort=False)["n"].sum()
+               .reset_index(name="n_shared"))
+        return agg[agg["n_shared"] >= min_shared]
+
+    return hash_partitioned_groupby(partial, ["a", "b"], reduce_pairs,
+                                    n_buckets=32)

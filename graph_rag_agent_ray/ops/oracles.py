@@ -152,3 +152,55 @@ sel AS (
 )
 SELECT DISTINCT doc_id, {_signed('m')} AS fp FROM sel
 """
+
+
+def winnow_shared_sql(k: int = 8, window: int = 16,
+                      min_shared: int = 2, max_df: int = 64) -> str:
+    """Exact DuckDB equivalent of ops.dedup.winnow_shared_pairs: the
+    winnowing-fingerprint CTE self-joined on fp (fingerprints with document
+    frequency in [2, max_df] only), pair-counted, thresholded."""
+    return f"""
+WITH wfp AS ({winnow_sql(k, window)}),
+ok AS (
+  SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND {max_df}
+),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM wfp x JOIN wfp y USING (fp) JOIN ok USING (fp)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, COUNT(*) AS n_shared FROM p GROUP BY a, b
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+def boilerplate_sql(min_df: int = 2) -> str:
+    """Exact DuckDB equivalent of ops.clean.boilerplate_stats."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+dfreq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+SELECT l.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN d.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate
+FROM lines l JOIN dfreq d USING (line)
+GROUP BY l.doc_id
+"""
+
+
+def pii_sql() -> str:
+    """Exact DuckDB equivalent of ops.clean.mask_pii (RE2 = Python re on
+    these lookaround-free patterns; emails masked before phones on both
+    sides)."""
+    from .clean import EMAIL_RE, PHONE_RE
+
+    emasked = f"regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g')"
+    return f"""
+SELECT doc_id,
+       regexp_replace({emasked}, '{PHONE_RE}', '[PHONE]', 'g') AS text,
+       CAST(length(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all({emasked}, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM documents
+"""

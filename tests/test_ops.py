@@ -361,3 +361,92 @@ class TestMultimodalStages:
             ResizeImages(use_real_codec=True)
         with pytest.raises(NotImplementedError):
             SampleFrames(use_real_codec=True)
+
+
+class TestWinnowSharedPairs:
+    def test_shared_passage_detected(self, ray_session):
+        """Docs sharing a long passage pair up even when the rest differs
+        and reordering defeats whole-doc comparison; unrelated docs don't."""
+        passage = "the quick brown fox jumps over the lazy dog near the river bank"
+        texts = [
+            "intro one. " + passage + " outro alpha text here",
+            "completely different opening. " + passage,
+            "no shared passage at all in this document about gardens and stone paths",
+        ]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        pairs = D.winnow_shared_pairs(ds, min_shared=2).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+        assert (0, 1) in got
+        assert not any(2 in p for p in got)
+
+    def test_max_df_drops_boilerplate_fp(self, ray_session):
+        """A fingerprint present in EVERY doc is dropped by max_df, so a
+        corpus of docs sharing only boilerplate yields no pairs."""
+        boiler = "standard legal disclaimer text appended to every document"
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([f"unique body {i*i} content. {boiler}"
+                              for i in range(6)], pa.string()),
+        }))
+        strict = D.winnow_shared_pairs(ds, min_shared=1, max_df=3).to_pandas()
+        loose = D.winnow_shared_pairs(ds, min_shared=1, max_df=64).to_pandas()
+        assert len(loose) > len(strict)
+
+
+class TestCleaningOps:
+    @pytest.fixture(scope="class")
+    def dirty_docs(self, ray_session):
+        boiler = "COPYRIGHT 2026 Example Corp. All rights reserved."
+        texts = [
+            f"first body line\ncontact me at alice@example.com\n{boiler}",
+            f"second doc entirely\n{boiler}\ncall +1 (555) 123-4567 today",
+            "third doc has no boilerplate and no pii at all",
+            f"fourth doc\n{boiler}\nbob.smith+tag@mail.example.org wrote this",
+        ]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    def test_boilerplate_stats(self, dirty_docs):
+        from graph_rag_agent_ray.ops.clean import boilerplate_stats
+        out = boilerplate_stats(dirty_docs, min_df=2).to_pandas() \
+            .set_index("doc_id").sort_index()
+        assert list(out["n_boilerplate"]) == [1, 1, 0, 1]
+        assert out.loc[0, "n_lines"] == 3
+
+    def test_strip_boilerplate_preserves_order(self, dirty_docs):
+        from graph_rag_agent_ray.ops.clean import strip_boilerplate
+        out = strip_boilerplate(dirty_docs, min_df=2).to_pandas() \
+            .set_index("doc_id")
+        assert out.loc[0, "text"] == \
+            "first body line\ncontact me at alice@example.com"
+        assert out.loc[1, "text"] == \
+            "second doc entirely\ncall +1 (555) 123-4567 today"
+
+    def test_mask_pii_counts_and_text(self, dirty_docs):
+        from graph_rag_agent_ray.ops.clean import mask_pii
+        out = mask_pii(dirty_docs).to_pandas().set_index("doc_id").sort_index()
+        assert list(out["n_emails"]) == [1, 0, 0, 1]
+        assert list(out["n_phones"]) == [0, 1, 0, 0]
+        assert "[EMAIL]" in out.loc[0, "text"]
+        assert "alice@example.com" not in out.loc[0, "text"]
+        assert "[PHONE]" in out.loc[1, "text"]
+
+    def test_pii_matches_duckdb_on_planted_text(self, dirty_docs):
+        """The RE2/Python-re equivalence claim, checked on text that
+        actually CONTAINS matches (the driver corpus mostly doesn't)."""
+        import duckdb
+        from graph_rag_agent_ray.ops.clean import mask_pii
+        from graph_rag_agent_ray.ops.oracles import pii_sql
+        ours = mask_pii(dirty_docs).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", dirty_docs.to_pandas())
+        theirs = con.execute(pii_sql()).df().sort_values("doc_id") \
+            .reset_index(drop=True)
+        for c in ("text", "n_emails", "n_phones"):
+            assert list(ours[c]) == list(theirs[c]), c
