@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus cleaning (C4-style): boilerplate lines + PII masking
         "boilerplate_stats": lambda sf: _clean().boilerplate_stats(_docs(sf), min_df=2),
         "mask_pii": lambda sf: _clean().mask_pii(_docs(sf)),
+        # Gopher repetition signals + C4-style keep/drop filter
+        "gopher_repetition": lambda sf: TS.gopher_repetition(_docs(sf)),
+        "quality_filter": lambda sf: TS.quality_filter(_docs(sf), min_words=5),
         # multi-probe IVF at full Hamming coverage (n_probes=2^n_bits) is
         # EXACT, so the bucketize/probe/partial-topk/merge machinery verifies
         # against the same SQL oracle as brute force; the approximate default
@@ -583,6 +586,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_shared": O.winnow_shared_sql(min_shared=2, max_df=64),
         "boilerplate_stats": O.boilerplate_sql(min_df=2),
         "mask_pii": O.pii_sql(),
+        "gopher_repetition": O.gopher_sql(),
+        "quality_filter": O.quality_filter_sql(min_words=5),
         "knn_topk": """
             WITH sims AS (
                 SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

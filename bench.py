@@ -151,6 +151,8 @@ def run_bench() -> dict:
     from graph_rag_agent_ray.ops import clean as CL
     timed("boilerplate_stats", lambda: CL.boilerplate_stats(docs_flat()).count())
     timed("mask_pii", lambda: CL.mask_pii(docs_flat()).count())
+    timed("gopher_repetition", lambda: TS.gopher_repetition(docs_flat()).count())
+    timed("quality_filter", lambda: TS.quality_filter(docs_flat()).count())
     timed("knn_topk", lambda: SIM.knn_bruteforce(emb(), range(8), k=10).count())
     timed("knn_ivf", lambda: SIM.knn_ivf(emb(), range(8), k=10).count())
     timed("knn_ivf_trained",

@@ -204,3 +204,62 @@ SELECT doc_id,
        CAST(length(regexp_extract_all({emasked}, '{PHONE_RE}')) AS BIGINT) AS n_phones
 FROM documents
 """
+
+
+def gopher_sql() -> str:
+    """Exact DuckDB equivalent of ops.textstats.gopher_repetition (same
+    line/word split specs as boilerplate_sql / token_count)."""
+    ws = r"'\s+'"
+    return f"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+lagg AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+  FROM lines GROUP BY doc_id, line
+),
+lstats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_lines,
+         CAST(SUM(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0 END) AS BIGINT)
+           AS dup_line_chars
+  FROM lagg GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text, ' \t\n\r'), {ws})) AS w
+  FROM documents WHERE trim(text, ' \t\n\r') <> ''
+),
+wagg AS (
+  SELECT doc_id, w, COUNT(*) AS c, length(w) AS len FROM words GROUP BY doc_id, w
+),
+wstats AS (
+  SELECT doc_id, CAST(MAX(c * len) AS BIGINT) AS top_word_chars,
+         CAST(SUM(c * len) AS BIGINT) AS word_chars_total
+  FROM wagg GROUP BY doc_id
+)
+SELECT l.doc_id, n_lines, n_dup_lines, dup_line_chars,
+       COALESCE(top_word_chars, 0) AS top_word_chars,
+       COALESCE(word_chars_total, 0) AS word_chars_total
+FROM lstats l LEFT JOIN wstats w USING (doc_id)
+"""
+
+
+def quality_filter_sql(min_words: int = 5) -> str:
+    """Exact DuckDB equivalent of ops.textstats.quality_filter."""
+    ws = r"'\s+'"
+    n_words = (
+        "CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 "
+        f"ELSE array_length(regexp_split_to_array(trim(text, ' \t\n\r'), {ws})) END"
+    )
+    term = "regexp_matches(text, '[.!?。！？]')"
+    brace = "regexp_matches(text, '[{}]')"
+    return f"""
+SELECT doc_id,
+       CAST({n_words} AS BIGINT) AS n_words,
+       {term} AS has_terminal,
+       {brace} AS has_brace,
+       ({n_words} >= {min_words} AND {term} AND NOT {brace}) AS keep
+FROM documents
+"""

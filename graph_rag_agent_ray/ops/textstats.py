@@ -114,3 +114,73 @@ def winnow_fingerprints(ds: "ray.data.Dataset", k: int = 8, window: int = 16) ->
             "fp": pa.array(fps, pa.int64()),
         })
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+
+
+def gopher_repetition(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitious
+    documents are low-quality): per doc —
+
+    - ``n_lines`` / ``n_dup_lines`` (occurrences beyond the first of each
+      distinct line) and ``dup_line_chars`` (characters in those repeats);
+    - ``top_word_chars`` (characters covered by the single most frequent
+      whitespace word, count × len) and ``word_chars_total``.
+
+    All INTEGER so the DuckDB oracle hash-compares with zero float-rounding
+    risk; callers derive the Gopher ratios (dup_line_frac etc.) and
+    thresholds from these. Whitespace-word spec matches token_count."""
+    from collections import Counter
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        # words via the SAME arrow kernel spec as token_count (its DuckDB
+        # oracle is already proven equivalent on this split)
+        trimmed = pc.utf8_trim_whitespace(text)
+        word_lists = pc.split_pattern_regex(trimmed, pattern=r"\s+").to_pylist()
+        out = {k: [] for k in ("n_lines", "n_dup_lines", "dup_line_chars",
+                               "top_word_chars", "word_chars_total")}
+        for t, words in zip(batch.column("text").to_pylist(), word_lists):
+            lines = (t or "").split("\n")
+            lc = Counter(lines)
+            out["n_lines"].append(len(lines))
+            out["n_dup_lines"].append(len(lines) - len(lc))
+            out["dup_line_chars"].append(
+                sum((c - 1) * len(l) for l, c in lc.items() if c > 1))
+            if words == [""]:
+                words = []
+            wc = Counter(words)
+            out["top_word_chars"].append(
+                max((c * len(w) for w, c in wc.items()), default=0))
+            out["word_chars_total"].append(sum(len(w) for w in words))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def quality_filter(ds: "ray.data.Dataset", min_words: int = 5) -> "ray.data.Dataset":
+    """C4-style keep/drop signals (Raffel et al. 2020 §2.2 subset that is
+    exactly SQL-reproducible): ``keep`` = word count >= min_words AND the
+    text contains a terminal punctuation mark AND no curly brace (code
+    filter). Emitted with the contributing signals so downstream can audit
+    or re-threshold."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_words = _token_count_arr(text).cast(pa.int64())
+        has_term = pc.match_substring_regex(text, r"[.!?。！？]")
+        has_brace = pc.match_substring_regex(text, r"[{}]")
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_words, pa.scalar(min_words, pa.int64())),
+                    has_term),
+            pc.invert(has_brace))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": n_words,
+            "has_terminal": has_term,
+            "has_brace": has_brace,
+            "keep": keep,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)

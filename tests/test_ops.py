@@ -450,3 +450,39 @@ class TestCleaningOps:
             .reset_index(drop=True)
         for c in ("text", "n_emails", "n_phones"):
             assert list(ours[c]) == list(theirs[c]), c
+
+
+class TestGopherAndQualityFilter:
+    def test_repetition_signals(self, ray_session):
+        texts = [
+            "alpha beta\nalpha beta\nalpha beta\ngamma",   # dup lines
+            "word word word word tail",                     # dominant word
+            "",                                             # empty
+        ]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        out = TS.gopher_repetition(ds).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[0, "n_lines"] == 4
+        assert out.loc[0, "n_dup_lines"] == 2          # two repeats of "alpha beta"
+        assert out.loc[0, "dup_line_chars"] == 2 * len("alpha beta")
+        assert out.loc[1, "top_word_chars"] == 4 * 4    # "word" x4
+        assert out.loc[1, "word_chars_total"] == 4 * 4 + 4
+        assert out.loc[2, "n_lines"] == 1               # "" splits to one line
+        assert out.loc[2, "word_chars_total"] == 0
+
+    def test_quality_filter_rules(self, ray_session):
+        texts = [
+            "a good sentence with enough words in it.",   # keep
+            "too short.",                                  # < min_words
+            "plenty of words here but no terminal punctuation at all",
+            "code like content { return x; } with braces.",
+        ]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        out = TS.quality_filter(ds, min_words=5).to_pandas() \
+            .set_index("doc_id").sort_index()
+        assert list(out["keep"]) == [True, False, False, False]
