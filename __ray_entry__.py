@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": lambda sf: TS.token_count(_docs(sf)),
         "text_quality": lambda sf: TS.text_quality(_docs(sf)),
         "lang_feature": lambda sf: TS.lang_feature(_docs(sf)),
+        "lang_id": lambda sf: TS.lang_id(_docs(sf)),
         "fingerprint_md5": lambda sf: TS.fingerprint(_docs(sf)),
         # --- dedup (SQL-checked where exact) ---
         "exact_dedup": lambda sf: D.exact_dedup(_docs(sf)),
@@ -507,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
                     > length(text)) AS en_like
             FROM documents
         """,
+        "lang_id": O.lang_id_sql(),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
         "tumbling_window": """
             SELECT user_id,

@@ -263,3 +263,20 @@ SELECT doc_id,
        ({n_words} >= {min_words} AND {term} AND NOT {brace}) AS keep
 FROM documents
 """
+
+
+def lang_id_sql() -> str:
+    """Exact DuckDB equivalent of ops.textstats.lang_id."""
+    n_cjk = "length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))"
+    n_latin = "length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))"
+    has_the = "position(' the ' IN text) > 0"
+    return f"""
+SELECT doc_id,
+       CAST({n_cjk} AS BIGINT) AS n_cjk,
+       CAST({n_latin} AS BIGINT) AS n_latin,
+       CASE WHEN {n_cjk} > {n_latin} THEN 'zh'
+            WHEN {n_latin} > 0 AND {has_the} THEN 'en'
+            WHEN {n_latin} > 0 THEN 'latin'
+            ELSE 'unknown' END AS lang
+FROM documents
+"""

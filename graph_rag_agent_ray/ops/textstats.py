@@ -184,3 +184,32 @@ def quality_filter(ds: "ray.data.Dataset", min_words: int = 5) -> "ray.data.Data
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def lang_id(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_cjk, n_latin, lang) — character-class language
+    classification (the deterministic heuristic tier below a fastText model,
+    which is unavailable offline): ``zh`` when CJK code points outnumber
+    Latin letters, ``en`` when Latin letters dominate AND the ``' the '``
+    stopword appears, ``latin`` for Latin-script text without the English
+    marker, else ``unknown``. Pure pyarrow kernels, exact SQL oracle."""
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_cjk = pc.count_substring_regex(text, r"[一-鿿]").cast(pa.int64())
+        n_latin = pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.int64())
+        has_the = pc.greater(pc.count_substring(text, " the "),
+                             pa.scalar(0, pa.int32()))
+        lang = pc.if_else(
+            pc.greater(n_cjk, n_latin),
+            pa.scalar("zh"),
+            pc.if_else(
+                pc.greater(n_latin, pa.scalar(0, pa.int64())),
+                pc.if_else(has_the, pa.scalar("en"), pa.scalar("latin")),
+                pa.scalar("unknown")))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_cjk": n_cjk,
+            "n_latin": n_latin,
+            "lang": lang,
+        })
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)

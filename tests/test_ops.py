@@ -486,3 +486,19 @@ class TestGopherAndQualityFilter:
         out = TS.quality_filter(ds, min_words=5).to_pandas() \
             .set_index("doc_id").sort_index()
         assert list(out["keep"]) == [True, False, False, False]
+
+
+class TestLangId:
+    def test_classification(self, ray_session):
+        texts = [
+            "this is clearly the english language text with the words",
+            "这是一段完全中文的文本内容没有英文词汇",
+            "texto latino sin marcador ingles aqui",
+            "12345 67890 !!!",
+        ]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        out = TS.lang_id(ds).to_pandas().set_index("doc_id").sort_index()
+        assert list(out["lang"]) == ["en", "zh", "latin", "unknown"]
