@@ -61,8 +61,13 @@ def run_bench() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # object store at Ray Data's recommended 50% of RAM (the default
+        # ~43% triggers its performance warning and spills earlier on the
+        # duplicate-corpus headline)
+        phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR",
+                 object_store_memory=int(phys * 0.5))
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -188,18 +188,18 @@ def build_kg(
             "doc_id": batch.column("doc_id"),
         })
 
-    # mention/entity canonicalization overlaps the edge chain on side
-    # threads — three independent sub-DAGs sharing the streaming executor
+    # mention canonicalization overlaps the edge chain on a side thread —
+    # independent sub-DAGs sharing the streaming executor. (The canonical
+    # ENTITY table is tiny — aggregated — so it stays lazy and fuses into
+    # the final attach stage below: one fewer Dataset execution.)
     _t = _time.monotonic()
     mentions_canon_f = side.submit(
         lambda: mentions.map_batches(
             canon_mentions, batch_format="pyarrow", batch_size=8192
         ).materialize())
-    entities0_f = side.submit(
-        lambda: C.canonical_entities(embedded, alias_ref, cfg).materialize())
+    entities0 = C.canonical_entities(embedded, alias_ref, cfg)
     edges, triples_canon = edge_chain_f.result()
     mentions_canon = mentions_canon_f.result()
-    entities0 = entities0_f.result()
     lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
 
     # ---- communities (aggregated graph — provably small; guarded) ----
