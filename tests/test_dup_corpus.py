@@ -76,3 +76,27 @@ class TestDupCorpus:
         flat = rd.from_arrow(pa.Table.from_pylist(rows))
         out = exact_dedup(flat).to_pandas()
         assert (out["n_dups"] >= 2).sum() >= 10  # 16 dups over 40 sources
+
+def test_dedup_shard_guard(ray_session, monkeypatch):
+    """A chunk text duplicated far beyond the shard cap must still attribute
+    every occurrence exactly once (the pathological hot-key path)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from graph_rag_agent_ray.stages import extract as E
+
+    monkeypatch.setattr(E, "DEDUP_SHARD_IDS", 7)  # force sharding
+    n = 50
+    chunks = rd.from_arrow(pa.table({
+        "chunk_id": pa.array(["same"] * n + ["other"], pa.string()),
+        "doc_id": pa.array([f"d{i:03d}" for i in range(n)] + ["dx"], pa.string()),
+        "text": pa.array(
+            ["The person Alfa Beta leads the person Gamma Delta。"] * n
+            + ["The person Gamma Delta uses the technology Epsilon Zeta。"],
+            pa.string()),
+    }))
+    out = E.extract_chunks_dedup(chunks).to_pandas()
+    assert len(out) == n + 1
+    assert out["doc_id"].is_unique
+    same = out[out["chunk_id"] == "same"]
+    assert same["raw"].nunique() == 1          # identical raw on every shard
+    assert set(same["doc_id"]) == {f"d{i:03d}" for i in range(n)}
