@@ -338,6 +338,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__.strip())
+        sys.exit(0)
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
