@@ -57,17 +57,35 @@ def ensure_corpus(n_docs: int, facts_per_doc: int, dup_rate: float = 0.0) -> str
     return path
 
 
+def _object_store_bytes():
+    """50% of physical RAM, capped at 90% of available /dev/shm (shared-
+    memory-backed plasma only; a request /dev/shm cannot back either fails
+    ray.init or spills to disk). Returns None (use Ray's default) when the
+    cap falls under Ray's 75 MiB minimum or /dev/shm is unreadable."""
+    phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    want = int(phys * 0.5)
+    try:
+        st = os.statvfs("/dev/shm")
+        cap = int(st.f_bsize * st.f_bavail * 0.9)
+        want = min(want, cap)
+    except OSError:
+        return None
+    return want if want >= 100 * 1024 * 1024 else None
+
+
 def run_bench() -> dict:
     import ray
 
     if not ray.is_initialized():
         # object store at Ray Data's recommended 50% of RAM (the default
         # ~43% triggers its performance warning and spills earlier on the
-        # duplicate-corpus headline)
-        phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        # duplicate-corpus headline) — but never more than /dev/shm can
+        # actually back (a container with a small shm cap would otherwise
+        # fail ray.init or silently fall back to disk-backed plasma)
+        obj_mem = _object_store_bytes()
+        extra = {"object_store_memory": obj_mem} if obj_mem else {}
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR",
-                 object_store_memory=int(phys * 0.5))
+                 logging_level="ERROR", **extra)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -167,14 +185,12 @@ def run_bench() -> dict:
     timed("neardup_blocked",
           lambda: D.embedding_neardup_blocked(emb(), 0.35, n_bits=2, n_tables=16).count())
     # ---- third headline: incremental update with 1% dirty docs — the
-    # work-skipping path (unchanged docs' chunks/extractions/embeddings
-    # carry over; only the delta re-runs the per-document stages). Runs
-    # LAST so its mutated-corpus blocks don't pressure the other headlines.
-    # NOTE the mock extractor is nearly free, so at this corpus the
-    # downstream canonicalization (which must rerun on any graph change)
-    # dominates and the speedup is modest; the carried-over stages are
-    # exactly the ones that dominate with a REAL model (see
-    # incremental_replay_speedup in BASELINE.md for that measurement).
+    # delta-scoped path: per-doc stages (chunk/extract/embed/parse) carry
+    # rows over for unchanged docs, and the graph-side aggregates (exact
+    # dedup, canonical remap, edge dedup) re-run only the touched key
+    # groups; the remaining full-corpus work is copy-forward snapshot I/O
+    # plus the community-rank aggregate. Runs LAST so its mutated-corpus
+    # blocks don't pressure the other headlines.
     from graph_rag_agent_ray.pipelines.incremental import (
         incremental_build_kg, write_registry)
     write_registry(docs, out_dir, input_token=f"bench{n_docs}")
@@ -231,23 +247,32 @@ def run_bench() -> dict:
             "n_triples": int(n_triples_inc),
             "delta": {k: int(v) for k, v in delta.items()},
             "speedup_vs_full_build": round(headline / inc_headline, 2),
-            # work-skipping evidence: per-document stages that resumed from
-            # carried-over snapshots instead of recomputing (with a real
-            # model API these dominate cost; the mock extractor is ~free,
-            # so wall speedup here is bounded by the graph-side recompute)
-            "cached_stages": _cached_stages(out_inc),
+            # work-skipping evidence: stages whose compute was scoped to the
+            # dirty delta / touched key groups (rows for everything else
+            # carried over from the previous build's snapshots), plus any
+            # stage that resumed fully from a fingerprint-matched snapshot
+            "delta_scoped_stages": _stage_evidence(out_inc)[1],
+            "cached_stages": _stage_evidence(out_inc)[0],
         },
     }
 
 
-def _cached_stages(out_dir: str) -> list:
+def _stage_evidence(out_dir: str) -> tuple:
     import json as _json
+    cached, delta_scoped = set(), set()
     try:
         with open(os.path.join(out_dir, "_lineage.jsonl")) as f:
-            return sorted({_json.loads(l).get("stage") for l in f
-                           if _json.loads(l).get("cached")})
+            for line in f:
+                if not line.strip():
+                    continue
+                row = _json.loads(line)
+                if row.get("cached"):
+                    cached.add(row.get("stage"))
+                if row.get("delta_scoped"):
+                    delta_scoped.add(row.get("stage"))
     except OSError:
-        return []
+        pass
+    return sorted(cached), sorted(delta_scoped)
 
 
 _CALIBRATE_SRC = r"""

@@ -69,6 +69,14 @@ class KGConfig:
     extract_concurrency: int = 8
     embed_concurrency: int = 4
 
+    # ---- incremental updates ----
+    # persist the per-doc graph-side tables (mentions, mentions_canon,
+    # entities_embedded, alias_map) so a later incremental_build_kg can
+    # delta-scope the graph side (reference dirty-flag propagation,
+    # build/incremental_graph_builder.py:520-560). Costs extra async
+    # snapshot writes off the critical path; disable for one-shot builds.
+    incremental_snapshots: bool = True
+
     # ---- misc ----
     seed: int = 42
     unknown_entity_type: str = "未知"    # reference: graph/extraction/graph_writer.py:81

@@ -76,7 +76,7 @@ def build_kg(
     # — Ray Data supports concurrent dataset executions, so the streaming
     # executor interleaves them instead of serializing the whole DAG
     from concurrent.futures import ThreadPoolExecutor
-    side = ThreadPoolExecutor(max_workers=6)
+    side = ThreadPoolExecutor(max_workers=8)
 
     # hot-path stages materialize to the object store and checkpoint to disk
     # asynchronously: consumers never wait for the parquet round-trip
@@ -114,9 +114,19 @@ def build_kg(
         lambda: parse_triples(extractions, cfg), side, lineage,
     )
 
-    _t = _time.monotonic()
-    mentions = parse_mentions(extractions, cfg).materialize()
-    lineage.record("mentions_parse", cached=False, wall_s=_time.monotonic() - _t)
+    # mentions snapshot (when incremental_snapshots) so a later
+    # incremental_build_kg can carry over parse rows per doc instead of
+    # re-parsing the whole corpus (delta-scoped graph side)
+    if cfg.incremental_snapshots:
+        mentions, mentions_w = store.run_stage_async_write(
+            "mentions", fingerprint(base_fp, "mentions", extractor_cls.__name__),
+            lambda: parse_mentions(extractions, cfg), side, lineage,
+        )
+    else:
+        _t = _time.monotonic()
+        mentions = parse_mentions(extractions, cfg).materialize()
+        lineage.record("mentions_parse", cached=False, wall_s=_time.monotonic() - _t)
+        mentions_w = side.submit(lambda: None)
 
     # The exact-dedup aggregate + entity embedding are the last wide scans the
     # decision chain needs; after this point the canonicalization chain works
@@ -124,7 +134,17 @@ def build_kg(
     # chunk-embedding tail (resolved only at the very end).
     _t = _time.monotonic()
     exact = C.aggregate_exact(mentions, cfg)
-    embedded = C.embed_entities(exact, cfg).materialize()  # reused 3×, small
+    if cfg.incremental_snapshots:
+        # entity-scale (aggregated) — snapshot is cheap and lets an update
+        # carry over model embeddings for untouched entities
+        embedded, embedded_w = store.run_stage_async_write(
+            "entities_embedded",
+            fingerprint(base_fp, "entities_embedded", extractor_cls.__name__),
+            lambda: C.embed_entities(exact, cfg), side, lineage,
+        )
+    else:
+        embedded = C.embed_entities(exact, cfg).materialize()  # reused 3×, small
+        embedded_w = side.submit(lambda: None)
     triples, triples_w = triples_f.result()
     lineage.record("throughput_phase", cached=False, wall_s=_time.monotonic() - _t)
 
@@ -146,6 +166,18 @@ def build_kg(
     alias_fp = fingerprint(base_fp, sorted(alias.items()))
     lineage.record("alias_map", cached=False, wall_s=0.0,
                    n_pairs=int(len(pairs_pdf)), n_aliases=len(alias))
+    if cfg.incremental_snapshots:
+        # persist the alias map so the next incremental tick can diff old vs
+        # new mappings and re-remap only the affected canonical ids
+        alias_tbl = pa.table({
+            "member": pa.array(list(alias), pa.string()),
+            "canonical": pa.array(list(alias.values()), pa.string()),
+        })
+        alias_w = side.submit(
+            store.write, "alias_map", ray.data.from_arrow(alias_tbl),
+            fingerprint(base_fp, "alias_map", extractor_cls.__name__))
+    else:
+        alias_w = side.submit(lambda: None)
 
     # the edge chain (remap triples → dedupe) is independent of the mention/
     # entity chain — run it on a side thread so its shuffles interleave;
@@ -193,14 +225,69 @@ def build_kg(
     # ENTITY table is tiny — aggregated — so it stays lazy and fuses into
     # the final attach stage below: one fewer Dataset execution.)
     _t = _time.monotonic()
-    mentions_canon_f = side.submit(
-        lambda: mentions.map_batches(
-            canon_mentions, batch_format="pyarrow", batch_size=8192
-        ).materialize())
-    entities0 = C.canonical_entities(embedded, alias_ref, cfg)
+
+    def _mentions_canon_job():
+        compute = lambda: mentions.map_batches(  # noqa: E731
+            canon_mentions, batch_format="pyarrow", batch_size=8192)
+        if cfg.incremental_snapshots:
+            return store.run_stage_async_write(
+                "mentions_canon", fingerprint(alias_fp, "mentions_canon"),
+                compute, side, lineage)
+        return compute().materialize(), side.submit(lambda: None)
+
+    mentions_canon_f = side.submit(_mentions_canon_job)
     edges, triples_canon = edge_chain_f.result()
-    mentions_canon = mentions_canon_f.result()
+    mentions_canon, mentions_canon_w = mentions_canon_f.result()
     lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
+
+    entities_final, communities = communities_and_entities(
+        store, lineage, cfg, alias_fp, alias_ref, embedded, edges, mentions_canon)
+
+    chunk_embeddings = chunk_embeddings_f.result()
+    span_index = span_index_f.result()
+    chunks_w.result()
+    extractions_w.result()
+    triples_w.result()
+    mentions_w.result()
+    embedded_w.result()
+    alias_w.result()
+    mentions_canon_w.result()
+    side.shutdown()
+
+    return {
+        "chunks": chunks,
+        "span_index": span_index,
+        "extractions": extractions,
+        "chunk_embeddings": chunk_embeddings,
+        "mentions": mentions,
+        "triples": triples,
+        "triples_canon": triples_canon,
+        "entities": entities_final,
+        "edges": edges,
+        "communities": communities,
+        "mentions_canon": mentions_canon,
+    }
+
+
+def communities_and_entities(
+    store: SnapshotStore,
+    lineage: LineageLog,
+    cfg: KGConfig,
+    alias_fp: str,
+    alias_ref,
+    embedded: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    mentions_canon: "ray.data.Dataset",
+):
+    """Shared tail of the build: community detection + summaries over the
+    aggregated edge graph, then the final entities table with degree and
+    community levels attached. Entity-scale throughout (only the rank
+    aggregate scans the corpus-sized canonical mentions), so both the fresh
+    build and the delta-scoped incremental path run it in full.
+    Returns (entities_final, communities)."""
+    import time as _time
+
+    entities0 = C.canonical_entities(embedded, alias_ref, cfg)
 
     # ---- communities (aggregated graph — provably small; guarded) ----
     # collect only the light columns once; chunk_ids lists stay distributed
@@ -254,24 +341,4 @@ def build_kg(
         lambda: entities0.map_batches(attach, batch_format="pyarrow", batch_size=8192),
         lineage,
     )
-
-    chunk_embeddings = chunk_embeddings_f.result()
-    span_index = span_index_f.result()
-    chunks_w.result()
-    extractions_w.result()
-    triples_w.result()
-    side.shutdown()
-
-    return {
-        "chunks": chunks,
-        "span_index": span_index,
-        "extractions": extractions,
-        "chunk_embeddings": chunk_embeddings,
-        "mentions": mentions,
-        "triples": triples,
-        "triples_canon": triples_canon,
-        "entities": entities_final,
-        "edges": edges,
-        "communities": communities,
-        "mentions_canon": mentions_canon,
-    }
+    return entities_final, communities

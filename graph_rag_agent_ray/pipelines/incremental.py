@@ -1,44 +1,78 @@
-"""Incremental update: content-hash delta detection + work-skipping rebuild.
+"""Incremental update: content-hash delta detection + delta-scoped rebuild.
 
 Reference semantics (/root/reference/build/incremental_update.py:69-111,
 build/incremental/file_change_manager.py:31-130,
 build/incremental_graph_builder.py:94-309): a sha256 registry detects
 added/modified/deleted files; new files run the full pipeline, modified files
-are delete+reprocess, deletions cascade; entity embeddings and communities
-are re-derived afterwards (dirty-flag propagation,
-graph/indexing/embedding_manager.py:374-474).
+are delete+reprocess, deletions cascade; dirty-flag propagation
+(graph/indexing/embedding_manager.py:374-474,
+incremental_graph_builder.py:520-560) bounds the update cost to the delta.
 
-Ray-Data re-expression: the registry is a per-document content-hash table
-snapshot. The delta is a distributed outer comparison on doc_id (hash-bucket
-shuffle). The EXPENSIVE stages (chunking, LLM extraction) are recomputed only
-for added/changed documents; rows of unchanged documents are carried over
-from the previous snapshots; deleted/modified documents' rows are dropped.
-The merged chunks/extractions snapshots are written under the new build's
-fingerprints, so the subsequent ``build_kg`` call sees them as cache hits and
-only re-runs the (cheap, aggregated) downstream canonicalization/community
-stages — the dirty-flag propagation of the reference is subsumed by
-recompute-from-merged-snapshots.
+Ray-Data re-expression — TWO cost tiers, both delta-scoped:
+
+* **Per-document stages** (chunk, extract, chunk-embed, span-index, parse):
+  rows are keyed by ``doc_id``, so unchanged documents' rows carry over from
+  the previous build's snapshots via a broadcast ``pc.is_in`` filter scan —
+  no recompute, no shuffle. Only the dirty delta runs the actual stage.
+* **Graph-side aggregates** (exact entity dedup, entity embeddings, canonical
+  remap, edge dedup): per-key independence makes them delta-scopable — the
+  *touched* key set (surfaces whose mention multiset changed; canonical ids
+  affected by alias-map churn; (s,p,o) edge keys that lost or gained a row)
+  is delta-sized, so only those groups re-aggregate; every other output row
+  carries over from the previous snapshot unchanged. This is the columnar
+  equivalent of the reference's dirty-flag propagation.
+
+The remaining full-corpus work per tick is copy-forward I/O (merged snapshots
+are rewritten so the NEXT tick has a consistent ``prev``) and the one
+community-rank aggregate over canonical mentions; every shuffle, regex parse,
+and model call is O(delta). The entity-scale chain (blocking → alias →
+communities → final entities) reruns in full, exactly as the reference
+re-detects communities each tick — it is aggregated-size, not corpus-size.
+
+Fallback: when the previous build predates the graph-side snapshots
+(``cfg.incremental_snapshots``), the legacy path merges what exists and
+re-runs ``build_kg`` (correct, not delta-scoped).
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, Optional, Tuple
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Optional, Set, Tuple
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 from ..config import KGConfig
 from ..functions.shuffle import hash_partitioned_groupby
-from ..state.snapshots import SnapshotStore, fingerprint
-from ..stages.chunker import chunk_documents
+from ..functions.text import normalize_surface_series
+from ..state.snapshots import LineageLog, SnapshotStore, fingerprint
+from ..stages import canonicalize as C
+from ..stages.chunker import build_span_index, chunk_documents
 from ..stages.extract import MockLLMExtractor, extract_chunks
-from .build import build_kg
+from ..stages.index import embed_chunks
+from ..stages.parse import parse_mentions, parse_triples
+from .build import build_kg, communities_and_entities
+
+logger = logging.getLogger(__name__)
 
 REGISTRY_STAGE = "registry"
+
+# snapshots the delta-scoped graph side needs from the previous build; any
+# missing → legacy merge + full build_kg (older prev layouts stay supported)
+DELTA_STAGES = (
+    "chunks", "extractions", "chunk_embeddings", "span_index", "mentions",
+    "triples", "triples_canon", "edges", "mentions_canon",
+    "entities_embedded", "alias_map",
+)
+
+MAX_TOUCHED_KEYS = 20_000_000  # driver guard for the touched-key collects
 
 
 def document_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -97,7 +131,6 @@ def _filter_by_docs(ds: "ray.data.Dataset", keep_ref, doc_col: str = "doc_id"):
     """Broadcast semi-join: vectorized ``pc.is_in`` against the broadcast
     doc-id value_set (``keep_ref`` = ray.put of a pa.Array or a set)."""
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         keep = ray.get(keep_ref)
         if not isinstance(keep, pa.Array):  # legacy set-shaped refs
             keep = pa.array(sorted(keep), pa.string())
@@ -105,55 +138,360 @@ def _filter_by_docs(ds: "ray.data.Dataset", keep_ref, doc_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
-def incremental_build_kg(
-    docs_new: "ray.data.Dataset",
-    out_dir: str,
-    prev_dir: str,
-    cfg: Optional[KGConfig] = None,
-    input_token: str = "",
-    extractor_cls=MockLLMExtractor,
-) -> Tuple[Dict[str, "ray.data.Dataset"], Dict[str, int]]:
-    """Update the KG at ``out_dir`` given the previous build at ``prev_dir``.
+# --------------------------------------------------------------------------
+# delta-scoped graph side
+# --------------------------------------------------------------------------
 
-    Returns (tables, delta_counts). Unchanged documents' chunk/extraction rows
-    carry over — the expensive per-document stages run only on the delta.
-    """
-    cfg = cfg or KGConfig()
-    prev = SnapshotStore(prev_dir)
-    store = SnapshotStore(out_dir)
+def _norm_col(batch: pa.Table, col: str) -> pd.Series:
+    return normalize_surface_series(pd.Series(batch.column(col).to_pylist()))
 
-    new_registry = document_hashes(docs_new).materialize()
-    if prev.manifest(REGISTRY_STAGE):
-        old_registry = prev.read(REGISTRY_STAGE)
-    else:
-        old_registry = ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.string()),
-            "content_hash": pa.array([], pa.string()),
-        }))
 
-    delta = compute_delta(old_registry, new_registry).materialize()
-    counts = {
-        s: 0 for s in ("added", "modified", "deleted", "unchanged")
-    }
-    for row in delta.groupby("status").count().take_all():
-        counts[row["status"]] = int(row["count()"])
+def _distinct_norm_surfaces(ds: "ray.data.Dataset", col: str) -> Set[str]:
+    """Driver collect of the DISTINCT normalized surfaces of a delta-sized
+    dataset (per-batch dedup first; guarded)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        uniq = _norm_col(batch, col).unique()
+        return pa.table({"s": pa.array(uniq, pa.string())})
 
-    # doc_id sets for the delta (broadcast; at 10^12 scale this becomes a
-    # bloom filter / semi-join, same shape)
-    changed_pdf = delta.to_pandas()
-    dirty = set(changed_pdf.loc[changed_pdf["status"].isin(["added", "modified"]), "doc_id"])
-    kept = set(changed_pdf.loc[changed_pdf["status"] == "unchanged", "doc_id"])
+    out: Set[str] = set()
+    for b in ds.map_batches(fn, batch_format="pyarrow",
+                            batch_size=16384).iter_batches(batch_format="pyarrow"):
+        out.update(b.column("s").to_pylist())
+        if len(out) > MAX_TOUCHED_KEYS:
+            raise RuntimeError(
+                f"touched-surface set exceeds {MAX_TOUCHED_KEYS}; delta too "
+                "large for the delta-scoped path — run a fresh build_kg")
+    return out
+
+
+def _filter_surface_in(ds, ref, col: str, invert: bool = False):
+    """Keep rows whose NORMALIZED ``col`` is (not) in the broadcast set."""
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        mask = pc.is_in(pa.array(_norm_col(batch, col), pa.string()), value_set=keep)
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+
+
+def _filter_col_in(ds, ref, col: str, invert: bool = False):
+    """Keep rows whose RAW ``col`` is (not) in the broadcast value set."""
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        mask = pc.is_in(batch.column(col), value_set=keep)
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+
+
+def _edge_key(batch: pa.Table, cols: Tuple[str, str, str]) -> pa.Array:
+    a, b, c = (pc.cast(batch.column(x), pa.string()) for x in cols)
+    return pc.binary_join_element_wise(a, b, c, "\x1f")
+
+
+def _filter_edge_keys(ds, keys_ref, cols: Tuple[str, str, str], invert: bool = False):
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(_edge_key(batch, cols), value_set=keys)
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+
+
+def _distinct_edge_keys(ds, cols: Tuple[str, str, str]) -> Set[str]:
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(_edge_key(batch, cols))})
+
+    out: Set[str] = set()
+    for b in ds.map_batches(fn, batch_format="pyarrow",
+                            batch_size=32768).iter_batches(batch_format="pyarrow"):
+        out.update(b.column("k").to_pylist())
+        if len(out) > MAX_TOUCHED_KEYS:
+            raise RuntimeError(
+                f"touched-edge-key set exceeds {MAX_TOUCHED_KEYS}; delta too "
+                "large for the delta-scoped path — run a fresh build_kg")
+    return out
+
+
+def _canon_mentions_map(alias_ref):
+    """mentions → (entity_id, chunk_id, doc_id) under the broadcast alias map
+    (same transform as build_kg's canon_mentions)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        amap = ray.get(alias_ref)
+        norm = _norm_col(batch, "entity_surface")
+        ids = norm.map(amap).fillna(norm) if amap else norm
+        return pa.table({
+            "entity_id": pa.Array.from_pandas(ids, type=pa.string()),
+            "chunk_id": batch.column("chunk_id"),
+            "doc_id": batch.column("doc_id"),
+        })
+    return fn
+
+
+def _delta_graph_build(
+    docs_new, store: SnapshotStore, prev: SnapshotStore, cfg: KGConfig,
+    base_fp: str, extractor_cls, dirty: Set[str], kept: Set[str],
+    removed: Set[str], lineage: LineageLog,
+) -> Dict[str, "ray.data.Dataset"]:
+    """The delta-scoped update: every per-doc stage and every corpus-sized
+    shuffle runs only on the touched subset; untouched rows carry over from
+    ``prev`` snapshots. Output tables and snapshot fingerprints are identical
+    to a fresh ``build_kg`` over the same input (equivalence-tested)."""
     dirty_ref = ray.put(pa.array(sorted(dirty), pa.string()))
     kept_ref = ray.put(pa.array(sorted(kept), pa.string()))
+    removed_ref = ray.put(pa.array(sorted(removed), pa.string()))
 
-    base_fp = fingerprint(input_token, cfg)
+    writes = ThreadPoolExecutor(max_workers=6)
+    pending = []
 
-    # merged chunks / extractions / embeddings: prior rows for unchanged docs
-    # + fresh rows for dirty docs — materialized once, then all three
-    # snapshots written CONCURRENTLY (independent parquet jobs; build_kg only
-    # needs them on disk before it starts) under the NEW build's
-    # fingerprints so build_kg resumes straight into the downstream stages
-    from concurrent.futures import ThreadPoolExecutor
+    def _record(stage: str, t0: float, **extra) -> None:
+        lineage.record(stage, cached=False, wall_s=time.monotonic() - t0,
+                       delta_scoped=True, **extra)
+
+    # ---- per-doc stages: fresh on dirty docs, carry-over for kept ----
+    t0 = time.monotonic()
+    docs_dirty = _filter_by_docs(docs_new, dirty_ref)
+    chunks_fresh = chunk_documents(docs_dirty, cfg).materialize()
+    chunks = chunks_fresh.union(_filter_by_docs(prev.read("chunks"), kept_ref)).materialize()
+    pending.append(writes.submit(store.write, "chunks", chunks,
+                                 fingerprint(base_fp, "chunks")))
+    _record("chunks", t0)
+
+    t0 = time.monotonic()
+    extr_fresh = extract_chunks(chunks_fresh, cfg, extractor_cls).materialize()
+    extractions = extr_fresh.union(
+        _filter_by_docs(prev.read("extractions"), kept_ref)).materialize()
+    pending.append(writes.submit(
+        store.write, "extractions", extractions,
+        fingerprint(base_fp, "extractions", extractor_cls.__name__)))
+    _record("extractions", t0)
+
+    # chunk embeddings — the compute-dominant model stage — fresh inference
+    # only for the dirty delta (reference dirty-flag embedding update,
+    # embedding_manager.py:374-474); the merged write happens in background
+    t0 = time.monotonic()
+    chunk_embeddings = embed_chunks(chunks_fresh, cfg).union(
+        _filter_by_docs(prev.read("chunk_embeddings"), kept_ref)).materialize()
+    pending.append(writes.submit(store.write, "chunk_embeddings", chunk_embeddings,
+                                 fingerprint(base_fp, "chunk_embeddings")))
+    _record("chunk_embeddings", t0)
+
+    t0 = time.monotonic()
+    span_index = build_span_index(docs_dirty, cfg).union(
+        _filter_by_docs(prev.read("span_index"), kept_ref)).materialize()
+    pending.append(writes.submit(store.write, "span_index", span_index,
+                                 fingerprint(base_fp, "span_index")))
+    _record("span_index", t0)
+
+    # ---- parse: regex pass only over the dirty extractions ----
+    t0 = time.monotonic()
+    mentions_fresh = parse_mentions(extr_fresh, cfg).materialize()
+    triples_fresh = parse_triples(extr_fresh, cfg).materialize()
+    mentions_kept = _filter_by_docs(prev.read("mentions"), kept_ref).materialize()
+    triples_kept = _filter_by_docs(prev.read("triples"), kept_ref).materialize()
+    mentions = mentions_fresh.union(mentions_kept)
+    triples = triples_fresh.union(triples_kept)
+    pending.append(writes.submit(
+        store.write, "mentions", mentions,
+        fingerprint(base_fp, "mentions", extractor_cls.__name__)))
+    pending.append(writes.submit(
+        store.write, "triples", triples,
+        fingerprint(base_fp, "triples", extractor_cls.__name__)))
+    _record("mentions", t0)
+
+    # ---- touched surfaces: mention multiset changed for exactly the
+    # surfaces seen in fresh mentions or in removed docs' prior mentions ----
+    t0 = time.monotonic()
+    prev_mentions_removed = _filter_by_docs(
+        prev.read("mentions", columns=["doc_id", "entity_surface"]), removed_ref)
+    touched = _distinct_norm_surfaces(mentions_fresh, "entity_surface")
+    touched |= _distinct_norm_surfaces(prev_mentions_removed, "entity_surface")
+    touched_ref = ray.put(pa.array(sorted(touched), pa.string()))
+    _record("touched_surfaces", t0, n_touched=len(touched))
+
+    # ---- exact dedup + entity embedding, touched surfaces only ----
+    # per-surface aggregation is independent across surfaces, so
+    # re-aggregating exactly the touched groups from the merged mentions
+    # reproduces the fresh-build rows; untouched rows carry over embedded
+    t0 = time.monotonic()
+    exact_touched = C.aggregate_exact(
+        _filter_surface_in(mentions, touched_ref, "entity_surface"), cfg)
+    embedded_touched = C.embed_entities(exact_touched, cfg)
+    embedded_kept = _filter_col_in(
+        prev.read("entities_embedded"), touched_ref, "norm_surface", invert=True)
+    embedded = embedded_touched.union(embedded_kept).materialize()
+    pending.append(writes.submit(
+        store.write, "entities_embedded", embedded,
+        fingerprint(base_fp, "entities_embedded", extractor_cls.__name__)))
+    _record("entities_embedded", t0)
+
+    # ---- blocking → pairs → alias map (entity-scale; full rerun) ----
+    t0 = time.monotonic()
+    pairs_pdf = C.candidate_pairs(embedded, cfg).to_pandas()
+    if len(pairs_pdf) and "n_a" in pairs_pdf.columns:
+        counts = dict(zip(pairs_pdf["a"], pairs_pdf["n_a"]))
+        counts.update(zip(pairs_pdf["b"], pairs_pdf["n_b"]))
+    else:
+        counts = {}
+    alias = C.build_alias_map(pairs_pdf, counts)
+    alias_ref = ray.put(alias)
+    alias_fp = fingerprint(base_fp, sorted(alias.items()))
+    alias_tbl = pa.table({
+        "member": pa.array(list(alias), pa.string()),
+        "canonical": pa.array(list(alias.values()), pa.string()),
+    })
+    pending.append(writes.submit(
+        store.write, "alias_map", ray.data.from_arrow(alias_tbl),
+        fingerprint(base_fp, "alias_map", extractor_cls.__name__)))
+    _record("alias_map", t0, n_pairs=int(len(pairs_pdf)), n_aliases=len(alias))
+
+    # ---- alias diff → affected canonical ids ----
+    # a surface s with old_map(s) == new_map(s) produces identical canonical
+    # rows; only surfaces whose mapping changed (and the canonical ids they
+    # pointed at, old or new) can invalidate carried rows
+    old_alias_pdf = prev.read("alias_map").to_pandas()
+    old_alias: Dict[str, str] = dict(zip(old_alias_pdf.get("member", []),
+                                         old_alias_pdf.get("canonical", [])))
+    changed = {s for s in set(old_alias) | set(alias)
+               if old_alias.get(s, s) != alias.get(s, s)}
+    affected = ({old_alias.get(s, s) for s in changed}
+                | {alias.get(s, s) for s in changed} | changed)
+    affected_ref = ray.put(pa.array(sorted(affected), pa.string()))
+    old_alias_ref = ray.put(old_alias)
+    affected_set_ref = ray.put(affected)
+
+    # ---- triples_canon: carried rows + delta remap ----
+    # carried: kept-doc rows whose canonical endpoints are unaffected by the
+    # alias churn (for those, old mapping == new mapping, proven by the diff);
+    # redo: dirty-doc rows + kept-doc rows whose OLD canonical endpoint is
+    # affected — together an exact partition of the merged raw triples
+    t0 = time.monotonic()
+
+    def _carried_tc(batch: pa.Table) -> pa.Table:
+        keep_docs = ray.get(kept_ref)
+        aff = ray.get(affected_ref)
+        mask = pc.and_(
+            pc.is_in(batch.column("doc_id"), value_set=keep_docs),
+            pc.and_(
+                pc.invert(pc.is_in(batch.column("subj"), value_set=aff)),
+                pc.invert(pc.is_in(batch.column("obj"), value_set=aff)),
+            ),
+        )
+        return batch.filter(mask)
+
+    tc_carried = prev.read("triples_canon").map_batches(
+        _carried_tc, batch_format="pyarrow", batch_size=16384)
+
+    def _old_canon_affected(cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            old_map = ray.get(old_alias_ref)
+            aff = ray.get(affected_set_ref)
+            mask = None
+            for col in cols:
+                norm = _norm_col(batch, col)
+                old_c = norm.map(old_map).fillna(norm) if old_map else norm
+                m = old_c.isin(aff).to_numpy()
+                mask = m if mask is None else (mask | m)
+            return batch.filter(pa.array(mask))
+        return fn
+
+    triples_redo_kept = triples_kept.map_batches(
+        _old_canon_affected(["subj", "obj"]), batch_format="pyarrow",
+        batch_size=16384)
+    tc_redo = C.canonical_triples(
+        triples_fresh.union(triples_redo_kept), alias_ref, cfg).materialize()
+    triples_canon = tc_carried.union(tc_redo).materialize()
+    pending.append(writes.submit(store.write, "triples_canon", triples_canon,
+                                 fingerprint(alias_fp, "triples_canon")))
+    _record("triples_canon", t0, n_affected_ids=len(affected))
+
+    # ---- edges: re-dedupe only the (s,p,o) groups that lost or gained a
+    # row; every other edge's input multiset is unchanged ----
+    t0 = time.monotonic()
+    invalidated_prev = prev.read("triples_canon").map_batches(
+        lambda b: b.filter(pc.invert(pc.and_(
+            pc.is_in(b.column("doc_id"), value_set=ray.get(kept_ref)),
+            pc.and_(
+                pc.invert(pc.is_in(b.column("subj"), value_set=ray.get(affected_ref))),
+                pc.invert(pc.is_in(b.column("obj"), value_set=ray.get(affected_ref))),
+            )))),
+        batch_format="pyarrow", batch_size=16384)
+    touched_keys = _distinct_edge_keys(invalidated_prev, ("subj", "pred", "obj"))
+    touched_keys |= _distinct_edge_keys(tc_redo, ("subj", "pred", "obj"))
+    tkeys_ref = ray.put(pa.array(sorted(touched_keys), pa.string()))
+    edges_touched = C.dedupe_edges(
+        _filter_edge_keys(triples_canon, tkeys_ref, ("subj", "pred", "obj")), cfg)
+    edges_kept = _filter_edge_keys(
+        prev.read("edges"), tkeys_ref, ("src", "pred", "dst"), invert=True)
+    edges = edges_touched.union(edges_kept).materialize()
+    pending.append(writes.submit(store.write, "edges", edges,
+                                 fingerprint(alias_fp, "edges")))
+    _record("edges", t0, n_touched_keys=len(touched_keys))
+
+    # ---- mentions_canon: same carried/redo split as triples_canon ----
+    t0 = time.monotonic()
+
+    def _carried_mc(batch: pa.Table) -> pa.Table:
+        keep_docs = ray.get(kept_ref)
+        aff = ray.get(affected_ref)
+        mask = pc.and_(
+            pc.is_in(batch.column("doc_id"), value_set=keep_docs),
+            pc.invert(pc.is_in(batch.column("entity_id"), value_set=aff)),
+        )
+        return batch.filter(mask)
+
+    mc_carried = prev.read("mentions_canon").map_batches(
+        _carried_mc, batch_format="pyarrow", batch_size=16384)
+    mentions_redo_kept = mentions_kept.map_batches(
+        _old_canon_affected(["entity_surface"]), batch_format="pyarrow",
+        batch_size=16384)
+    mc_redo = mentions_fresh.union(mentions_redo_kept).map_batches(
+        _canon_mentions_map(alias_ref), batch_format="pyarrow", batch_size=8192)
+    mentions_canon = mc_carried.union(mc_redo).materialize()
+    pending.append(writes.submit(store.write, "mentions_canon", mentions_canon,
+                                 fingerprint(alias_fp, "mentions_canon")))
+    _record("mentions_canon", t0)
+
+    # ---- communities + final entities (shared tail; entity-scale) ----
+    entities_final, communities = communities_and_entities(
+        store, lineage, cfg, alias_fp, alias_ref, embedded, edges, mentions_canon)
+
+    for f in pending:
+        f.result()
+    writes.shutdown()
+
+    return {
+        "chunks": chunks,
+        "span_index": span_index,
+        "extractions": extractions,
+        "chunk_embeddings": chunk_embeddings,
+        "mentions": mentions,
+        "triples": triples,
+        "triples_canon": triples_canon,
+        "entities": entities_final,
+        "edges": edges,
+        "communities": communities,
+        "mentions_canon": mentions_canon,
+    }
+
+
+# --------------------------------------------------------------------------
+# legacy path (previous build lacks graph-side snapshots)
+# --------------------------------------------------------------------------
+
+def _legacy_incremental(
+    docs_new, store: SnapshotStore, prev: SnapshotStore, cfg: KGConfig,
+    base_fp: str, out_dir: str, input_token: str, extractor_cls,
+    dirty: Set[str], kept: Set[str],
+) -> Dict[str, "ray.data.Dataset"]:
+    """Merge the per-doc snapshots that DO exist under the new build's
+    fingerprints, then run ``build_kg`` (it resumes into the downstream
+    stages). Correct for any prev layout; graph side is O(corpus)."""
+    dirty_ref = ray.put(pa.array(sorted(dirty), pa.string()))
+    kept_ref = ray.put(pa.array(sorted(kept), pa.string()))
 
     writes = ThreadPoolExecutor(max_workers=3)
     docs_dirty = _filter_by_docs(docs_new, dirty_ref)
@@ -176,12 +514,7 @@ def incremental_build_kg(
         store.write, "extractions", extr_merged,
         fingerprint(base_fp, "extractions", extractor_cls.__name__)))
 
-    # chunk embeddings — the compute-dominant model stage — carry over the
-    # same way (reference dirty-flag embedding update,
-    # embedding_manager.py:374-474): prior rows for unchanged docs, fresh
-    # inference only for the dirty delta
     if prev.manifest("chunk_embeddings"):
-        from ..stages.index import embed_chunks
         emb_kept = _filter_by_docs(prev.read("chunk_embeddings"), kept_ref)
         chunks_dirty2 = _filter_by_docs(chunks_merged, dirty_ref)
         emb_merged = embed_chunks(chunks_dirty2, cfg).union(emb_kept)
@@ -193,8 +526,63 @@ def incremental_build_kg(
         f.result()
     writes.shutdown()
 
-    tables = build_kg(docs_new, out_dir, cfg=cfg, input_token=input_token,
-                      extractor_cls=extractor_cls)
+    return build_kg(docs_new, out_dir, cfg=cfg, input_token=input_token,
+                    extractor_cls=extractor_cls)
+
+
+def incremental_build_kg(
+    docs_new: "ray.data.Dataset",
+    out_dir: str,
+    prev_dir: str,
+    cfg: Optional[KGConfig] = None,
+    input_token: str = "",
+    extractor_cls=MockLLMExtractor,
+) -> Tuple[Dict[str, "ray.data.Dataset"], Dict[str, int]]:
+    """Update the KG at ``out_dir`` given the previous build at ``prev_dir``.
+
+    Returns (tables, delta_counts). With a full set of prev snapshots the
+    whole pipeline — including the graph side — is delta-scoped; otherwise
+    the legacy merge + full-rebuild path runs.
+    """
+    cfg = cfg or KGConfig()
+    prev = SnapshotStore(prev_dir)
+    store = SnapshotStore(out_dir)
+    lineage = LineageLog(out_dir)
+
+    new_registry = document_hashes(docs_new).materialize()
+    if prev.manifest(REGISTRY_STAGE):
+        old_registry = prev.read(REGISTRY_STAGE)
+    else:
+        old_registry = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "content_hash": pa.array([], pa.string()),
+        }))
+
+    delta = compute_delta(old_registry, new_registry).materialize()
+    counts = {
+        s: 0 for s in ("added", "modified", "deleted", "unchanged")
+    }
+    for row in delta.groupby("status").count().take_all():
+        counts[row["status"]] = int(row["count()"])
+
+    # doc_id sets for the delta (broadcast; at 10^12 scale this becomes a
+    # bloom filter / semi-join, same shape)
+    changed_pdf = delta.to_pandas()
+    dirty = set(changed_pdf.loc[changed_pdf["status"].isin(["added", "modified"]), "doc_id"])
+    kept = set(changed_pdf.loc[changed_pdf["status"] == "unchanged", "doc_id"])
+    removed = set(changed_pdf.loc[changed_pdf["status"].isin(["modified", "deleted"]), "doc_id"])
+
+    base_fp = fingerprint(input_token, cfg)
+
+    if cfg.incremental_snapshots and all(prev.manifest(s) for s in DELTA_STAGES):
+        tables = _delta_graph_build(
+            docs_new, store, prev, cfg, base_fp, extractor_cls,
+            dirty, kept, removed, lineage)
+    else:
+        tables = _legacy_incremental(
+            docs_new, store, prev, cfg, base_fp, out_dir, input_token,
+            extractor_cls, dirty, kept)
+
     store.write(REGISTRY_STAGE, new_registry, fingerprint(base_fp, REGISTRY_STAGE))
     return tables, counts
 

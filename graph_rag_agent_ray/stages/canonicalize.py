@@ -70,8 +70,14 @@ def _partial_exact(batch: pa.Table) -> pd.DataFrame:
     shuffle instead of an explicit salt column; see functions/shuffle.py)."""
     df = pa.Table.to_pandas(batch)
     df["norm_surface"] = normalize_surface_series(df["entity_surface"])
+    # description = the min (chunk_id, description) pair's description —
+    # lexicographic min distributes over batch partitioning, so the reducer's
+    # pick is identical for ANY batching (the delta-scoped incremental path
+    # re-aggregates with different batching and must reproduce fresh-build
+    # rows exactly); a bare "first" would be batch-order-dependent on ties
+    ordered = df.sort_values(["chunk_id", "description"], kind="stable")
     grouped = (
-        df.groupby(["norm_surface", "entity_type"], sort=False)
+        ordered.groupby(["norm_surface", "entity_type"], sort=False)
         .agg(
             n_mentions=("chunk_id", "size"),
             min_chunk=("chunk_id", "min"),
@@ -95,7 +101,9 @@ def _final_exact_bucket(df: pd.DataFrame) -> pd.DataFrame:
     )
     top_type = type_counts.drop_duplicates("norm_surface")[["norm_surface", "entity_type"]]
     firsts = (
-        df.sort_values(["norm_surface", "min_chunk"], kind="stable")
+        # ties in min_chunk (duplicate chunk content across docs, or surface
+        # variants inside one chunk) break on description — batching-free
+        df.sort_values(["norm_surface", "min_chunk", "description"], kind="stable")
         .drop_duplicates("norm_surface")[["norm_surface", "description"]]
     )
     n = df.groupby("norm_surface", sort=False)["n_mentions"].sum().reset_index()
@@ -425,7 +433,10 @@ def _partial_edges(batch: pa.Table) -> pd.DataFrame:
     every mention."""
     df = pa.Table.to_pandas(batch)
     keys = ["subj", "pred", "obj"]
-    ordered = df.sort_values(keys + ["chunk_id"], kind="stable")
+    # ties in chunk_id (same canonical fact restated by surface variants in
+    # one chunk, or duplicate chunk content) break on description so the
+    # kept "first" is identical for any batching (delta-path requirement)
+    ordered = df.sort_values(keys + ["chunk_id", "description"], kind="stable")
     firsts = ordered.drop_duplicates(keys)[keys + ["description", "chunk_id"]]
     firsts = firsts.rename(columns={"chunk_id": "min_chunk"})
     # weight: per-key MAX — order-free across variant restatements of the
@@ -485,7 +496,7 @@ def _edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Reduce: merge partials per (s,p,o): first = min chunk_id overall
     (order-stable rels[0]); provenance = union of chunk lists (capped)."""
     keys = ["subj", "pred", "obj"]
-    ordered = df.sort_values(keys + ["min_chunk"], kind="stable")
+    ordered = df.sort_values(keys + ["min_chunk", "description"], kind="stable")
     firsts = ordered.drop_duplicates(keys)[keys + ["description"]]
     wmax = df.groupby(keys, sort=False)["weight"].max().reset_index()
     firsts = firsts.merge(wmax, on=keys)

@@ -83,17 +83,19 @@ class SnapshotStore:
         m = self.manifest(stage)
         return bool(m) and m.get("fingerprint") == fp
 
-    def read(self, stage: str) -> "ray.data.Dataset":
+    def read(self, stage: str, columns=None) -> "ray.data.Dataset":
         # small snapshots coalesce into one or two blocks by default, which
         # caps downstream actor-pool parallelism — spread them over the
-        # cluster's CPUs (read tasks cap at the file/row-group count anyway)
+        # cluster's CPUs (read tasks cap at the file/row-group count anyway).
+        # ``columns`` pushes a projection into the read (only the named
+        # columns leave storage — prune-at-the-read for delta scans).
         import ray as _ray
         n_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
         m = self.manifest(stage)
         if m and m.get("format") == "lance" and HAVE_LANCE:
-            return ray.data.read_lance(self._stage_dir(stage))
+            return ray.data.read_lance(self._stage_dir(stage), columns=columns)
         return ray.data.read_parquet(
-            self._stage_dir(stage), override_num_blocks=n_blocks
+            self._stage_dir(stage), override_num_blocks=n_blocks, columns=columns
         )
 
     def write(self, stage: str, ds: "ray.data.Dataset", fp: str,
