@@ -480,11 +480,23 @@ def oracle_sql() -> dict[str, str]:
 
     # ordering insurance: if the driver evaluates an oracle before its query
     # has run (truth files are normally written during query execution),
-    # plant the sf0.01-sized truth now — pure numpy, ~1 s, and identical to
-    # what the queries would write at the driver's correctness sf. Never
-    # overwrites truth already written by a query run.
+    # plant truth now — pure numpy, ~1 s, and identical to what the queries
+    # would write. Sized from the sf the driver is configured to grade
+    # (GRAFT_SF_DIR when set; the correctness gate default is sf0.01 →
+    # n_docs=200), and covers kg_incremental via the same dup_rate=0.15
+    # generation the incremental query uses. Never overwrites truth already
+    # written by a query run.
     if not os.path.exists(f"{KG_TRUTH_DIR}/kg_triples.parquet"):
-        _write_kg_truth(generate(n_docs=200, seed=42))
+        _sf = os.environ.get("GRAFT_SF_DIR", "sf0.01")
+        _nd = 200 if "0.01" in _sf else (800 if "0.1" in _sf else 60)
+        _write_kg_truth(generate(n_docs=_nd, seed=42))
+        if not os.path.exists(f"{KG_TRUTH_DIR}/kg_incremental.parquet"):
+            import pyarrow.parquet as _pq
+            _tref = (generate(n_docs=_nd, seed=42, dup_rate=0.15)
+                     .triples_ref.to_pandas()[["doc_id", "subj", "pred", "obj"]])
+            _pq.write_table(
+                pa.Table.from_pandas(_tref.drop_duplicates(), preserve_index=False),
+                f"{KG_TRUTH_DIR}/kg_incremental.parquet")
 
     ws = r"'\s+'"
     n_tokens = (

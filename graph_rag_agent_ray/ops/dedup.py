@@ -240,7 +240,7 @@ def simhash_duplicate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ra
         doc_ids, bands, keys, hashes = [], [], [], []
         for doc_id, s in zip(batch.column("doc_id").to_pylist(),
                              batch.column("simhash").to_pylist()):
-            u = s + (1 << 63)
+            u = s % (1 << 64)  # true inverse of to_signed64 (two's-complement)
             for band in range(4):
                 doc_ids.append(doc_id)
                 bands.append(band)
@@ -257,7 +257,7 @@ def simhash_duplicate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ra
         docs = group.drop_duplicates("doc_id").sort_values("doc_id")
         rows = []
         ids = docs["doc_id"].tolist()
-        hs = [s + (1 << 63) for s in docs["simhash"].tolist()]
+        hs = [s % (1 << 64) for s in docs["simhash"].tolist()]
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 d = bin(hs[i] ^ hs[j]).count("1")

@@ -94,26 +94,28 @@ class ManualEditManager:
         edits_ref = ray.put(edits.set_index("entity_id"))
 
         def overlay(batch: pa.Table) -> pa.Table:
+            import numpy as np
             e = ray.get(edits_ref)
             df = pa.Table.to_pandas(batch)
-            hit = df["entity_id"].isin(e.index)
-            for i in df.index[hit]:
-                row = e.loc[df.at[i, "entity_id"]]
-                if strategy == "manual_first":
-                    if row["description"]:
-                        df.at[i, "description"] = row["description"]
-                    if row["entity_type"]:
-                        df.at[i, "entity_type"] = row["entity_type"]
-                elif strategy == "merge":
-                    if row["description"]:
-                        df.at[i, "description"] = (
-                            str(df.at[i, "description"]) + " | " + row["description"])
-                    if row["entity_type"]:
-                        df.at[i, "entity_type"] = row["entity_type"]
-                # auto_first: keep pipeline values (manual fills only blanks)
-                elif strategy == "auto_first":
-                    if not df.at[i, "description"] and row["description"]:
-                        df.at[i, "description"] = row["description"]
+            # vectorized overlay: one left merge against the broadcast edits,
+            # then np.where per strategy (no per-row .at loop)
+            m = df[["entity_id"]].merge(
+                e[["description", "entity_type"]], how="left",
+                left_on="entity_id", right_index=True)
+            md = m["description"].fillna("").to_numpy()
+            mt = m["entity_type"].fillna("").to_numpy()
+            d = df["description"].fillna("").to_numpy()
+            t = df["entity_type"].fillna("").to_numpy()
+            if strategy == "manual_first":
+                df["description"] = np.where(md != "", md, d)
+                df["entity_type"] = np.where(mt != "", mt, t)
+            elif strategy == "merge":
+                df["description"] = np.where(
+                    md != "", np.char.add(np.char.add(d.astype(str), " | "), md.astype(str)), d)
+                df["entity_type"] = np.where(mt != "", mt, t)
+            else:  # auto_first: pipeline wins; manual fills blanks (both fields)
+                df["description"] = np.where((d == "") & (md != ""), md, d)
+                df["entity_type"] = np.where((t == "") & (mt != ""), mt, t)
             return pa.Table.from_pandas(df, preserve_index=False)
 
         overlaid = entities.map_batches(overlay, batch_format="pyarrow",
@@ -128,18 +130,41 @@ class ManualEditManager:
         missing = protected[~protected["entity_id"].isin(present)]
         if missing.empty:
             return overlaid
+        # ghost rows carry TYPED defaults matching the entities schema (not
+        # None) so Dataset.union schema unification and downstream numeric
+        # consumers never see nulls: zero embedding (matching the tensor
+        # shape), empty community list, zero degree/mentions, surface_forms
+        # = [entity_id]
+        import numpy as np
         schema = overlaid.schema()
-        rows = []
-        for _, r in missing.iterrows():
-            row = {name: None for name in schema.names}
-            row.update({
-                "entity_id": r["entity_id"],
-                "description": r["description"] or "",
-                "entity_type": r["entity_type"] or "",
-            })
-            rows.append(row)
-        extra = pd.DataFrame(rows)
-        return overlaid.union(ray.data.from_pandas(extra))
+        n = len(missing)
+        cols = {}
+        for name, typ in zip(schema.names, schema.types):
+            shape = getattr(typ, "shape", None)  # Ray tensor extension type
+            if name == "entity_id":
+                vals = missing["entity_id"].tolist()
+            elif name == "description":
+                vals = [d or "" for d in missing["description"]]
+            elif name == "entity_type":
+                vals = [t or "" for t in missing["entity_type"]]
+            elif name == "surface_forms":
+                vals = [[eid] for eid in missing["entity_id"]]
+            elif shape is not None:
+                dt = getattr(getattr(typ, "scalar_type", None), "to_pandas_dtype",
+                             lambda: np.float32)()
+                vals = [np.zeros(shape, dtype=dt) for _ in range(n)]
+            elif isinstance(typ, pa.DataType) and pa.types.is_list(typ):
+                vals = [[] for _ in range(n)]
+            elif isinstance(typ, pa.DataType) and pa.types.is_integer(typ):
+                vals = [0] * n
+            elif isinstance(typ, pa.DataType) and pa.types.is_floating(typ):
+                vals = [0.0] * n
+            else:
+                vals = [""] * n
+            cols[name] = pd.Series(vals, dtype=object) \
+                if (shape is not None or isinstance(vals[0], list)) else vals
+        # from_pandas so ndarray-object columns re-enter the tensor extension
+        return overlaid.union(ray.data.from_pandas(pd.DataFrame(cols)))
 
 
 @dataclass

@@ -31,10 +31,19 @@ def read_documents(path: str) -> "ray.data.Dataset":
     if path.endswith(".parquet"):
         return ray.data.read_parquet(path, columns=["doc_id", "spans"])
     if os.path.isdir(path):
-        has_parquet = any(f.endswith(".parquet") for f in os.listdir(path))
+        # probe RECURSIVELY: a hive-partitioned / sharded parquet dataset
+        # keeps its files in subdirectories, which read_parquet handles but
+        # a top-level listdir would miss (routing a valid parquet input to
+        # the raw-file reader and silently building an empty KG)
+        has_parquet = any(
+            f.endswith(".parquet")
+            for _root, _dirs, files in os.walk(path) for f in files
+        )
         if not has_parquet:
             from .ingest import read_directory
-            return read_directory(path)
+            # strict: a build input that yields zero documents is almost
+            # certainly a mis-pointed path — fail loudly, never build empty
+            return read_directory(path, strict=True)
     return ray.data.read_parquet(path, columns=["doc_id", "spans"])
 
 

@@ -135,7 +135,8 @@ GATED_DISPATCH_EXTS = (".pdf", ".docx", ".doc")  # codec libs absent here
 
 
 def read_directory(directory, file_extensions=None,
-                   recursive: bool = True) -> "ray.data.Dataset":
+                   recursive: bool = True,
+                   strict: bool = False) -> "ray.data.Dataset":
     """FileReader.read_files parity (file_reader.py:36-143): walk a
     directory, dispatch per extension, ONE document per file with
     doc_id = path relative to ``directory`` (the reference stores relative
@@ -179,6 +180,12 @@ def read_directory(directory, file_extensions=None,
             "read_binary_files → map_batches to enable them",
             len(gated), ", ".join(sorted({os.path.splitext(g)[1] for g in gated})))
     if not paths:
+        msg = (f"read_directory: no ingestible files under {directory!r} "
+               f"(wanted extensions {wanted}; {len(gated)} gated binary "
+               "files skipped) — a KG build over this input would be empty")
+        if strict:
+            raise ValueError(msg)
+        log.warning(msg)
         import graph_rag_agent_ray.schema as S
         return ray.data.from_arrow(S.DOCUMENTS.empty_table())
 

@@ -26,13 +26,14 @@ def _anti_join_small(ds: "ray.data.Dataset", col: str, keep_if_in: "ray.ObjectRe
     IS in it (semi, invert=True)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         keys = ray.get(keep_if_in)
-        vals = batch.column(col).to_pylist()
-        if invert:
-            mask = [v in keys for v in vals]
-        else:
-            mask = [v not in keys for v in vals]
-        return batch.filter(pa.array(mask))
+        if not isinstance(keys, pa.Array):  # set-shaped refs → Arrow once
+            keys = pa.array(list(keys))
+        mask = pc.is_in(batch.column(col), value_set=keys)
+        if not invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
@@ -82,12 +83,15 @@ def validate_graph(
     else:
         issues["orphan_entities"] = -1
 
+    def _count_empty(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = b.column("text")
+        n_empty = pc.sum(pc.or_kleene(
+            pc.is_null(t), pc.equal(pc.cast(t, pa.string()), ""))).as_py() or 0
+        return pa.table({"n": pa.array([int(n_empty)], pa.int64())})
+
     issues["empty_chunks"] = chunks.map_batches(
-        lambda b: pa.table({
-            "n": pa.array([sum(1 for t in b.column("text").to_pylist() if not t)], pa.int64())
-        }),
-        batch_format="pyarrow",
-    ).sum("n")
+        _count_empty, batch_format="pyarrow").sum("n")
 
     dangling_src = _anti_join_small(edges, "src", eref)
     dangling_dst = _anti_join_small(edges, "dst", eref)
