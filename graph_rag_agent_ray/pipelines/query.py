@@ -18,6 +18,7 @@ from typing import Dict
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -37,6 +38,30 @@ def _topk_by_embedding(pdf: pd.DataFrame, query_vec: np.ndarray, k: int,
     return pdf.sort_values(["score", id_col], ascending=[False, True]).head(k)
 
 
+def _distributed_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int,
+                      id_col: str) -> pd.DataFrame:
+    """Single-query cosine top-k over a Dataset with an ``embedding`` column
+    WITHOUT collecting the table: each batch computes a partial top-k (one
+    numpy matmul against the broadcast query vector, same (score desc,
+    id asc) total order as :func:`_topk_by_embedding`), so only
+    num_blocks × k rows ever reach the driver merge. This is the
+    ops/similarity.knn_bruteforce partial/merge shape specialised to one
+    query — the scale path for corpus-sized tables (chunk_embeddings) and
+    entity seeding (naive_search_tool.py / local_search.py:40-133 parity)."""
+    q_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pdf = batch.to_pandas()
+        if pdf.empty:
+            return pdf.assign(score=pd.Series(dtype="float64"))
+        return _topk_by_embedding(pdf, ray.get(q_ref), k, id_col)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+    return (partials.sort_values(["score", id_col], ascending=[False, True],
+                                 kind="stable").head(k).reset_index(drop=True))
+
+
 def local_search(
     tables: Dict[str, "ray.data.Dataset"], query: str,
     k_entities: int = 10, k_chunks: int = 3, k_communities: int = 3,
@@ -47,9 +72,10 @@ def local_search(
     cfg = cfg or KGConfig()
     qv = embed_texts([normalize_surface(query)], dim=cfg.embed_dim)[0].astype(np.float64)
 
-    ents = tables["entities"].select_columns(
-        ["entity_id", "embedding", "entity_type", "description", "degree"]).to_pandas()
-    top_ents = _topk_by_embedding(ents, qv, k_entities, "entity_id")
+    top_ents = _distributed_topk(
+        tables["entities"].select_columns(
+            ["entity_id", "embedding", "entity_type", "description", "degree"]),
+        qv, k_entities, "entity_id")
     eset = set(top_ents["entity_id"])
     eref = ray.put(eset)
 
@@ -85,8 +111,18 @@ def local_search(
 
     chunks = tables["chunks"].map_batches(chunk_keep, batch_format="pyarrow").to_pandas()
 
-    comm = tables["communities"].to_pandas()
-    comm = comm[comm["members"].map(lambda ms: any(m in eset for m in ms))]
+    # distributed member-intersection filter (explode + isin against the
+    # broadcast seed set) — only hit communities reach the driver
+    def member_hit(batch: "pa.Table") -> pd.DataFrame:
+        pdf = batch.to_pandas()
+        if pdf.empty:
+            return pdf
+        ex = pdf["members"].explode()
+        hit = ex[ex.isin(ray.get(eref))].index.unique()
+        return pdf.loc[hit]
+
+    comm = tables["communities"].map_batches(
+        member_hit, batch_format="pyarrow").to_pandas()
     top_comm = comm.sort_values(["rank", "community_id"],
                                 ascending=[False, True]).head(k_communities)
 
@@ -103,9 +139,13 @@ def global_search(
 ) -> pd.DataFrame:
     """Every level-N community's summary/full_content ordered by rank
     (global_search.py:9-157 map-phase input)."""
-    comm = tables["communities"].to_pandas()
-    comm = comm[comm["level"] == level].sort_values(
-        ["rank", "community_id"], ascending=[False, True])
+    def level_only(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        return batch.filter(pc.equal(batch.column("level"), level))
+
+    comm = tables["communities"].map_batches(
+        level_only, batch_format="pyarrow").to_pandas()
+    comm = comm.sort_values(["rank", "community_id"], ascending=[False, True])
     if limit:
         comm = comm.head(limit)
     return comm[["community_id", "rank", "summary", "full_content"]]
@@ -125,13 +165,26 @@ def hybrid_search(
     keywords = {normalize_surface(w) for w in query.split() if len(w) > 2}
     qv = embed_texts([normalize_surface(query)], dim=cfg.embed_dim)[0].astype(np.float64)
 
-    ents = tables["entities"].select_columns(
-        ["entity_id", "embedding", "entity_type", "description", "degree"]).to_pandas()
+    ents_ds = tables["entities"].select_columns(
+        ["entity_id", "embedding", "entity_type", "description", "degree"])
     # low-level: exact keyword hits (CONTAINS-substring analog,
-    # hybrid_tool.py:275-283) unioned with vector top-k
-    kw_hits = ents[ents["entity_id"].map(
-        lambda e: any(k in e for k in keywords))]
-    vec_hits = _topk_by_embedding(ents, qv, k_low, "entity_id")
+    # hybrid_tool.py:275-283) as a DISTRIBUTED substring filter (hit-sized
+    # collect), unioned with the distributed vector top-k — the full entity
+    # table never reaches the driver
+    kw_list = sorted(keywords)
+
+    def kw_filter(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        if not kw_list:
+            return batch.slice(0, 0)
+        col = batch.column("entity_id")
+        mask = pc.match_substring(col, kw_list[0])
+        for kw in kw_list[1:]:
+            mask = pc.or_(mask, pc.match_substring(col, kw))
+        return batch.filter(mask)
+
+    kw_hits = ents_ds.map_batches(kw_filter, batch_format="pyarrow").to_pandas()
+    vec_hits = _distributed_topk(ents_ds, qv, k_low, "entity_id")
     low = pd.concat([kw_hits.assign(score=1.0), vec_hits]).drop_duplicates(
         "entity_id").head(k_low * 2)
     eset = set(low["entity_id"])
@@ -196,8 +249,9 @@ def naive_search(
     chunk_embeddings table."""
     cfg = cfg or KGConfig()
     qv = embed_texts([query], dim=cfg.embed_dim)[0].astype(np.float64)
-    emb = tables["chunk_embeddings"].to_pandas()
-    top = _topk_by_embedding(emb, qv, k, "chunk_id")
+    # corpus-scaled table: partial top-k per batch, merge num_blocks × k rows
+    # on the driver — never a full-table collect
+    top = _distributed_topk(tables["chunk_embeddings"], qv, k, "chunk_id")
     chunk_ids = set(top["chunk_id"])
     cref = ray.put(chunk_ids)
 
@@ -236,7 +290,7 @@ def chain_of_exploration(
 
     ents = tables["entities"].select_columns(["entity_id", "embedding"])
     if start_entities is None:
-        seed = _topk_by_embedding(ents.to_pandas(), qv, beam_width, "entity_id")
+        seed = _distributed_topk(ents, qv, beam_width, "entity_id")
         frontier = list(seed["entity_id"])
     else:
         frontier = list(start_entities)
