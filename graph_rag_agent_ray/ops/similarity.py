@@ -89,7 +89,7 @@ def knn_bruteforce(
 
 def knn_ivf(
     emb: "ray.data.Dataset", query_ids: Sequence[int], k: int = 10,
-    n_bits: int = 2, seed: int = 42, round_digits: int = 6,
+    n_bits: int | None = 2, seed: int = 42, round_digits: int = 6,
     n_probes: int | None = None,
 ) -> "ray.data.Dataset":
     """Approximate top-k: vectors bucketed by random-projection LSH
@@ -101,7 +101,10 @@ def knn_ivf(
     in bench; n_probes defaults to 1+n_bits (all Hamming-1 neighbours) and
     may extend into Hamming-2 cells. Defaults (n_bits=2, 3 probes) are tuned
     to recall@10 >= 0.9 on the driver's embeddings table; larger corpora
-    raise n_bits (more, smaller cells) and n_probes together."""
+    raise n_bits (more, smaller cells) and n_probes together —
+    ``n_bits=None`` applies the :func:`auto_n_bits` corpus-size rule."""
+    if n_bits is None:
+        n_bits = auto_n_bits(emb.count())
     q_ids, q_unit = _query_matrix(emb, query_ids)
     q_buckets = lsh_bucket(q_unit.astype(np.float32), n_bits, seed)
     n_probes = (1 + n_bits) if n_probes is None else n_probes
@@ -130,34 +133,54 @@ def knn_ivf(
 
 def _probe_and_merge(bucketed: "ray.data.Dataset", q_ref, k: int,
                      round_digits: int) -> "ray.data.Dataset":
-    """Shared IVF tail: per-cell partial top-k for every query probing the
-    cell (``q_ref`` = ray.put'd {cell: [(query_id, unit_vec), ...]}), then a
-    per-query merge. Each cell's work is one vectorized matmul; only
-    (query, k)-sized partials shuffle to the merge."""
+    """Shared IVF tail, SHUFFLE-FREE: ``q_ref`` = ray.put'd
+    {cell: [(query_id, unit_vec), ...]}. Each batch computes a partial top-k
+    for every (probed cell ∩ batch rows) slice — one matmul per cell present
+    in the batch against that cell's stacked query matrix — so the corpus is
+    never grouped by cell. The old groupby(bucket).map_groups materialized an
+    entire coarse cell (n/n_cells vectors) as ONE pandas task, a
+    corpus-fraction-sized group at 100 TB; here only
+    (blocks × queries × k)-sized partials shuffle to the per-query merge, and
+    rows whose cell no query probes are skipped without ever decoding their
+    embeddings. Result set is identical: the union of per-batch top-ks
+    contains each (query, cell) top-k, and each vector lives in exactly one
+    cell, so the per-query merge recovers the same ranking."""
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         by_bucket = ray.get(q_ref)
-        bucket = int(group["bucket"].iloc[0])
-        queries = by_bucket.get(bucket, [])
-        if not queries:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        b_ids = group["vec_id"].to_numpy(dtype=np.int64)
-        b_mat = np.array(group["embedding"].tolist(), dtype=np.float64)
-        b_norms = np.linalg.norm(b_mat, axis=1)
-        b_norms[b_norms == 0] = 1.0
-        unit = b_mat / b_norms[:, None]
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(batch) == 0:
+            return empty
+        buckets = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int64)
+        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = None  # decoded lazily — only if some cell in this batch is probed
         frames = []
-        for qid, qv in queries:
-            sims = np.round(unit @ qv, round_digits)
-            mask = b_ids != qid
-            order = np.lexsort((b_ids[mask], -sims[mask]))[:k]
-            frames.append(pd.DataFrame({
-                "query_id": qid, "neighbor_id": b_ids[mask][order],
-                "sim": sims[mask][order],
-            }))
-        return pd.concat(frames, ignore_index=True)
+        for cell in np.unique(buckets):
+            queries = by_bucket.get(int(cell))
+            if not queries:
+                continue
+            rows = np.nonzero(buckets == cell)[0]
+            if mat is None:
+                mat = list_column_to_matrix(
+                    batch.column("embedding")).astype(np.float64)
+            sub = mat[rows]
+            norms = np.linalg.norm(sub, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = sub / norms
+            qm = np.asarray([qv for _, qv in queries], dtype=np.float64)
+            sims = np.round(unit @ qm.T, round_digits)  # (n_rows, n_queries)
+            ids = b_ids[rows]
+            for qi, (qid, _qv) in enumerate(queries):
+                col = sims[:, qi]
+                mask = ids != qid
+                order = np.lexsort((ids[mask], -col[mask]))[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids[mask][order],
+                    "sim": col[mask][order],
+                }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(["query_id", "neighbor_id"])
@@ -166,10 +189,29 @@ def _probe_and_merge(bucketed: "ray.data.Dataset", q_ref, k: int,
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "neighbor_id", "rank", "sim"]]
 
-    partials = bucketed.groupby("bucket").map_groups(per_bucket,
-                                                     batch_format="pandas")
+    partials = bucketed.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=4096)
     return partials.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pandas")
+
+
+def auto_n_centroids(n: int) -> int:
+    """Corpus-size rule for the IVF coarse-cell count: ``4·sqrt(n)`` (the
+    standard IVF guideline — cells shrink RELATIVE to the corpus as it grows,
+    so no cell is ever a corpus-fraction-sized scan), clamped to [8, 65536].
+    sf0.01 (500 vecs) → 88 cells of ~6 vectors; 1e9 vectors → 65536 cells of
+    ~15k vectors — each cell slice stays batch-sized. Pass
+    ``n_centroids=None`` to :func:`knn_ivf_trained` (or ``n_bits=None`` to
+    :func:`knn_ivf`) to apply it."""
+    import math
+    return int(min(65536, max(8, 4 * math.isqrt(max(int(n), 1)))))
+
+
+def auto_n_bits(n: int) -> int:
+    """LSH analog of :func:`auto_n_centroids`: hyperplane count giving
+    ~auto_n_centroids(n) cells (2^bits ≈ 4·sqrt(n)), clamped to [2, 16]."""
+    import math
+    return int(min(16, max(2, round(math.log2(auto_n_centroids(n))))))
 
 
 def train_centroids(
@@ -231,7 +273,7 @@ def train_centroids(
 
 def knn_ivf_trained(
     emb: "ray.data.Dataset", query_ids: Sequence[int], k: int = 10,
-    n_centroids: int = 16, n_probes: int = 4, round_digits: int = 6,
+    n_centroids: int | None = 16, n_probes: int = 4, round_digits: int = 6,
     sample_cap: int = 16384, seed: int = 42,
     centroids: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
@@ -241,7 +283,13 @@ def knn_ivf_trained(
     top-k / merge machinery as :func:`knn_ivf` — only the cell geometry
     differs, which is what lifts recall on clustered embeddings. With
     ``n_probes >= n_centroids`` every cell is probed and the result is EXACT
-    (the driver-oracle configuration)."""
+    (the driver-oracle configuration). ``n_centroids=None`` applies the
+    :func:`auto_n_centroids` corpus-size rule (4·sqrt(n), clamped)."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
+        # k-means needs ~tens of training points per centroid (faiss
+        # guideline); grow the bounded sample with the auto cell count
+        sample_cap = max(sample_cap, 32 * n_centroids)
     if centroids is None:
         centroids = train_centroids(emb, n_centroids, sample_cap, seed=seed)
     if centroids.size == 0:

@@ -175,6 +175,36 @@ class TestKnnTrained:
                                   n_centroids=16, n_probes=16).to_pandas()
         assert list(out["neighbor_id"]) == [1]
 
+    def test_auto_cell_rules(self):
+        """Corpus-size rules: cells grow as 4·sqrt(n) within clamps."""
+        assert SIM.auto_n_centroids(0) == 8
+        assert SIM.auto_n_centroids(500) == 88          # 4·isqrt(500)
+        assert SIM.auto_n_centroids(10**9) == 65536     # upper clamp
+        ns = [SIM.auto_n_centroids(n) for n in (10**3, 10**5, 10**7)]
+        assert ns == sorted(ns)                         # monotone
+        assert SIM.auto_n_bits(50) == 5                 # 2^5 ≈ 4·sqrt(50)
+        assert SIM.auto_n_bits(10**12) == 16            # upper clamp
+
+    def test_auto_config_runs_and_recalls(self, emb_ds):
+        """n_centroids=None / n_bits=None pick the corpus-size rule and the
+        pipeline stays green with sane recall on the tiny fixture."""
+        out = SIM.knn_ivf_trained(emb_ds, query_ids=[0], k=5,
+                                  n_centroids=None, n_probes=8).to_pandas()
+        assert len(out) == 5
+        out2 = SIM.knn_ivf(emb_ds, query_ids=[0], k=5, n_bits=None).to_pandas()
+        assert len(out2) <= 5 and len(out2) > 0
+
+    def test_probe_layout_invariant(self, emb_ds):
+        """The shuffle-free per-batch probe must give identical results
+        across block layouts (partial-top-k union ⊇ per-cell top-k)."""
+        a = SIM.knn_ivf_trained(emb_ds, query_ids=[0, 1, 2], k=5,
+                                n_centroids=4, n_probes=2).to_pandas()
+        b = SIM.knn_ivf_trained(emb_ds.repartition(7), query_ids=[0, 1, 2],
+                                k=5, n_centroids=4, n_probes=2).to_pandas()
+        cols = ["query_id", "neighbor_id", "rank", "sim"]
+        assert a[cols].sort_values(cols).values.tolist() == \
+            b[cols].sort_values(cols).values.tolist()
+
 
 class TestTextStats:
     def test_token_count_matches_python_split(self, docs_with_dups):
