@@ -448,11 +448,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_trained": lambda sf: SIM.knn_ivf_trained(
             _emb(sf), query_ids=range(8), k=10, n_centroids=8, n_probes=8
         ).drop_columns(["sim"]),
-        # 32 tables: empirically exact (recall 1.0 vs the brute-force oracle)
-        # through sf0.1's embeddings table with margin — recall is a
-        # config/corpus property, so the gate re-verifies it per run
+        # knobs COMPUTED, not hand-tuned: n_bits from corpus size
+        # (auto_neardup_bits) and n_tables from the OR-construction recall
+        # rule at target 1-1e-6 (auto_lsh_tables → 30 tables at this
+        # threshold/bits, vs the previously hand-calibrated 32). Recall is a
+        # config/corpus property, so the gate re-verifies exactness per run
         "embedding_neardup_blocked": lambda sf: D.embedding_neardup_blocked(
-            _emb(sf), threshold=0.35, n_bits=2, n_tables=32),
+            _emb(sf), threshold=0.35, n_bits=None, n_tables=None),
         # --- KG construction pipeline (synthetic interleaved corpus) ---
         # Each query is a deterministic projection of a pipeline table and is
         # hash-compared against PLANTED ground truth parquet the generator

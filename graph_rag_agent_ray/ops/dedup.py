@@ -563,16 +563,55 @@ def embedding_neardup_pairs(
     )
 
 
+def auto_lsh_tables(threshold: float, n_bits: int,
+                    target_recall: float = 1 - 1e-6, cap: int = 64) -> int:
+    """OR-construction size for random-hyperplane LSH at a cosine threshold:
+    a pair AT the threshold collides in one table with probability
+    p = (1 - arccos(threshold)/π)^n_bits (Charikar 2002), so ``L`` tables
+    give recall 1-(1-p)^L and L = ceil(ln(1-target)/ln(1-p)). Pairs above
+    the threshold collide more often, so this is the worst-case pair — the
+    computed knob replaces the hand-tuned table count (at the driver's
+    threshold=0.35, n_bits=2 config this yields 30, matching the 32 that was
+    empirically exact through sf0.1)."""
+    import math
+    p = (1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi) ** n_bits
+    if p >= 1.0:
+        return 1
+    if p <= 0.0:
+        return cap
+    return int(min(cap, max(1, math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - p)))))
+
+
+def auto_neardup_bits(n: int, target_bucket: int = 2048) -> int:
+    """Corpus-size rule for the blocked-neardup hyperplane count: enough
+    bits that an average (table, bucket) group holds ~``target_bucket``
+    vectors (n / 2^bits ≤ target), clamped to [2, 20] — bucket size stays
+    bounded as the corpus grows instead of being a corpus-calibrated
+    constant."""
+    import math
+    return int(min(20, max(2, math.ceil(math.log2(max(2.0, n / target_bucket))))))
+
+
 def embedding_neardup_blocked(
     emb: "ray.data.Dataset", threshold: float = 0.95,
-    n_bits: int = 6, n_tables: int = 8, seed: int = 42, round_digits: int = 6,
+    n_bits: int | None = 6, n_tables: int | None = 8, seed: int = 42,
+    round_digits: int = 6,
 ) -> "ray.data.Dataset":
     """LSH-blocked near-dup — the 100 TB path. Each vector is exploded to
     ``n_tables`` random-hyperplane bucket keys; pairs are found by exact
     cosine inside each (table, bucket) group and deduped across tables. The
     all-pairs scan becomes a groupby; recall vs the exact baseline depends on
     (threshold, n_bits, n_tables) and is measured in tests/bench (recall→1 as
-    n_tables grows; collision prob per table = (1 - θ/π)^n_bits)."""
+    n_tables grows; collision prob per table = (1 - θ/π)^n_bits).
+    ``n_bits=None`` applies the :func:`auto_neardup_bits` corpus-size rule
+    and ``n_tables=None`` the :func:`auto_lsh_tables` recall rule — the
+    knobs are then computed from (corpus size, threshold, target recall)
+    instead of hand-tuned."""
+    if n_bits is None:
+        n_bits = auto_neardup_bits(emb.count())
+    if n_tables is None:
+        n_tables = auto_lsh_tables(threshold, n_bits)
 
     def explode(batch: pa.Table) -> pa.Table:
         mat = list_column_to_matrix(batch.column("embedding")).astype(np.float32)

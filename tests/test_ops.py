@@ -245,6 +245,29 @@ class TestBlockedNeardup:
         if ex:
             assert len(bl & ex) / len(ex) >= 0.5  # recall on this fixture
 
+    def test_auto_table_rule(self):
+        """OR-construction rule: L = ceil(ln(1-R)/ln(1-p)) with
+        p = (1-acos(t)/pi)^bits; monotone in bits and target recall."""
+        assert D.auto_lsh_tables(0.35, 2) == 30
+        assert D.auto_lsh_tables(0.95, 2) < D.auto_lsh_tables(0.35, 2)
+        assert D.auto_lsh_tables(0.35, 4) > D.auto_lsh_tables(0.35, 2)
+        assert D.auto_lsh_tables(0.35, 2, target_recall=0.9) < 30
+        assert D.auto_lsh_tables(0.0, 20) == 64   # cap
+        assert D.auto_neardup_bits(500) == 2
+        assert D.auto_neardup_bits(10**9) == 19
+        bs = [D.auto_neardup_bits(n) for n in (10**4, 10**6, 10**8)]
+        assert bs == sorted(bs)
+
+    def test_auto_config_exact_on_fixture(self, emb_ds):
+        """Computed knobs (n_bits=None, n_tables=None) recover every exact
+        pair on the fixture — the driver-gate configuration."""
+        exact = D.embedding_neardup_pairs(emb_ds, threshold=0.95).to_pandas()
+        blocked = D.embedding_neardup_blocked(
+            emb_ds, threshold=0.95, n_bits=None, n_tables=None).to_pandas()
+        ex = set(map(tuple, exact[["a", "b"]].to_numpy()))
+        bl = set(map(tuple, blocked[["a", "b"]].to_numpy()))
+        assert bl == ex
+
 
 class TestSqlOracleEquivalence:
     """The SQL-exact ops recompute identically in DuckDB (the driver's hard
