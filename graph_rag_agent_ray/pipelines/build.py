@@ -56,6 +56,7 @@ def build_kg(
     cfg: Optional[KGConfig] = None,
     input_token: str = "",
     extractor_cls=MockLLMExtractor,
+    summarizer_factory=None,
 ) -> Dict[str, "ray.data.Dataset"]:
     """Run the full build; returns every materialized logical table.
 
@@ -241,7 +242,8 @@ def build_kg(
     lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
 
     entities_final, communities = communities_and_entities(
-        store, lineage, cfg, alias_fp, alias_ref, embedded, edges, mentions_canon)
+        store, lineage, cfg, alias_fp, alias_ref, embedded, edges,
+        mentions_canon, summarizer_factory=summarizer_factory)
 
     chunk_embeddings = chunk_embeddings_f.result()
     span_index = span_index_f.result()
@@ -278,6 +280,7 @@ def communities_and_entities(
     embedded: "ray.data.Dataset",
     edges: "ray.data.Dataset",
     mentions_canon: "ray.data.Dataset",
+    summarizer_factory=None,
 ):
     """Shared tail of the build: community detection + summaries over the
     aggregated edge graph, then the final entities table with degree and
@@ -303,20 +306,29 @@ def communities_and_entities(
     # one distributed aggregate over the big mentions side; everything else
     # in the community chain is community-count-sized
     ranks = CM.community_ranks(membership_pdf, mentions_canon)
+    # summarizer identity is part of the stage fingerprint — switching
+    # mock ↔ model invalidates the cached communities snapshot
+    sumr_tag = ("mock" if summarizer_factory is None else
+                f"{getattr(summarizer_factory, '__module__', '?')}."
+                f"{getattr(summarizer_factory, '__qualname__', repr(summarizer_factory))}")
+    comm_fp = fingerprint(alias_fp, "communities", sumr_tag)
     if driver_local:
         ranks_pdf = ranks.to_pandas()
         comm_pdf = CM.summarize_communities_local(
-            member_levels, edges_pdf, ranks_pdf, cfg)
+            member_levels, edges_pdf, ranks_pdf, cfg,
+            summarizer_factory=summarizer_factory)
         comm_arrow = pa.Table.from_pandas(comm_pdf, preserve_index=False)
         communities = store.run_stage(
-            "communities", fingerprint(alias_fp, "communities"),
+            "communities", comm_fp,
             lambda: ray.data.from_arrow(comm_arrow), lineage,
         )
     else:
         membership = ray.data.from_pandas(membership_pdf)
         communities = store.run_stage(
-            "communities", fingerprint(alias_fp, "communities"),
-            lambda: CM.summarize_communities(membership, edges_pdf, ranks, cfg),
+            "communities", comm_fp,
+            lambda: CM.summarize_communities(
+                membership, edges_pdf, ranks, cfg,
+                summarizer_factory=summarizer_factory),
             lineage,
         )
 

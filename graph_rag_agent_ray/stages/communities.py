@@ -261,6 +261,7 @@ def summarize_communities_local(
     edges_pdf: pd.DataFrame,
     ranks_pdf: pd.DataFrame,
     cfg: KGConfig | None = None,
+    summarizer_factory=None,
 ) -> pd.DataFrame:
     """Driver-side fast path of :func:`summarize_communities` for builds that
     already detected communities driver-locally (the membership, edge list
@@ -306,7 +307,10 @@ def summarize_communities_local(
             "Nodes are: " + "; ".join(members[:200]) + ". Relationships are: "
             + "; ".join(f"{s} -{p}-> {d}" for s, d, p in rels[:200]) + "."
         )
-        summary = summarizer.summarize(cid, members, rels) if cid in top_ids else ""
+        # model path: leave blank here, the actor-pool stage below fills it
+        summary = ("" if summarizer_factory is not None
+                   else summarizer.summarize(cid, members, rels)) \
+            if cid in top_ids else ""
         rows.append({
             "community_id": cid, "level": int(level), "members": members,
             "summary": summary, "full_content": full,
@@ -321,13 +325,21 @@ def summarize_communities_local(
             "full_content": pd.Series(dtype=object),
             "rank": pd.Series(dtype="int64"),
         })
-    return pd.DataFrame(rows).sort_values("community_id").reset_index(drop=True)
+    pdf = pd.DataFrame(rows).sort_values("community_id").reset_index(drop=True)
+    if summarizer_factory is not None and top_ids:
+        # parallel model summaries even on the driver-local fast path: the
+        # top-N rows go through the same actor-pool stage as the distributed
+        # variant (reference parallelizes exactly this step, base.py:225-250)
+        pdf = (_model_summary_stage(ray.data.from_pandas(pdf),
+                                    summarizer_factory, top_ids, cfg)
+               .to_pandas().sort_values("community_id").reset_index(drop=True))
+    return pdf
 
 
 class MockSummarizer:
     """Deterministic stand-in for the community-summary LLM chain
     (community/summary/base.py:156-166; prompt config/prompt.py:146-151).
-    The production summarizer would hold the chat client here."""
+    :class:`ModelSummarizer` is the production path holding the chat client."""
 
     def summarize(self, community_id: str, members: List[str],
                   rels: List[Tuple[str, str, str]]) -> str:
@@ -338,11 +350,87 @@ class MockSummarizer:
         )
 
 
+class ModelSummarizer:
+    """Production community summarizer — the model-backed analog of
+    OpenAIExtractor/ModelEmbedChunks, mirroring the reference's summary chain
+    (community/summary/base.py:156-273):
+
+    - prompt contract: system ``给定一个输入三元组，生成信息摘要。没有序言。``
+      (base.py:158-161), human message = the stringified community info the
+      row already carries as ``full_content`` (describer prepare_string,
+      base.py:16-45);
+    - too-little-info guard: info under 10 chars skips the model and emits
+      the reference's sentinel (base.py:259-265);
+    - retry ladder via ``call_with_retry`` with the error sentinel on
+      exhaustion (base.py:274-280 wraps failures as ``生成摘要时出错``);
+    - parallel summaries: used as a CALLABLE CLASS in
+      ``map_batches(..., concurrency=(1, N))`` so the chat client is built
+      once per actor and batches of communities summarize concurrently —
+      the Ray-native replacement for the reference's ThreadPoolExecutor
+      (base.py:225-250).
+
+    Only rows whose ``community_id`` is in ``top_ids`` (the reference's
+    top-200-by-rank cut, summary/leiden.py:36-39) hit the model; other rows
+    pass through with their existing summary."""
+
+    NO_INFO_SENTINEL = "此社区没有足够的信息生成摘要。"
+    ERROR_SENTINEL = "生成摘要时出错: retries exhausted"
+    SYSTEM_PROMPT = "给定一个输入三元组，生成信息摘要。没有序言。"
+
+    def __init__(self, client=None, client_factory=None, top_ids=None,
+                 retries: int = 3, backoff_s: float = 0.0):
+        if client is not None:
+            self._client = client
+        elif client_factory is not None:
+            self._client = client_factory()
+        else:
+            from .llm import OpenAIChatClient
+            self._client = OpenAIChatClient()  # raises in sealed sandboxes
+        self._top = None if top_ids is None else set(top_ids)
+        self._retries = retries
+        self._backoff = backoff_s
+
+    def summarize_one(self, full_content: str) -> str:
+        from .llm import call_with_retry
+        if len(full_content) < 10:
+            return self.NO_INFO_SENTINEL
+        msgs = [{"role": "system", "content": self.SYSTEM_PROMPT},
+                {"role": "user", "content": full_content}]
+        out = call_with_retry(self._client, msgs, retries=self._retries,
+                              backoff_s=self._backoff)
+        return out if out else self.ERROR_SENTINEL
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["summary"] = [
+            self.summarize_one(fc)
+            if (self._top is None or cid in self._top) else s
+            for cid, fc, s in zip(batch["community_id"],
+                                  batch["full_content"], batch["summary"])
+        ]
+        return batch
+
+
+def _model_summary_stage(ds: "ray.data.Dataset", summarizer_factory,
+                         top_ids, cfg: KGConfig) -> "ray.data.Dataset":
+    """Attach the actor-pool model-summary stage to a communities dataset:
+    small batches (model calls dominate), elastic pool so it never starves
+    upstream stages of CPUs."""
+    return ds.map_batches(
+        ModelSummarizer,
+        fn_constructor_kwargs=dict(client_factory=summarizer_factory,
+                                   top_ids=top_ids),
+        batch_format="pandas", batch_size=16,
+        concurrency=(1, max(2, cfg.extract_concurrency)),
+    )
+
+
 def summarize_communities(
     membership: "ray.data.Dataset",
     edges_pdf: pd.DataFrame,
     ranks: "ray.data.Dataset",
     cfg: KGConfig | None = None,
+    summarizer_factory=None,
 ) -> "ray.data.Dataset":
     """Top-N communities by rank get summaries (reference takes top 200 by
     rank — community/summary/leiden.py:36-39); all communities get rows.
@@ -400,7 +488,10 @@ def summarize_communities(
             "Nodes are: " + "; ".join(members[:200]) + ". Relationships are: "
             + "; ".join(f"{s} -{p}-> {d}" for s, d, p in rels[:200]) + "."
         )
-        summary = summarizer.summarize(cid, members, rels) if cid in top_ids else ""
+        # model path fills summaries in the downstream actor-pool stage
+        summary = ("" if summarizer_factory is not None
+                   else summarizer.summarize(cid, members, rels)) \
+            if cid in top_ids else ""
         return pd.DataFrame([{
             "community_id": cid, "level": level, "members": members,
             "summary": summary, "full_content": full,
@@ -431,4 +522,7 @@ def summarize_communities(
         vals = [int(ranks_map.get(c, 0)) for c in batch.column("community_id").to_pylist()]
         return batch.append_column("rank", pa.array(vals, pa.int64()))
 
-    return per_comm.map_batches(attach_rank, batch_format="pyarrow", batch_size=4096)
+    out = per_comm.map_batches(attach_rank, batch_format="pyarrow", batch_size=4096)
+    if summarizer_factory is not None and top_ids:
+        out = _model_summary_stage(out, summarizer_factory, top_ids, cfg)
+    return out

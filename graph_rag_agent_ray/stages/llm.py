@@ -113,6 +113,40 @@ INPUT_TEXT_BEGIN = "\n<<<TEXT>>>\n"
 INPUT_TEXT_END = "\n<<<END TEXT>>>\n"
 
 
+class DigestSummaryClient:
+    """Offline 'model' for the community-summary stage (the GrammarClient
+    analog for ModelSummarizer): parses the ``Nodes are: …. Relationships
+    are: ….`` digest the summarizer sends as its human message
+    (community/summary/base.py:16-45 format) and emits a deterministic
+    abstractive-looking summary. Optional ``fail_every`` scripts one
+    TransientAPIError before every N-th prompt (first attempt only) to
+    exercise the retry ladder in a full build."""
+
+    def __init__(self, fail_every: int = 0):
+        self._fail_every = fail_every
+        self._n = 0
+        self._failed_for: set = set()
+
+    def complete(self, messages: List[Message]) -> str:
+        info = messages[-1]["content"]
+        self._n += 1
+        if self._fail_every and self._n % self._fail_every == 0:
+            key = hashlib.sha1(info.encode()).hexdigest()
+            if key not in self._failed_for:
+                self._failed_for.add(key)
+                raise TransientAPIError("scripted transient failure")
+        nodes, rels = [], []
+        lo = info.find("Nodes are: ")
+        hi = info.find(". Relationships are: ")
+        if lo >= 0 and hi > lo:
+            nodes = [n for n in info[lo + 11:hi].split("; ") if n]
+            tail = info[hi + 21:].rstrip(".")
+            rels = [r for r in tail.split("; ") if r]
+        head = ", ".join(nodes[:5])
+        return (f"This community groups {len(nodes)} entities "
+                f"(including {head}) connected by {len(rels)} relationships.")
+
+
 def call_with_retry(client, messages: List[Message], retries: int = 3,
                     backoff_s: float = 1.0, sleep=time.sleep) -> str:
     """Reference retry ladder (graph/core/utils.py:77-102): ``retries``
