@@ -27,6 +27,7 @@ import ray.data as rd
 
 from graph_rag_agent_ray import build_kg
 from graph_rag_agent_ray.ops import dedup as D
+from graph_rag_agent_ray.ops import relational as R
 from graph_rag_agent_ray.ops import similarity as SIM
 from graph_rag_agent_ray.ops import textstats as TS
 from graph_rag_agent_ray.ops import windows as W
@@ -54,6 +55,12 @@ def _emb(sf_dir: str) -> "rd.Dataset":
 def _events(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/events.parquet",
                            columns=["event_id", "ts", "user_id", "value"])
+
+
+def _events_typed(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
 
 
 KG_TRUTH_DIR = "/tmp/graft_kg_truth/current"
@@ -460,6 +467,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-compared against PLANTED ground truth parquet the generator
         # emits independently (read_parquet in oracle_sql) — the extraction→
         # linking→canonicalization→community chain is verified end-to-end.
+        # relational / stream ops over the events + documents tables
+        "asof_join": lambda sf: R.asof_join(_events_typed(sf), "click", "purchase"),
+        "group_topk": lambda sf: R.group_topk(_events(sf), k=3),
+        "hash_sample": lambda sf: R.hash_sample(
+            rd.read_parquet(f"{sf}/documents.parquet",
+                            columns=["doc_id", "n_chars"]), rate=0.25),
+        "token_shards": lambda sf: R.token_shards(_docs(sf), budget=5000),
+        # near-dup RESOLUTION: simhash pairs -> connected components ->
+        # smallest-id representative (the keep/drop decision after pairing)
+        "neardup_components": lambda sf: D.duplicate_components(
+            D.simhash_duplicate_pairs(_docs(sf), max_hamming=3)),
         "kg_chunks": _kg_chunks_q,
         "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples_q,
@@ -598,6 +616,13 @@ def oracle_sql() -> dict[str, str]:
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",
         "media_frames": f"SELECT doc_id, media_ref, kind, frame_idx, ts_ms FROM read_parquet('{KG_TRUTH_DIR}/media_frames.parquet')",
         "kg_incremental": f"SELECT doc_id, subj, pred, obj FROM read_parquet('{KG_TRUTH_DIR}/kg_incremental.parquet')",
+        "asof_join": R.asof_join_sql("click", "purchase"),
+        "group_topk": R.group_topk_sql(3),
+        "hash_sample": ("SELECT doc_id, n_chars FROM documents WHERE "
+                        + R.hash_sample_sql(0.25).split("WHERE", 1)[1]),
+        "token_shards": R.token_shards_sql(5000, n_tokens),
+        "neardup_components": D.duplicate_components_sql(
+            O.simhash_sql(max_hamming=3)),
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),

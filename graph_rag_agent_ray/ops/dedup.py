@@ -727,3 +727,88 @@ def winnow_shared_pairs(
 
     return hash_partitioned_groupby(partial, ["a", "b"], reduce_pairs,
                                     n_buckets=32)
+
+
+# ----------------------------------------------- duplicate resolution ------
+
+def duplicate_components(
+    pairs: "ray.data.Dataset", max_rounds: int = 20, n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Resolve a near-duplicate PAIR list (``a``, ``b`` int64 doc ids — the
+    output shape of minhash/simhash/ngram/embedding pair ops) into duplicate
+    GROUPS: ``(doc_id, component)`` where ``component`` is the smallest doc
+    id in the connected component. This is the resolution step every dedup
+    policy needs after pair generation (keep ``doc_id == component``, drop
+    the rest — the SemDeDup/NearDup "one representative per cluster" rule).
+
+    Distributed min-label propagation with pointer jumping
+    (functions/components.py) — no driver union-find, so the pair set can be
+    corpus-sized. Ids travel zero-padded so lexicographic min == numeric min.
+    """
+    from ..functions.components import connected_components
+
+    def enc(batch: pa.Table) -> pa.Table:
+        a = [f"{int(x):020d}" for x in batch.column("a").to_pylist()]
+        b = [f"{int(x):020d}" for x in batch.column("b").to_pylist()]
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string())})
+
+    comp = connected_components(
+        pairs.map_batches(enc, batch_format="pyarrow"),
+        max_rounds=max_rounds, n_buckets=n_buckets)
+
+    def dec(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array([int(x) for x in batch.column("node").to_pylist()],
+                               pa.int64()),
+            "component": pa.array(
+                [int(x) for x in batch.column("component").to_pylist()],
+                pa.int64()),
+        })
+
+    return comp.map_batches(dec, batch_format="pyarrow")
+
+
+def resolve_duplicates(
+    docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
+    max_rounds: int = 20, n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Drop every document dominated by a smaller-id near-duplicate: keep a
+    doc iff it is not a non-representative member of a duplicate component.
+    Anti-join against the (duplicate-sized, NOT corpus-sized) dominated-id
+    set, broadcast once via ray.put."""
+    comp = duplicate_components(pairs, max_rounds=max_rounds, n_buckets=n_buckets)
+    dominated = comp.filter(
+        lambda r: r["doc_id"] != r["component"])  # tiny; duplicate-count rows
+    dom_ids = pa.array(
+        [r["doc_id"] for r in dominated.iter_rows()], pa.int64())
+    dom_ref = ray.put(dom_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dom = ray.get(dom_ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column("doc_id"), value_set=dom)))
+
+    return docs.map_batches(keep, batch_format="pyarrow", batch_size=8192)
+
+
+def duplicate_components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for :func:`duplicate_components`: recursive-CTE
+    transitive closure over the pair query (exact for the driver's
+    test-scale pair sets; the Ray path is the scale implementation)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({pairs_sql}) AS p
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON e.a = reach.node
+)
+SELECT node AS doc_id, MIN(src) AS component
+FROM reach GROUP BY node
+"""

@@ -127,15 +127,21 @@ def compute_delta(
     return hash_partitioned_groupby(both, ["doc_id"], diff_bucket, n_buckets=32)
 
 
-def _filter_by_docs(ds: "ray.data.Dataset", keep_ref, doc_col: str = "doc_id"):
-    """Broadcast semi-join: vectorized ``pc.is_in`` against the broadcast
-    doc-id value_set (``keep_ref`` = ray.put of a pa.Array or a set)."""
+def _filter_by_docs(ds: "ray.data.Dataset", keep_ref, doc_col: str = "doc_id",
+                    invert: bool = False):
+    """Broadcast semi/anti-join: vectorized ``pc.is_in`` against the
+    broadcast doc-id value_set (``keep_ref`` = ray.put of a pa.Array or a
+    set). ``batch_size=None`` keeps whole blocks — the per-call is_in
+    hash-set build is paid once per BLOCK, not once per 8k rows."""
     def fn(batch: pa.Table) -> pa.Table:
         keep = ray.get(keep_ref)
         if not isinstance(keep, pa.Array):  # legacy set-shaped refs
             keep = pa.array(sorted(keep), pa.string())
-        return batch.filter(pc.is_in(batch.column(doc_col), value_set=keep))
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+        mask = pc.is_in(batch.column(doc_col), value_set=keep)
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 # --------------------------------------------------------------------------
@@ -172,7 +178,7 @@ def _filter_surface_in(ds, ref, col: str, invert: bool = False):
         if invert:
             mask = pc.invert(mask)
         return batch.filter(mask)
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _filter_col_in(ds, ref, col: str, invert: bool = False):
@@ -183,7 +189,7 @@ def _filter_col_in(ds, ref, col: str, invert: bool = False):
         if invert:
             mask = pc.invert(mask)
         return batch.filter(mask)
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _edge_key(batch: pa.Table, cols: Tuple[str, str, str]) -> pa.Array:
@@ -198,7 +204,7 @@ def _filter_edge_keys(ds, keys_ref, cols: Tuple[str, str, str], invert: bool = F
         if invert:
             mask = pc.invert(mask)
         return batch.filter(mask)
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _distinct_edge_keys(ds, cols: Tuple[str, str, str]) -> Set[str]:
@@ -241,8 +247,15 @@ def _delta_graph_build(
     ``prev`` snapshots. Output tables and snapshot fingerprints are identical
     to a fresh ``build_kg`` over the same input (equivalence-tested)."""
     dirty_ref = ray.put(pa.array(sorted(dirty), pa.string()))
-    kept_ref = ray.put(pa.array(sorted(kept), pa.string()))
     removed_ref = ray.put(pa.array(sorted(removed), pa.string()))
+    # prev snapshots hold rows for kept ∪ modified ∪ deleted docs, so the
+    # kept-rows filter is an ANTI-join on the DELTA-sized dirty∪removed set
+    # (broadcast ~|delta| ids) — never a semi-join on the corpus-sized kept
+    # set; the per-block is_in hash build stays O(delta)
+    notkept_ref = ray.put(pa.array(sorted(dirty | removed), pa.string()))
+
+    def _kept_rows(ds, col: str = "doc_id"):
+        return _filter_by_docs(ds, notkept_ref, col, invert=True)
 
     writes = ThreadPoolExecutor(max_workers=6)
     pending = []
@@ -251,54 +264,58 @@ def _delta_graph_build(
         lineage.record(stage, cached=False, wall_s=time.monotonic() - t0,
                        delta_scoped=True, **extra)
 
-    # ---- per-doc stages: fresh on dirty docs, carry-over for kept ----
+    # ---- per-doc stages: fresh compute on dirty docs only; the snapshot
+    # update is a DELTA write (prev parquet files hardlinked + tombstones +
+    # the fresh rows — no corpus-sized copy-forward I/O, see
+    # SnapshotStore.write_delta). ``removed`` = modified ∪ deleted — exactly
+    # the docs whose previous snapshot rows are stale. ----
     t0 = time.monotonic()
     docs_dirty = _filter_by_docs(docs_new, dirty_ref)
     chunks_fresh = chunk_documents(docs_dirty, cfg).materialize()
-    chunks = chunks_fresh.union(_filter_by_docs(prev.read("chunks"), kept_ref)).materialize()
-    pending.append(writes.submit(store.write, "chunks", chunks,
-                                 fingerprint(base_fp, "chunks")))
+    pending.append(writes.submit(
+        store.write_delta, "chunks", prev, chunks_fresh, removed,
+        fingerprint(base_fp, "chunks")))
     _record("chunks", t0)
 
     t0 = time.monotonic()
     extr_fresh = extract_chunks(chunks_fresh, cfg, extractor_cls).materialize()
-    extractions = extr_fresh.union(
-        _filter_by_docs(prev.read("extractions"), kept_ref)).materialize()
     pending.append(writes.submit(
-        store.write, "extractions", extractions,
+        store.write_delta, "extractions", prev, extr_fresh, removed,
         fingerprint(base_fp, "extractions", extractor_cls.__name__)))
     _record("extractions", t0)
 
     # chunk embeddings — the compute-dominant model stage — fresh inference
     # only for the dirty delta (reference dirty-flag embedding update,
-    # embedding_manager.py:374-474); the merged write happens in background
+    # embedding_manager.py:374-474); the delta write runs in background
     t0 = time.monotonic()
-    chunk_embeddings = embed_chunks(chunks_fresh, cfg).union(
-        _filter_by_docs(prev.read("chunk_embeddings"), kept_ref)).materialize()
-    pending.append(writes.submit(store.write, "chunk_embeddings", chunk_embeddings,
-                                 fingerprint(base_fp, "chunk_embeddings")))
+    pending.append(writes.submit(
+        store.write_delta, "chunk_embeddings", prev,
+        embed_chunks(chunks_fresh, cfg), removed,
+        fingerprint(base_fp, "chunk_embeddings")))
     _record("chunk_embeddings", t0)
 
     t0 = time.monotonic()
-    span_index = build_span_index(docs_dirty, cfg).union(
-        _filter_by_docs(prev.read("span_index"), kept_ref)).materialize()
-    pending.append(writes.submit(store.write, "span_index", span_index,
-                                 fingerprint(base_fp, "span_index")))
+    pending.append(writes.submit(
+        store.write_delta, "span_index", prev,
+        build_span_index(docs_dirty, cfg), removed,
+        fingerprint(base_fp, "span_index")))
     _record("span_index", t0)
 
     # ---- parse: regex pass only over the dirty extractions ----
     t0 = time.monotonic()
     mentions_fresh = parse_mentions(extr_fresh, cfg).materialize()
     triples_fresh = parse_triples(extr_fresh, cfg).materialize()
-    mentions_kept = _filter_by_docs(prev.read("mentions"), kept_ref).materialize()
-    triples_kept = _filter_by_docs(prev.read("triples"), kept_ref).materialize()
+    # kept-row views stay LAZY: the mentions union is consumed once (the
+    # touched-surface scan); kept triples are only scanned at all when the
+    # alias diff is non-empty
+    mentions_kept = _kept_rows(prev.read("mentions"))
+    triples_kept = _kept_rows(prev.read("triples"))
     mentions = mentions_fresh.union(mentions_kept)
-    triples = triples_fresh.union(triples_kept)
     pending.append(writes.submit(
-        store.write, "mentions", mentions,
+        store.write_delta, "mentions", prev, mentions_fresh, removed,
         fingerprint(base_fp, "mentions", extractor_cls.__name__)))
     pending.append(writes.submit(
-        store.write, "triples", triples,
+        store.write_delta, "triples", prev, triples_fresh, removed,
         fingerprint(base_fp, "triples", extractor_cls.__name__)))
     _record("mentions", t0)
 
@@ -367,23 +384,28 @@ def _delta_graph_build(
     # carried: kept-doc rows whose canonical endpoints are unaffected by the
     # alias churn (for those, old mapping == new mapping, proven by the diff);
     # redo: dirty-doc rows + kept-doc rows whose OLD canonical endpoint is
-    # affected — together an exact partition of the merged raw triples
+    # affected — together an exact partition of the merged raw triples.
+    # When the alias diff is EMPTY (the common small-delta tick) the
+    # endpoint conditions are vacuous: carried = all kept-doc rows, redo =
+    # fresh rows only — the two corpus-sized normalize-and-remap scans over
+    # kept triples/mentions are skipped entirely.
     t0 = time.monotonic()
+    has_affected = bool(affected)
 
     def _carried_tc(batch: pa.Table) -> pa.Table:
-        keep_docs = ray.get(kept_ref)
-        aff = ray.get(affected_ref)
-        mask = pc.and_(
-            pc.is_in(batch.column("doc_id"), value_set=keep_docs),
-            pc.and_(
+        mask = pc.invert(
+            pc.is_in(batch.column("doc_id"), value_set=ray.get(notkept_ref)))
+        if has_affected:
+            aff = ray.get(affected_ref)
+            mask = pc.and_(mask, pc.and_(
                 pc.invert(pc.is_in(batch.column("subj"), value_set=aff)),
                 pc.invert(pc.is_in(batch.column("obj"), value_set=aff)),
-            ),
-        )
+            ))
         return batch.filter(mask)
 
-    tc_carried = prev.read("triples_canon").map_batches(
-        _carried_tc, batch_format="pyarrow", batch_size=16384)
+    prev_tc = prev.read("triples_canon").materialize()  # one read, two scans
+    tc_carried = prev_tc.map_batches(
+        _carried_tc, batch_format="pyarrow", batch_size=None)
 
     def _old_canon_affected(cols):
         def fn(batch: pa.Table) -> pa.Table:
@@ -398,27 +420,42 @@ def _delta_graph_build(
             return batch.filter(pa.array(mask))
         return fn
 
-    triples_redo_kept = triples_kept.map_batches(
-        _old_canon_affected(["subj", "obj"]), batch_format="pyarrow",
-        batch_size=16384)
-    tc_redo = C.canonical_triples(
-        triples_fresh.union(triples_redo_kept), alias_ref, cfg).materialize()
-    triples_canon = tc_carried.union(tc_redo).materialize()
-    pending.append(writes.submit(store.write, "triples_canon", triples_canon,
-                                 fingerprint(alias_fp, "triples_canon")))
+    if affected:
+        triples_redo = triples_fresh.union(triples_kept.map_batches(
+            _old_canon_affected(["subj", "obj"]), batch_format="pyarrow",
+            batch_size=None))
+    else:
+        triples_redo = triples_fresh
+    tc_redo = C.canonical_triples(triples_redo, alias_ref, cfg).materialize()
+    triples_canon = tc_carried.union(tc_redo)
+    if affected:
+        # redo includes SOME rows of kept docs — doc-granular tombstones
+        # can't express that; full rewrite on alias-churn ticks
+        triples_canon = triples_canon.materialize()
+        pending.append(writes.submit(store.write, "triples_canon", triples_canon,
+                                     fingerprint(alias_fp, "triples_canon")))
+    else:
+        pending.append(writes.submit(
+            store.write_delta, "triples_canon", prev, tc_redo, removed,
+            fingerprint(alias_fp, "triples_canon")))
     _record("triples_canon", t0, n_affected_ids=len(affected))
 
     # ---- edges: re-dedupe only the (s,p,o) groups that lost or gained a
     # row; every other edge's input multiset is unchanged ----
     t0 = time.monotonic()
-    invalidated_prev = prev.read("triples_canon").map_batches(
-        lambda b: b.filter(pc.invert(pc.and_(
-            pc.is_in(b.column("doc_id"), value_set=ray.get(kept_ref)),
-            pc.and_(
-                pc.invert(pc.is_in(b.column("subj"), value_set=ray.get(affected_ref))),
-                pc.invert(pc.is_in(b.column("obj"), value_set=ray.get(affected_ref))),
-            )))),
-        batch_format="pyarrow", batch_size=16384)
+
+    def _invalidated_tc(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column("doc_id"), value_set=ray.get(notkept_ref))
+        if has_affected:
+            aff = ray.get(affected_ref)
+            mask = pc.or_(mask, pc.or_(
+                pc.is_in(b.column("subj"), value_set=aff),
+                pc.is_in(b.column("obj"), value_set=aff),
+            ))
+        return b.filter(mask)
+
+    invalidated_prev = prev_tc.map_batches(
+        _invalidated_tc, batch_format="pyarrow", batch_size=None)
     touched_keys = _distinct_edge_keys(invalidated_prev, ("subj", "pred", "obj"))
     touched_keys |= _distinct_edge_keys(tc_redo, ("subj", "pred", "obj"))
     tkeys_ref = ray.put(pa.array(sorted(touched_keys), pa.string()))
@@ -435,41 +472,55 @@ def _delta_graph_build(
     t0 = time.monotonic()
 
     def _carried_mc(batch: pa.Table) -> pa.Table:
-        keep_docs = ray.get(kept_ref)
-        aff = ray.get(affected_ref)
-        mask = pc.and_(
-            pc.is_in(batch.column("doc_id"), value_set=keep_docs),
-            pc.invert(pc.is_in(batch.column("entity_id"), value_set=aff)),
-        )
+        mask = pc.invert(
+            pc.is_in(batch.column("doc_id"), value_set=ray.get(notkept_ref)))
+        if has_affected:
+            mask = pc.and_(mask, pc.invert(pc.is_in(
+                batch.column("entity_id"), value_set=ray.get(affected_ref))))
         return batch.filter(mask)
 
     mc_carried = prev.read("mentions_canon").map_batches(
-        _carried_mc, batch_format="pyarrow", batch_size=16384)
-    mentions_redo_kept = mentions_kept.map_batches(
-        _old_canon_affected(["entity_surface"]), batch_format="pyarrow",
-        batch_size=16384)
-    mc_redo = mentions_fresh.union(mentions_redo_kept).map_batches(
+        _carried_mc, batch_format="pyarrow", batch_size=None)
+    if affected:
+        mentions_redo = mentions_fresh.union(mentions_kept.map_batches(
+            _old_canon_affected(["entity_surface"]), batch_format="pyarrow",
+            batch_size=None))
+    else:
+        mentions_redo = mentions_fresh
+    mc_redo = mentions_redo.map_batches(
         _canon_mentions_map(alias_ref), batch_format="pyarrow", batch_size=8192)
-    mentions_canon = mc_carried.union(mc_redo).materialize()
-    pending.append(writes.submit(store.write, "mentions_canon", mentions_canon,
-                                 fingerprint(alias_fp, "mentions_canon")))
+    mentions_canon = mc_carried.union(mc_redo)
+    if affected:
+        mentions_canon = mentions_canon.materialize()
+        pending.append(writes.submit(store.write, "mentions_canon", mentions_canon,
+                                     fingerprint(alias_fp, "mentions_canon")))
+    else:
+        mc_redo = mc_redo.materialize()
+        mentions_canon = mc_carried.union(mc_redo)
+        pending.append(writes.submit(
+            store.write_delta, "mentions_canon", prev, mc_redo, removed,
+            fingerprint(alias_fp, "mentions_canon")))
     _record("mentions_canon", t0)
 
     # ---- communities + final entities (shared tail; entity-scale) ----
     entities_final, communities = communities_and_entities(
         store, lineage, cfg, alias_fp, alias_ref, embedded, edges, mentions_canon)
 
+    t0 = time.monotonic()
     for f in pending:
         f.result()
     writes.shutdown()
+    _record("writes_wait", t0)
 
+    # per-doc tables read back from the just-written delta snapshots (lazy;
+    # prev files are hardlinked so the read is as cheap as a fresh snapshot)
     return {
-        "chunks": chunks,
-        "span_index": span_index,
-        "extractions": extractions,
-        "chunk_embeddings": chunk_embeddings,
+        "chunks": store.read("chunks"),
+        "span_index": store.read("span_index"),
+        "extractions": store.read("extractions"),
+        "chunk_embeddings": store.read("chunk_embeddings"),
         "mentions": mentions,
-        "triples": triples,
+        "triples": triples_fresh.union(triples_kept),
         "triples_canon": triples_canon,
         "entities": entities_final,
         "edges": edges,
@@ -549,6 +600,7 @@ def incremental_build_kg(
     store = SnapshotStore(out_dir)
     lineage = LineageLog(out_dir)
 
+    t_reg = time.monotonic()
     new_registry = document_hashes(docs_new).materialize()
     if prev.manifest(REGISTRY_STAGE):
         old_registry = prev.read(REGISTRY_STAGE)
@@ -559,6 +611,8 @@ def incremental_build_kg(
         }))
 
     delta = compute_delta(old_registry, new_registry).materialize()
+    lineage.record("registry_diff", cached=False,
+                   wall_s=time.monotonic() - t_reg)
     counts = {
         s: 0 for s in ("added", "modified", "deleted", "unchanged")
     }

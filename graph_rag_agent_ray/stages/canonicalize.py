@@ -235,6 +235,43 @@ def judge_pair(a: str, b: str, cfg: KGConfig) -> bool:
     return edit_distance(sa.lower(), sb.lower(), cfg.word_edit_distance - 1) < cfg.word_edit_distance
 
 
+def judge_pairs_bulk(pairs, surfaces, cfg: KGConfig):
+    """Exactly ``judge_pair`` over many pairs of the same block, with the
+    per-surface work (digit extraction, noise stripping, char counts)
+    memoized once and a character-count LOWER BOUND gating the O(len²)
+    edit-distance DP: every edit operation changes the character multiset
+    by at most 2, so edit(a, b) ≥ L1(count(a), count(b)) / 2 — pairs whose
+    bound already reaches the gate skip the DP entirely. With large
+    sorted-neighbour blocks (big entity vocabularies) the DP would
+    otherwise dominate the whole canonicalization stage."""
+    from collections import Counter
+
+    wed = cfg.word_edit_distance
+    digits = {s: "".join(ch for ch in s if ch.isdigit()) for s in surfaces}
+    stripped = {s: _strip_noise(s, cfg) for s in surfaces}
+    low = {s: stripped[s].lower() for s in surfaces}
+    counts = {s: Counter(low[s]) for s in surfaces}
+    out = []
+    for a, b in pairs:
+        if len(a) <= 1 or len(b) <= 1:
+            continue
+        if digits[a] != digits[b]:
+            continue
+        if stripped[a] == stripped[b]:
+            out.append((a, b))
+            continue
+        la, lb = low[a], low[b]
+        if abs(len(la) - len(lb)) >= wed:
+            continue
+        ca, cb = counts[a], counts[b]
+        l1 = sum((ca - cb).values()) + sum((cb - ca).values())
+        if l1 >= 2 * wed:
+            continue
+        if edit_distance(la, lb, wed - 1) < wed:
+            out.append((a, b))
+    return out
+
+
 SORTED_NEIGHBOUR_WINDOW = 20
 
 
@@ -274,7 +311,7 @@ def _pairs_in_block(group: pd.DataFrame, cfg: KGConfig) -> pd.DataFrame:
         for j in range(i + 1, min(i + 1 + SORTED_NEIGHBOUR_WINDOW, len(ordered))):
             candidates.add((ordered[i], ordered[j]))
 
-    out = sorted(p for p in candidates if judge_pair(p[0], p[1], cfg))
+    out = judge_pairs_bulk(sorted(candidates), surfaces, cfg)
     if not out:
         return pd.DataFrame({"a": [], "b": [], "n_a": [], "n_b": []})
     # carry mention counts on the pair rows so the driver's alias-map step

@@ -94,9 +94,58 @@ class SnapshotStore:
         m = self.manifest(stage)
         if m and m.get("format") == "lance" and HAVE_LANCE:
             return ray.data.read_lance(self._stage_dir(stage), columns=columns)
+        if m and m.get("delta"):
+            return self._read_delta(stage, m, columns, n_blocks)
         return ray.data.read_parquet(
             self._stage_dir(stage), override_num_blocks=n_blocks, columns=columns
         )
+
+    def _read_delta(self, stage: str, m: Dict, columns, n_blocks: int):
+        """Read a delta-layout snapshot: files grouped by generation, each
+        group filtered by the union of all LATER generations' tombstoned
+        keys (a row written at gen g is dead iff a later tick superseded or
+        deleted its document)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        d = m["delta"]
+        key_col = d["key_col"]
+        gens: Dict[int, list] = {}
+        for fname, g in d["files"].items():
+            gens.setdefault(int(g), []).append(
+                os.path.join(self._stage_dir(stage), fname))
+        tombs = {int(g): set(ids) for g, ids in d["tombstones"].items()}
+        read_cols = columns
+        drop_key = False
+        if columns is not None and key_col not in columns:
+            read_cols = list(columns) + [key_col]
+            drop_key = True
+        parts = []
+        per_group_blocks = max(4, n_blocks // max(1, len(gens)))
+        for g in sorted(gens):
+            later = set()
+            for g2, ids in tombs.items():
+                if g2 > g:
+                    later |= ids
+            ds_g = ray.data.read_parquet(
+                sorted(gens[g]), override_num_blocks=per_group_blocks,
+                columns=read_cols)
+            if later:
+                dead_ref = ray.put(pa.array(sorted(later), pa.string()))
+
+                def _alive(batch: pa.Table, _ref=dead_ref, _col=key_col) -> pa.Table:
+                    return batch.filter(pc.invert(pc.is_in(
+                        batch.column(_col), value_set=ray.get(_ref))))
+
+                ds_g = ds_g.map_batches(_alive, batch_format="pyarrow",
+                                        batch_size=None)
+            if drop_key:
+                ds_g = ds_g.select_columns(list(columns))
+            parts.append(ds_g)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
 
     def write(self, stage: str, ds: "ray.data.Dataset", fp: str,
               extra: Optional[Dict] = None) -> "ray.data.Dataset":
@@ -169,6 +218,119 @@ class SnapshotStore:
         manifest.update(extra or {})
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return self.read(stage)
+
+    # generations before a delta chain is compacted into a full rewrite
+    MAX_DELTA_GENS = 8
+    # tombstoned-row fraction of the base that triggers compaction
+    MAX_TOMBSTONE_FRACTION = 0.25
+
+    def write_delta(
+        self,
+        stage: str,
+        prev_store: "SnapshotStore",
+        delta_ds: "ray.data.Dataset",
+        dead_keys,
+        fp: str,
+        key_col: str = "doc_id",
+    ) -> "ray.data.Dataset":
+        """O(delta) snapshot update: the new snapshot REUSES the previous
+        snapshot's immutable parquet files (hardlinked — no data copied),
+        records ``dead_keys`` as a new-generation tombstone set, and writes
+        only ``delta_ds``'s rows. ``read`` reconstructs
+        ``prev − dead + delta`` exactly. This is the Ray-side analog of a
+        deletion-vector table format (the reference's dirty-flag store,
+        build/incremental_graph_builder.py:520-560, bounds update I/O the
+        same way); at 100 TB a 1% tick must not rewrite 99% of its bytes.
+
+        Falls back to a full rewrite (compaction) when the chain is
+        ``MAX_DELTA_GENS`` deep or the accumulated tombstones exceed
+        ``MAX_TOMBSTONE_FRACTION`` of the base rows — reads stay O(files)
+        and dead bytes are reclaimed on a bounded schedule.
+        """
+        prev_dir = prev_store._stage_dir(stage)
+        prev_m = prev_store.manifest(stage)
+        dead = sorted(set(map(str, dead_keys)))
+
+        def _compacted() -> "ray.data.Dataset":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            alive = prev_store.read(stage)
+            if dead:
+                dead_ref = ray.put(pa.array(dead, pa.string()))
+
+                def _drop(batch: pa.Table) -> pa.Table:
+                    return batch.filter(pc.invert(pc.is_in(
+                        batch.column(key_col), value_set=ray.get(dead_ref))))
+
+                alive = alive.map_batches(_drop, batch_format="pyarrow",
+                                          batch_size=None)
+            return delta_ds.union(alive)
+
+        if not prev_m or prev_m.get("format") != "parquet":
+            return self.write(stage, _compacted(), fp)
+
+        prev_delta = prev_m.get("delta") or {}
+        prev_files = prev_delta.get("files")
+        if prev_files is None:
+            prev_files = {f: 0 for f in os.listdir(prev_dir)
+                          if f.endswith(".parquet")}
+        prev_tombs = {int(g): list(ids) for g, ids in
+                      prev_delta.get("tombstones", {}).items()}
+        new_gen = (max((int(g) for g in prev_files.values()), default=0)) + 1
+        all_tomb_ids = set(dead)
+        for ids in prev_tombs.values():
+            all_tomb_ids.update(ids)
+
+        import pyarrow.dataset as pads
+        try:
+            base_rows = pads.dataset(
+                [os.path.join(prev_dir, f) for f in prev_files],
+                format="parquet").count_rows()
+        except Exception:  # noqa: BLE001
+            base_rows = 0
+        if (new_gen > self.MAX_DELTA_GENS
+                or (base_rows and len(all_tomb_ids) >
+                    self.MAX_TOMBSTONE_FRACTION * base_rows)):
+            return self.write(stage, _compacted(), fp)
+
+        final = self._stage_dir(stage)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.monotonic()
+        for fname in prev_files:
+            src = os.path.join(prev_dir, fname)
+            dst = os.path.join(tmp, fname)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: fall back to a copy
+                shutil.copy2(src, dst)
+        delta_dir = os.path.join(tmp, f"gen{new_gen}")
+        os.makedirs(delta_dir, exist_ok=True)
+        delta_ds.write_parquet(delta_dir)
+        files = {fname: int(g) for fname, g in prev_files.items()}
+        for f in os.listdir(delta_dir):
+            if f.endswith(".parquet"):
+                files[os.path.join(f"gen{new_gen}", f)] = new_gen
+        tombs = {str(g): ids for g, ids in prev_tombs.items()}
+        if dead:
+            tombs[str(new_gen)] = dead
+        manifest = {
+            "stage": stage, "fingerprint": fp,
+            "wall_s": round(time.monotonic() - t0, 3),
+            "n_files": len(files), "n_rows": -1, "format": "parquet",
+            "delta": {"key_col": key_col, "files": files,
+                      "tombstones": tombs, "max_gen": new_gen},
+            "written_at": time.time(),
+        }
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(manifest, f)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)

@@ -90,6 +90,33 @@ def _make_name(rng: np.random.Generator) -> str:
     return " ".join(parts)
 
 
+def _structured_names(n: int, rng: np.random.Generator) -> List[str]:
+    """O(n) generator of pairwise-well-separated names for LARGE entity
+    vocabularies (the rejection-sampled ``_make_name`` loop is O(n²) and
+    tops out around ~1k names). Construction: 32 base words of length 8
+    with pairwise edit distance > 5 (checked — 32² comparisons, cheap);
+    a name is 4 words indexed by the base-32 digits (d1, d2, d3) of its
+    index plus a parity word c = (d1+d2+d3) mod 32. Any two distinct
+    indices differ in ≥ 2 digit positions (single-parity code, min
+    distance 2), so any two names differ by ≥ 2 substituted words → edit
+    distance ≥ 12 > 8 — the same separation invariant the rejection
+    sampler guarantees. Supports up to 32³ = 32768 names."""
+    if n > 32 ** 3:
+        raise ValueError(f"structured names support at most {32**3}, got {n}")
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    words: List[str] = []
+    while len(words) < 32:
+        w = "".join(letters[int(i)] for i in rng.integers(26, size=8))
+        if all(edit_distance(w, x, 5) > 5 for x in words):
+            words.append(w.capitalize())
+    out: List[str] = []
+    for i in range(n):
+        d1, d2, d3 = i % 32, (i // 32) % 32, (i // 1024) % 32
+        c = (d1 + d2 + d3) % 32
+        out.append(f"{words[d1]} {words[d2]} {words[d3]} {words[c]}")
+    return out
+
+
 @dataclass
 class SynthCorpus:
     documents: pa.Table       # (doc_id, spans) — the pipeline input
@@ -129,7 +156,9 @@ def generate(n_docs: int = 100, seed: int = 42,
              n_entities: int | None = None,
              facts_per_doc: int = 6,
              media_rate: float = 0.03,
-             dup_rate: float = 0.0) -> SynthCorpus:
+             dup_rate: float = 0.0,
+             name_mode: str = "separated",
+             doc_locality: bool = False) -> SynthCorpus:
     """``dup_rate`` appends ``int(n_docs * dup_rate)`` EXACT-duplicate
     documents (copies of earlier docs under fresh doc_ids, media refs
     rewritten to the new doc). Duplicate docs share every chunk_id
@@ -142,11 +171,14 @@ def generate(n_docs: int = 100, seed: int = 42,
     # --- closed world: canonical entities, pairwise edit distance > 8 (so
     # even two ≤2-edit typo variants of different entities stay > 4 apart —
     # the judge's <3 gate can never chain two distinct entities together) ---
-    names: List[str] = []
-    while len(names) < n_entities:
-        cand = _make_name(rng)
-        if all(edit_distance(cand.upper(), n.upper(), 8) > 8 for n in names):
-            names.append(cand)
+    if name_mode == "structured":
+        names: List[str] = _structured_names(n_entities, rng)
+    else:
+        names = []
+        while len(names) < n_entities:
+            cand = _make_name(rng)
+            if all(edit_distance(cand.upper(), n.upper(), 8) > 8 for n in names):
+                names.append(cand)
     types = {n: ENTITY_TYPES[_h("type|" + n) % len(ENTITY_TYPES)] for n in names}
     variants = {n: _variants(n, rng) for n in names}
 
@@ -187,7 +219,22 @@ def generate(n_docs: int = 100, seed: int = 42,
         span = np.minimum(start + CLUSTER_SIZE, n_entities) - start
         return start + (within % span)
 
-    si_all = draw_cluster_zipf(total_facts)
+    if doc_locality:
+        # realistic topical locality: all of a document's subjects come from
+        # ONE cluster chosen per doc (a doc is "about" a topic), so a doc
+        # delta touches O(delta) clusters — the sparse-vocabulary regime
+        # where delta-scoped graph updates pay off; without it every fact
+        # draws a uniform cluster and even a 1% doc delta touches nearly
+        # every entity
+        doc_cl = rng.integers(n_clusters, size=n_docs)
+        fact_doc = np.repeat(np.arange(n_docs), n_facts_all)
+        cl = doc_cl[fact_doc]
+        within_s = rng.choice(CLUSTER_SIZE, p=zipf_k, size=total_facts)
+        start_s = cl * CLUSTER_SIZE
+        span_s = np.minimum(start_s + CLUSTER_SIZE, n_entities) - start_s
+        si_all = start_s + (within_s % span_s)
+    else:
+        si_all = draw_cluster_zipf(total_facts)
     # objects: intra-cluster with prob INTRA_P (Zipf within the subject's
     # cluster), else an independent global draw (sparse inter-cluster noise)
     oi_global = draw_cluster_zipf(total_facts)
