@@ -27,6 +27,7 @@ import ray.data as rd
 
 from graph_rag_agent_ray import build_kg
 from graph_rag_agent_ray.ops import dedup as D
+from graph_rag_agent_ray.ops import analytics as AN
 from graph_rag_agent_ray.ops import relational as R
 from graph_rag_agent_ray.ops import similarity as SIM
 from graph_rag_agent_ray.ops import textstats as TS
@@ -61,6 +62,13 @@ def _events_typed(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+
+def _tbl(sf_dir: str, name: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+STRATA_RATES = {"HOUSEHOLD": 0.5, "MACHINERY": 0.2, "FURNITURE": 0.05}
 
 
 KG_TRUTH_DIR = "/tmp/graft_kg_truth/current"
@@ -478,6 +486,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # smallest-id representative (the keep/drop decision after pairing)
         "neardup_components": lambda sf: D.duplicate_components(
             D.simhash_duplicate_pairs(_docs(sf), max_hamming=3)),
+        # analytical shapes over the relational side tables (ops/analytics):
+        # map-side-combined rollup, partitioned hash join, broadcast
+        # dimension join, exact per-group quantiles, deterministic samplers,
+        # two-phase exact distinct — integer-cents money arithmetic keeps
+        # every aggregate order-independent and hash-exact vs DuckDB
+        "pricing_summary": lambda sf: AN.pricing_summary(
+            _tbl(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_tax"])),
+        "order_revenue": lambda sf: AN.order_revenue_rollup(
+            _tbl(sf, "lineitem", ["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"]),
+            _tbl(sf, "orders", ["o_orderkey", "o_orderpriority"])),
+        "segment_sales": lambda sf: AN.segment_sales(
+            _tbl(sf, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"]),
+            _tbl(sf, "customer", ["c_custkey", "c_mktsegment"])),
+        "group_quantiles": lambda sf: AN.group_quantiles(_events_typed(sf)),
+        "stratified_sample": lambda sf: AN.stratified_sample(
+            _tbl(sf, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]),
+            STRATA_RATES, strata_col="c_mktsegment", key="c_custkey",
+            default_rate=0.1),
+        "sample_exact_k": lambda sf: AN.sample_exact_k(
+            _tbl(sf, "documents", ["doc_id", "n_chars"]), k=50),
+        "distinct_per_group": lambda sf: AN.distinct_per_group(
+            _events_typed(sf)),
         "kg_chunks": _kg_chunks_q,
         "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples_q,
@@ -623,6 +655,17 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": R.token_shards_sql(5000, n_tokens),
         "neardup_components": D.duplicate_components_sql(
             O.simhash_sql(max_hamming=3)),
+        "pricing_summary": AN.pricing_summary_sql(),
+        "order_revenue": AN.order_revenue_rollup_sql(),
+        "segment_sales": AN.segment_sales_sql(),
+        "group_quantiles": AN.group_quantiles_sql(),
+        "stratified_sample": AN.stratified_sample_sql(
+            STRATA_RATES, strata_col="c_mktsegment", key="c_custkey",
+            table="customer", columns="c_custkey, c_mktsegment, c_acctbal",
+            default_rate=0.1),
+        "sample_exact_k": AN.sample_exact_k_sql(
+            50, key="doc_id", table="documents", columns="doc_id, n_chars"),
+        "distinct_per_group": AN.distinct_per_group_sql(),
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),

@@ -104,3 +104,22 @@ def cosine_topk(
         cand = cand[np.argsort(-row[cand], kind="stable")]
         result.append([(int(j), float(row[j])) for j in cand if j != i])
     return result
+
+
+def cosine_topk_pairs(
+    vectors: np.ndarray, k: int, cutoff: float
+) -> tuple:
+    """The same neighbour SET as :func:`cosine_topk`, returned as two flat
+    index arrays ``(rows, cols)`` with no per-row Python loop — for callers
+    that only need candidate pairs, not ranked scores."""
+    sims = vectors @ vectors.T
+    np.fill_diagonal(sims, -1.0)
+    n = sims.shape[0]
+    if k < n - 1:
+        cand = np.argpartition(-sims, k, axis=1)[:, :k]
+    else:
+        cand = np.broadcast_to(np.arange(n), (n, n))
+    rows = np.repeat(np.arange(n), cand.shape[1])
+    cols = cand.reshape(-1)
+    keep = sims[rows, cols] >= cutoff
+    return rows[keep], cols[keep]

@@ -32,12 +32,23 @@ def hash_partitioned_groupby(
     bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
     n_buckets: int = 64,
     batch_size: int = 16384,
+    pre_split: bool = False,
 ) -> "ray.data.Dataset":
     """Group ``ds`` by ``keys`` with a per-bucket vectorized reducer.
 
     ``bucket_fn`` receives ALL rows of one hash bucket (multiple complete key
     groups; never a partial group) and must return its aggregated frame. Key
-    hashing uses pd.util.hash_pandas_object (stable across processes)."""
+    hashing uses pd.util.hash_pandas_object (stable across processes).
+
+    ``pre_split``: Ray's sort-based groupby inherits its REDUCE task count
+    from the input block count — a small-byte input that fits one block runs
+    every bucket's reducer serially in one task, even though the buckets are
+    independent. Set pre_split for COMPUTE-BOUND reducers: it repartitions to
+    ``n_buckets`` blocks before the groupby, aligning map blocks with reduce
+    buckets (measured: 6× on the canonicalization blocking stage). Leave it
+    off for cheap aggregating reducers over corpus-sized inputs — there the
+    input block count already provides the fan-out and the extra repartition
+    pass would move every byte once more."""
     keys = list(keys)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -53,6 +64,8 @@ def hash_partitioned_groupby(
         return bucket_fn(df.drop(columns=[BUCKET_COL]))
 
     withb = ds.map_batches(add_bucket, batch_format="pandas", batch_size=batch_size)
+    if pre_split:
+        withb = withb.repartition(n_buckets)
     return withb.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 

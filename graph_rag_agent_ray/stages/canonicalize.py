@@ -47,7 +47,8 @@ import ray
 import ray.data
 
 from ..config import KGConfig
-from ..functions.embed import cosine_topk, embed_texts, list_column_to_matrix, lsh_bucket
+from ..functions.embed import (cosine_topk_pairs, embed_texts,
+                               list_column_to_matrix, lsh_bucket)
 from ..functions.shuffle import hash_partitioned_groupby
 from ..functions.text import edit_distance, normalize_surface, normalize_surface_series
 from ..functions.unionfind import UnionFind
@@ -196,6 +197,12 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
         keys.append("pfx:" + s[:4])
         surf_out.append(s)
         vec_out.append(i)
+        # suffix key: a typo inside the first 4 chars escapes the prefix
+        # block AND sorts far away in the window; ≤2-edit variants almost
+        # always still share the last 4 chars
+        keys.append("sfx:" + s[-4:])
+        surf_out.append(s)
+        vec_out.append(i)
     idx = np.asarray(vec_out, dtype=np.int64)
     sel = vecs[idx]
     offsets = pa.array(np.arange(0, (len(idx) + 1) * cfg.embed_dim,
@@ -235,40 +242,48 @@ def judge_pair(a: str, b: str, cfg: KGConfig) -> bool:
     return edit_distance(sa.lower(), sb.lower(), cfg.word_edit_distance - 1) < cfg.word_edit_distance
 
 
-def judge_pairs_bulk(pairs, surfaces, cfg: KGConfig):
-    """Exactly ``judge_pair`` over many pairs of the same block, with the
-    per-surface work (digit extraction, noise stripping, char counts)
-    memoized once and a character-count LOWER BOUND gating the O(len²)
-    edit-distance DP: every edit operation changes the character multiset
-    by at most 2, so edit(a, b) ≥ L1(count(a), count(b)) / 2 — pairs whose
-    bound already reaches the gate skip the DP entirely. With large
-    sorted-neighbour blocks (big entity vocabularies) the DP would
-    otherwise dominate the whole canonicalization stage."""
-    from collections import Counter
-
+def judge_indices(lo: np.ndarray, hi: np.ndarray, surfaces: np.ndarray,
+                  cfg: KGConfig) -> np.ndarray:
+    """Exactly ``judge_pair`` over candidate index pairs (``lo``/``hi`` index
+    into ``surfaces``), fully vectorized: per-surface work (digit extraction,
+    noise stripping, char counts) happens once per surface, every gate is a
+    numpy array op, and only the survivors of a character-count LOWER BOUND
+    reach the O(len²) edit-distance DP — every edit operation changes the
+    character multiset by at most 2, so edit(a, b) ≥ L1(count(a), count(b))/2
+    and ≥ |len(a) − len(b)|. Returns a boolean mask over the pairs. With
+    large sorted-neighbour blocks (big entity vocabularies) a per-pair
+    Python loop here would dominate the whole canonicalization stage."""
     wed = cfg.word_edit_distance
-    digits = {s: "".join(ch for ch in s if ch.isdigit()) for s in surfaces}
-    stripped = {s: _strip_noise(s, cfg) for s in surfaces}
-    low = {s: stripped[s].lower() for s in surfaces}
-    counts = {s: Counter(low[s]) for s in surfaces}
-    out = []
-    for a, b in pairs:
-        if len(a) <= 1 or len(b) <= 1:
-            continue
-        if digits[a] != digits[b]:
-            continue
-        if stripped[a] == stripped[b]:
-            out.append((a, b))
-            continue
-        la, lb = low[a], low[b]
-        if abs(len(la) - len(lb)) >= wed:
-            continue
-        ca, cb = counts[a], counts[b]
-        l1 = sum((ca - cb).values()) + sum((cb - ca).values())
-        if l1 >= 2 * wed:
-            continue
-        if edit_distance(la, lb, wed - 1) < wed:
-            out.append((a, b))
+    n = len(surfaces)
+    raw_len = np.fromiter((len(s) for s in surfaces), dtype=np.int64, count=n)
+    digit_codes = pd.factorize(np.array(
+        ["".join(ch for ch in s if ch.isdigit()) for s in surfaces],
+        dtype=object))[0]
+    stripped = [_strip_noise(s, cfg) for s in surfaces]
+    strip_codes = pd.factorize(np.array(stripped, dtype=object))[0]
+    low = [s.lower() for s in stripped]
+    low_len = np.fromiter((len(s) for s in low), dtype=np.int64, count=n)
+    charset: dict = {}
+    for s in low:
+        for ch in s:
+            if ch not in charset:
+                charset[ch] = len(charset)
+    counts = np.zeros((n, max(1, len(charset))), dtype=np.int32)
+    for i, s in enumerate(low):
+        for ch in s:
+            counts[i, charset[ch]] += 1
+
+    ok = ((raw_len[lo] > 1) & (raw_len[hi] > 1)
+          & (digit_codes[lo] == digit_codes[hi]))
+    out = ok & (strip_codes[lo] == strip_codes[hi])
+    rest = ok & ~out & (np.abs(low_len[lo] - low_len[hi]) < wed)
+    rest_idx = np.flatnonzero(rest)
+    if len(rest_idx):
+        l1 = np.abs(counts[lo[rest_idx]] - counts[hi[rest_idx]]).sum(axis=1)
+        rest_idx = rest_idx[l1 < 2 * wed]
+    for t in rest_idx:
+        if edit_distance(low[lo[t]], low[hi[t]], wed - 1) < wed:
+            out[t] = True
     return out
 
 
@@ -285,43 +300,63 @@ def _pairs_in_block(group: pd.DataFrame, cfg: KGConfig) -> pd.DataFrame:
        surfaces (suffix/typo variants sort adjacently even when their hash
        embeddings dip under the cosine cutoff).
 
+    Oversized blocks (> MAX_BLOCK_COMPARE members) degrade to the
+    window-only generator over ALL members — O(n·W) instead of the O(n²)
+    KNN matmul — rather than truncating (truncation silently lost
+    candidates; the window keeps sorted-adjacent variants at any block
+    size, and the other LSH tables still provide the embedding gate for
+    members of oversized buckets).
+
     Emits judge-surviving (a, b) pairs with a < b."""
     dedup = group.drop_duplicates("norm_surface")
-    if len(dedup) > MAX_BLOCK_COMPARE:
-        logger.warning(
-            "block %s truncated: %d > %d entities",
-            group["block_key"].iloc[0], len(dedup), MAX_BLOCK_COMPARE,
-        )
-        # deterministic truncation: without this sort the kept subset would
-        # depend on block arrival order, breaking run/parallelism stability
-        dedup = dedup.sort_values("norm_surface", kind="stable") \
-            .iloc[:MAX_BLOCK_COMPARE]
-    if len(dedup) < 2:
-        return pd.DataFrame({"a": [], "b": []})
-    surfaces = dedup["norm_surface"].tolist()
-    vecs = np.array(dedup["embedding"].tolist(), dtype=np.float32)
+    n = len(dedup)
+    if n < 2:
+        return _EMPTY_PAIRS()
+    oversized = n > MAX_BLOCK_COMPARE
+    if oversized:
+        logger.info("block %s window-only: %d > %d entities",
+                    group["block_key"].iloc[0], n, MAX_BLOCK_COMPARE)
+    surfaces = dedup["norm_surface"].to_numpy(dtype=object)
+    order = np.argsort(surfaces, kind="stable")
 
-    candidates: Set[Tuple[str, str]] = set()
-    for i, neighbours in enumerate(cosine_topk(vecs, cfg.knn_top_k, cfg.knn_similarity_cutoff)):
-        for j, _score in neighbours:
-            a, b = sorted((surfaces[i], surfaces[j]))
-            candidates.add((a, b))
-    ordered = sorted(surfaces)
-    for i in range(len(ordered)):
-        for j in range(i + 1, min(i + 1 + SORTED_NEIGHBOUR_WINDOW, len(ordered))):
-            candidates.add((ordered[i], ordered[j]))
+    parts_a, parts_b = [], []
+    for d in range(1, min(SORTED_NEIGHBOUR_WINDOW, n - 1) + 1):
+        parts_a.append(order[:-d])
+        parts_b.append(order[d:])
+    ai = np.concatenate(parts_a)
+    bi = np.concatenate(parts_b)
+    if not oversized:
+        vecs = np.array(dedup["embedding"].tolist(), dtype=np.float32)
+        ki, kj = cosine_topk_pairs(vecs, cfg.knn_top_k, cfg.knn_similarity_cutoff)
+        ai = np.concatenate([ai, ki])
+        bi = np.concatenate([bi, kj])
 
-    out = judge_pairs_bulk(sorted(candidates), surfaces, cfg)
-    if not out:
-        return pd.DataFrame({"a": [], "b": [], "n_a": [], "n_b": []})
+    # orient each pair lexicographically (a < b) via sorted rank, dedupe
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    ra, rb = rank[ai], rank[bi]
+    codes = np.unique(np.minimum(ra, rb) * n + np.maximum(ra, rb))
+    lo = order[codes // n]
+    hi = order[codes % n]
+
+    keep = judge_indices(lo, hi, surfaces, cfg)
+    if not keep.any():
+        return _EMPTY_PAIRS()
+    lo, hi = lo[keep], hi[keep]
     # carry mention counts on the pair rows so the driver's alias-map step
     # needs NO second scan over the entity table (the Amdahl serial section)
-    counts = dict(zip(dedup["norm_surface"], dedup["n_mentions"]))
+    counts = dedup["n_mentions"].to_numpy()
     return pd.DataFrame({
-        "a": [p[0] for p in out], "b": [p[1] for p in out],
-        "n_a": [int(counts.get(p[0], 0)) for p in out],
-        "n_b": [int(counts.get(p[1], 0)) for p in out],
+        "a": surfaces[lo], "b": surfaces[hi],
+        "n_a": counts[lo].astype("int64"), "n_b": counts[hi].astype("int64"),
     })
+
+
+def _EMPTY_PAIRS() -> pd.DataFrame:
+    return pd.DataFrame({"a": pd.Series(dtype=object),
+                         "b": pd.Series(dtype=object),
+                         "n_a": pd.Series(dtype="int64"),
+                         "n_b": pd.Series(dtype="int64")})
 
 
 def candidate_pairs(embedded: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
@@ -343,7 +378,11 @@ def candidate_pairs(embedded: "ray.data.Dataset", cfg: KGConfig | None = None) -
             return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
         return pd.concat(frames, ignore_index=True).drop_duplicates()
 
-    return hash_partitioned_groupby(blocks, ["block_key"], per_bucket, n_buckets=64)
+    # pre_split: the blocking reducer is compute-bound (KNN + judge), and the
+    # surface table is entity-scale — without it, a small-byte input runs all
+    # 64 buckets serially in one task (see hash_partitioned_groupby)
+    return hash_partitioned_groupby(blocks, ["block_key"], per_bucket,
+                                    n_buckets=64, pre_split=True)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,172 @@
+"""ops/analytics: rollups, joins, quantiles, samplers vs in-process pandas
+references (the DuckDB oracles run in the driver gate; here we verify the
+distributed implementations against straight pandas on small inputs, plus
+the determinism/partitioning properties the module documents)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graph_rag_agent_ray.ops import analytics as AN
+
+
+def _lineitem(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "l_orderkey": rng.integers(0, 80, n),
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_linestatus": rng.choice(["O", "F"], n),
+        "l_quantity": rng.integers(1, 50, n).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(100, 9000, n), 2),
+        "l_discount": np.round(rng.integers(0, 11, n) / 100, 2),
+        "l_tax": np.round(rng.integers(0, 9, n) / 100, 2),
+    })
+
+
+def _orders(n=80, seed=8):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "o_orderkey": np.arange(n),
+        "o_custkey": rng.integers(0, 25, n),
+        "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n),
+        "o_totalprice": np.round(rng.uniform(1000, 90000, n), 2),
+    })
+
+
+class TestPricingSummary:
+    def test_matches_pandas(self):
+        li = _lineitem()
+        out = AN.pricing_summary(rd.from_pandas(li).repartition(5)).to_pandas()
+        base = np.rint(li.l_extendedprice * 100).astype("int64")
+        disc = np.rint(li.l_discount * 100).astype("int64")
+        tax = np.rint(li.l_tax * 100).astype("int64")
+        ref = pd.DataFrame({
+            "l_returnflag": li.l_returnflag, "l_linestatus": li.l_linestatus,
+            "sum_qty": li.l_quantity.astype("int64"),
+            "sum_base_cents": base,
+            "sum_disc_price": base * (100 - disc),
+            "sum_charge": base * (100 - disc) * (100 + tax),
+            "n_rows": 1,
+        }).groupby(["l_returnflag", "l_linestatus"]).sum().reset_index()
+        key = ["l_returnflag", "l_linestatus"]
+        got = out.sort_values(key).reset_index(drop=True)[ref.columns]
+        pd.testing.assert_frame_equal(
+            got, ref.sort_values(key).reset_index(drop=True),
+            check_dtype=False)
+
+    def test_partitioning_invariant(self):
+        li = _lineitem()
+        a = AN.pricing_summary(rd.from_pandas(li)).to_pandas()
+        b = AN.pricing_summary(rd.from_pandas(li).repartition(11)).to_pandas()
+        key = ["l_returnflag", "l_linestatus"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True)[a.columns])
+
+
+class TestJoins:
+    def test_order_revenue_matches_pandas(self):
+        li, od = _lineitem(), _orders()
+        out = AN.order_revenue_rollup(
+            rd.from_pandas(li).repartition(4),
+            rd.from_pandas(od).repartition(3)).to_pandas()
+        j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        rev = (np.rint(j.l_extendedprice * 100).astype("int64")
+               * (100 - np.rint(j.l_discount * 100).astype("int64")))
+        ref = (pd.DataFrame({"o_orderpriority": j.o_orderpriority,
+                             "l_returnflag": j.l_returnflag,
+                             "sum_revenue_cents": rev, "n_items": 1})
+               .groupby(["o_orderpriority", "l_returnflag"]).sum().reset_index())
+        key = ["o_orderpriority", "l_returnflag"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True)[ref.columns],
+            ref.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+    def test_segment_sales_drops_unknown_custkeys(self):
+        od = _orders()
+        cust = pd.DataFrame({
+            "c_custkey": np.arange(20),  # custkeys 20-24 missing
+            "c_mktsegment": ["S" + str(i % 3) for i in range(20)],
+        })
+        out = AN.segment_sales(rd.from_pandas(od),
+                               rd.from_pandas(cust)).to_pandas()
+        j = od.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        ref = (pd.DataFrame({
+            "c_mktsegment": j.c_mktsegment,
+            "o_orderpriority": j.o_orderpriority,
+            "sum_total_cents": np.rint(j.o_totalprice * 100).astype("int64"),
+            "n_orders": 1,
+        }).groupby(["c_mktsegment", "o_orderpriority"]).sum().reset_index())
+        key = ["c_mktsegment", "o_orderpriority"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True)[ref.columns],
+            ref.sort_values(key).reset_index(drop=True), check_dtype=False)
+        assert out.n_orders.sum() == len(j) < len(od)
+
+
+class TestGroupQuantiles:
+    def test_quantile_disc_rule(self):
+        df = pd.DataFrame({"event_type": ["a"] * 4 + ["b"] * 7,
+                           "value": [1.0, 2.0, 3.0, 4.0] + list(range(7))})
+        out = AN.group_quantiles(rd.from_pandas(df), qs=(0.25, 0.5, 0.9)) \
+            .to_pandas().set_index("event_type")
+        # rank = ceil(q*n), 1-indexed (DuckDB quantile_disc)
+        assert out.loc["a", "q25"] == 1.0
+        assert out.loc["a", "q50"] == 2.0
+        assert out.loc["a", "q90"] == 4.0
+        b = sorted(range(7))
+        assert out.loc["b", "q50"] == b[math.ceil(0.5 * 7) - 1]
+        assert list(out["n"]) and out.loc["b", "n"] == 7
+
+    def test_every_quantile_is_a_group_element(self):
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({"event_type": rng.choice(list("xyz"), 500),
+                           "value": rng.normal(size=500)})
+        out = AN.group_quantiles(rd.from_pandas(df).repartition(7)).to_pandas()
+        for _, row in out.iterrows():
+            vals = set(df[df.event_type == row.event_type].value)
+            for c in ("q25", "q50", "q75"):
+                assert row[c] in vals
+
+
+class TestSamplers:
+    def test_stratified_rates_and_determinism(self):
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({"k": np.arange(4000),
+                           "s": rng.choice(["hi", "lo", "zero"], 4000)})
+        rates = {"hi": 0.8, "lo": 0.2}
+        out = AN.stratified_sample(rd.from_pandas(df), rates,
+                                   strata_col="s", key="k").to_pandas()
+        assert set(out.s) <= {"hi", "lo"}  # default_rate=0 drops 'zero'
+        frac = out.groupby("s").size() / df.groupby("s").size()
+        assert abs(frac["hi"] - 0.8) < 0.05
+        assert abs(frac["lo"] - 0.2) < 0.05
+        again = AN.stratified_sample(rd.from_pandas(df).repartition(9), rates,
+                                     strata_col="s", key="k").to_pandas()
+        assert sorted(out.k) == sorted(again.k)
+
+    def test_exact_k_partitioning_invariant(self):
+        df = pd.DataFrame({"doc_id": np.arange(1000), "x": np.arange(1000.0)})
+        a = AN.sample_exact_k(rd.from_pandas(df), k=37).to_pandas()
+        b = AN.sample_exact_k(rd.from_pandas(df).repartition(13), k=37).to_pandas()
+        assert len(a) == len(b) == 37
+        assert sorted(a.doc_id) == sorted(b.doc_id)
+
+    def test_exact_k_larger_than_input(self):
+        df = pd.DataFrame({"doc_id": np.arange(5), "x": np.arange(5.0)})
+        out = AN.sample_exact_k(rd.from_pandas(df), k=50).to_pandas()
+        assert sorted(out.doc_id) == list(range(5))
+
+
+class TestDistinct:
+    def test_matches_pandas(self):
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"event_type": rng.choice(list("pqr"), 3000),
+                           "user_id": rng.integers(0, 120, 3000)})
+        out = AN.distinct_per_group(rd.from_pandas(df).repartition(6)) \
+            .to_pandas().set_index("event_type")["n_distinct"]
+        ref = df.groupby("event_type").user_id.nunique()
+        assert out.sort_index().to_dict() == ref.sort_index().to_dict()
