@@ -151,7 +151,8 @@ def build_kg(
 
     # ---- decision chain: blocking → alias → edges → communities ----
     _t = _time.monotonic()
-    pairs = C.candidate_pairs(embedded, cfg)
+    pairs = C.candidate_pairs(embedded, cfg,
+                              keep_block_key=cfg.incremental_snapshots)
     pairs_pdf = pairs.to_pandas()  # judged merge decisions — small by construction
     lineage.record("canon_blocking", cached=False, wall_s=_time.monotonic() - _t)
     # mention counts ride on the pair rows (canonicalize._pairs_in_block), so
@@ -177,8 +178,21 @@ def build_kg(
         alias_w = side.submit(
             store.write, "alias_map", ray.data.from_arrow(alias_tbl),
             fingerprint(base_fp, "alias_map", extractor_cls.__name__))
+        # persist per-block pairs so the next tick re-pairs only the blocks
+        # touching a changed surface and carries the rest (O(delta) blocking)
+        pairs_tbl = pa.table({
+            "block_key": pa.array(pairs_pdf.get("block_key", []), pa.string()),
+            "a": pa.array(pairs_pdf.get("a", []), pa.string()),
+            "b": pa.array(pairs_pdf.get("b", []), pa.string()),
+            "n_a": pa.array(pairs_pdf.get("n_a", []), pa.int64()),
+            "n_b": pa.array(pairs_pdf.get("n_b", []), pa.int64()),
+        })
+        pairs_w = side.submit(
+            store.write, "canon_pairs", ray.data.from_arrow(pairs_tbl),
+            fingerprint(base_fp, "canon_pairs", extractor_cls.__name__))
     else:
         alias_w = side.submit(lambda: None)
+        pairs_w = side.submit(lambda: None)
 
     # the edge chain (remap triples → dedupe) is independent of the mention/
     # entity chain — run it on a side thread so its shuffles interleave;
@@ -253,6 +267,7 @@ def build_kg(
     mentions_w.result()
     embedded_w.result()
     alias_w.result()
+    pairs_w.result()
     mentions_canon_w.result()
     side.shutdown()
 

@@ -69,7 +69,7 @@ REGISTRY_STAGE = "registry"
 DELTA_STAGES = (
     "chunks", "extractions", "chunk_embeddings", "span_index", "mentions",
     "triples", "triples_canon", "edges", "mentions_canon",
-    "entities_embedded", "alias_map",
+    "entities_embedded", "alias_map", "canon_pairs",
 )
 
 MAX_TOUCHED_KEYS = 20_000_000  # driver guard for the touched-key collects
@@ -345,10 +345,52 @@ def _delta_graph_build(
         fingerprint(base_fp, "entities_embedded", extractor_cls.__name__)))
     _record("entities_embedded", t0)
 
-    # ---- blocking → pairs → alias map (entity-scale; full rerun) ----
+    # ---- blocking → pairs → alias map (DIRTY-BLOCK scoped) ----
+    # pairs are a pure per-block function of the block's member set, and a
+    # block's member set can only change if one of its members is a touched
+    # surface. Every blocking key of a surface is recomputable from its text
+    # alone (canonicalize.surface_block_keys), so: re-pair exactly the blocks
+    # touching a touched surface, carry the previous tick's pairs for the
+    # rest. The re-pair shuffle is dirty-block-sized, not entity-table-sized.
+    #
+    # Saturation bypass: each touched surface dirties one LSH bucket in each
+    # of the N_LSH_TABLES tables, so once the touched set approaches the
+    # bucket count (2^lsh_bits per table) virtually every block is dirty and
+    # the scoped path just re-pairs everything with extra bookkeeping —
+    # measured slower than the plain vocab-scale re-pair. Scope only when
+    # the expected dirty-bucket fraction is small (single-doc scheduler
+    # ticks, manual-edit overlays); bulk deltas take the full re-pair.
     t0 = time.monotonic()
-    pairs_pdf = C.candidate_pairs(embedded, cfg).to_pandas()
-    if len(pairs_pdf) and "n_a" in pairs_pdf.columns:
+    pair_cols = ["block_key", "a", "b", "n_a", "n_b"]
+    scoped = len(touched) <= max(8, (1 << cfg.lsh_bits) // 8)
+    if scoped:
+        dirty_keys = C.surface_block_keys(sorted(touched), cfg)
+        dirty_ref = ray.put(pa.array(sorted(dirty_keys), pa.string()))
+        fresh_pairs = C.candidate_pairs(
+            embedded, cfg, keep_block_key=True, only_keys_ref=dirty_ref,
+        ).to_pandas()
+        carried_pairs = _filter_col_in(
+            prev.read("canon_pairs"), dirty_ref, "block_key", invert=True,
+        ).to_pandas()
+        frames = [f[pair_cols] for f in (fresh_pairs, carried_pairs) if len(f)]
+    else:
+        dirty_keys = ()
+        fresh_pairs = C.candidate_pairs(
+            embedded, cfg, keep_block_key=True).to_pandas()
+        frames = [fresh_pairs[pair_cols]] if len(fresh_pairs) else []
+    pairs_pdf = (pd.concat(frames, ignore_index=True) if frames
+                 else pd.DataFrame({c: [] for c in pair_cols}))
+    pending.append(writes.submit(
+        store.write, "canon_pairs",
+        ray.data.from_arrow(pa.table({
+            "block_key": pa.array(pairs_pdf["block_key"], pa.string()),
+            "a": pa.array(pairs_pdf["a"], pa.string()),
+            "b": pa.array(pairs_pdf["b"], pa.string()),
+            "n_a": pa.array(pairs_pdf["n_a"], pa.int64()),
+            "n_b": pa.array(pairs_pdf["n_b"], pa.int64()),
+        })),
+        fingerprint(base_fp, "canon_pairs", extractor_cls.__name__)))
+    if len(pairs_pdf):
         counts = dict(zip(pairs_pdf["a"], pairs_pdf["n_a"]))
         counts.update(zip(pairs_pdf["b"], pairs_pdf["n_b"]))
     else:
@@ -363,7 +405,9 @@ def _delta_graph_build(
     pending.append(writes.submit(
         store.write, "alias_map", ray.data.from_arrow(alias_tbl),
         fingerprint(base_fp, "alias_map", extractor_cls.__name__)))
-    _record("alias_map", t0, n_pairs=int(len(pairs_pdf)), n_aliases=len(alias))
+    _record("alias_map", t0, n_pairs=int(len(pairs_pdf)), n_aliases=len(alias),
+            scoped=scoped, n_dirty_blocks=len(dirty_keys),
+            n_fresh_pairs=int(len(fresh_pairs)))
 
     # ---- alias diff → affected canonical ids ----
     # a surface s with old_map(s) == new_map(s) produces identical canonical

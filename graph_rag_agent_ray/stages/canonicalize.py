@@ -42,6 +42,7 @@ from typing import Dict, List, Set, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -216,6 +217,25 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
     })
 
 
+def surface_block_keys(surfaces: List[str], cfg: KGConfig) -> Set[str]:
+    """Every blocking key the given surfaces participate in — the DIRTY block
+    set for an incremental tick. Pure function of the surface text + cfg
+    (the entity embedding is a deterministic hash of the surface), so both
+    the old and the new members of a block can be located with no stored
+    state. Must stay in lockstep with :func:`_blocking_keys`."""
+    out: Set[str] = set()
+    if not surfaces:
+        return out
+    vecs = embed_texts(list(surfaces), dim=cfg.embed_dim).astype(np.float32)
+    for t in range(N_LSH_TABLES):
+        for b in lsh_bucket(vecs, cfg.lsh_bits, seed=cfg.seed + t):
+            out.add(f"lsh{t}:{b}")
+    for s in surfaces:
+        out.add("pfx:" + s[:4])
+        out.add("sfx:" + s[-4:])
+    return out
+
+
 def _strip_noise(surface: str, cfg: KGConfig) -> str:
     s = surface.replace("-", " ").replace("_", " ").replace(".", " ").replace("/", " ")
     s = " ".join(s.split())
@@ -359,24 +379,51 @@ def _EMPTY_PAIRS() -> pd.DataFrame:
                          "n_b": pd.Series(dtype="int64")})
 
 
-def candidate_pairs(embedded: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
+def candidate_pairs(
+    embedded: "ray.data.Dataset",
+    cfg: KGConfig | None = None,
+    *,
+    keep_block_key: bool = False,
+    only_keys_ref=None,
+) -> "ray.data.Dataset":
     """Blocking keys → hash-partitioned shuffle → per-block KNN + judge.
     One vectorized task per hash bucket (each holding many complete blocks);
     output may contain the same pair from several blocks — consumers dedup
-    (build_alias_map's union-find is idempotent)."""
+    (build_alias_map's union-find is idempotent).
+
+    ``keep_block_key`` tags every pair with the block it came from (and skips
+    the cross-block dedup) so a snapshot of the pairs can be carried over
+    block-by-block on an incremental tick. ``only_keys_ref`` (a ray ObjectRef
+    to a ``pa.StringArray`` of block keys) restricts pairing to those blocks —
+    the filter runs BEFORE the shuffle, so a small dirty set means a small
+    shuffle regardless of entity-table size."""
     cfg = cfg or KGConfig()
     blocks = embedded.map_batches(
         lambda b: _blocking_keys(b, cfg), batch_format="pyarrow", batch_size=4096
     )
+    if only_keys_ref is not None:
+        def _keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("block_key"), value_set=ray.get(only_keys_ref)))
+        blocks = blocks.map_batches(_keep, batch_format="pyarrow")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        frames = [
-            _pairs_in_block(g, cfg) for _, g in df.groupby("block_key", sort=False)
-        ]
-        frames = [f for f in frames if len(f)]
+        frames = []
+        for key, g in df.groupby("block_key", sort=False):
+            f = _pairs_in_block(g, cfg)
+            if len(f):
+                if keep_block_key:
+                    f = f.assign(block_key=key)
+                frames.append(f)
         if not frames:
-            return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
-        return pd.concat(frames, ignore_index=True).drop_duplicates()
+            # default (float64) empty columns: Ray's block size estimator
+            # warns on 0-row object/string columns; consumers guard empty
+            cols = {"a": [], "b": [], "n_a": [], "n_b": []}
+            if keep_block_key:
+                cols["block_key"] = []
+            return pd.DataFrame(cols)
+        out = pd.concat(frames, ignore_index=True)
+        return out if keep_block_key else out.drop_duplicates()
 
     # pre_split: the blocking reducer is compute-bound (KNN + judge), and the
     # surface table is entity-scale — without it, a small-byte input runs all

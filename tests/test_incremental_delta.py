@@ -136,3 +136,36 @@ class TestDeltaScopedEquivalence:
         assert counts["added"] > 0 and counts["deleted"] == 0
         t_full = build_kg(v2, str(tmp_path / "bf"), input_token="b1f")
         _assert_tables_equal(t_inc, t_full, ALL_TABLES)
+
+    def test_single_doc_tick_scoped_blocking(self, ray_session, tmp_path):
+        """A single-doc modification must take the DIRTY-BLOCK scoped pair
+        derivation (scoped=True, carried pairs > 0, fresh pairs ≪ total)
+        and still match a fresh build value-exactly on every table."""
+        corpus = generate(n_docs=30, seed=13)
+        docs_v1 = rd.from_arrow(corpus.documents)
+        d1 = str(tmp_path / "s0")
+        build_kg(docs_v1, d1, input_token="s0")
+        write_registry(docs_v1, d1, input_token="s0")
+
+        rows = corpus.documents.to_pylist()
+        rows[5]["spans"][0]["text"] += (
+            " Glimmerline Labs 与 Glimmerline Labs Inc 合作。"
+        )
+        v2_tbl = pa.Table.from_pylist(rows, schema=S.DOCUMENTS)
+        d2 = str(tmp_path / "s1")
+        t_inc, counts = incremental_build_kg(
+            rd.from_arrow(v2_tbl), d2, d1, input_token="s1")
+        assert counts["modified"] == 1 and counts["added"] == 0
+
+        with open(f"{d2}/_lineage.jsonl") as f:
+            stages = [json.loads(l) for l in f if l.strip()]
+        alias_rows = [r for r in stages if r["stage"] == "alias_map"]
+        assert alias_rows and alias_rows[-1]["scoped"] is True
+        assert alias_rows[-1]["n_dirty_blocks"] > 0
+        # the carried fraction is the point: most pairs must NOT re-derive
+        assert (alias_rows[-1]["n_fresh_pairs"]
+                < alias_rows[-1]["n_pairs"])
+
+        t_full = build_kg(rd.from_arrow(v2_tbl), str(tmp_path / "sf"),
+                          input_token="s1f")
+        _assert_tables_equal(t_inc, t_full, ALL_TABLES)
