@@ -286,6 +286,36 @@ def build_kg(
     }
 
 
+def _graph_fingerprint(edges_pdf: pd.DataFrame, cfg: KGConfig) -> str:
+    """Content address of the community-detection input: an order-independent
+    multiset hash of the (src, dst, weight) rows (uint64 per-row hashes summed
+    — no driver-side sort of a possibly-20M-row frame) plus every config knob
+    detection reads. Same graph + same knobs → same seeded detection result."""
+    if edges_pdf.empty or "src" not in edges_pdf.columns:
+        content = 0
+    else:
+        import numpy as np
+        row_hashes = pd.util.hash_pandas_object(
+            edges_pdf[["src", "dst", "weight"]], index=False).to_numpy()
+        content = int(row_hashes.sum(dtype=np.uint64))
+    return fingerprint(
+        "community_graph", content, len(edges_pdf),
+        cfg.community_algorithm, cfg.community_seed, cfg.community_gamma,
+        cfg.community_max_levels, cfg.community_objective,
+        cfg.sllpa_max_iterations, cfg.sllpa_min_association,
+    )
+
+
+def _member_levels_from_table(pdf: pd.DataFrame) -> Dict[str, list]:
+    """Inverse of communities.community_membership_table — rebuild the
+    entity_id -> [community number per level] dict from the snapshot."""
+    if pdf.empty or "entity_id" not in pdf.columns:
+        return {}
+    pdf = pdf.sort_values(["entity_id", "level"], kind="stable")
+    return {e: g["community_number"].tolist()
+            for e, g in pdf.groupby("entity_id", sort=False)}
+
+
 def communities_and_entities(
     store: SnapshotStore,
     lineage: LineageLog,
@@ -296,6 +326,7 @@ def communities_and_entities(
     edges: "ray.data.Dataset",
     mentions_canon: "ray.data.Dataset",
     summarizer_factory=None,
+    prev: SnapshotStore | None = None,
 ):
     """Shared tail of the build: community detection + summaries over the
     aggregated edge graph, then the final entities table with degree and
@@ -312,12 +343,31 @@ def communities_and_entities(
     _t = _time.monotonic()
     edges_pdf = edges.select_columns(["src", "dst", "pred", "weight"]).to_pandas()
     driver_local = len(edges_pdf) <= CM.MAX_DRIVER_GRAPH_EDGES
-    if driver_local:
-        member_levels = CM.detect_communities(edges_pdf, cfg)
-    else:
-        member_levels = CM.detect_communities_distributed(edges, cfg)
-    lineage.record("louvain", cached=False, wall_s=_time.monotonic() - _t)
-    membership_pdf = CM.community_membership_table(member_levels).to_pandas()
+    # content-addressed detection cache: the membership is a pure seeded
+    # function of the aggregated edge graph + detection knobs, so a tick
+    # that leaves the graph unchanged (the common metadata/text-only edit)
+    # reuses the previous membership snapshot instead of re-running Leiden
+    graph_fp = _graph_fingerprint(edges_pdf, cfg) if driver_local else None
+    member_levels = None
+    detect_cached = False
+    if graph_fp is not None:
+        for src in (store, prev):
+            if src is not None and src.is_complete("membership", graph_fp):
+                member_levels = _member_levels_from_table(
+                    src.read("membership").to_pandas())
+                detect_cached = True
+                break
+    if member_levels is None:
+        if driver_local:
+            member_levels = CM.detect_communities(edges_pdf, cfg)
+        else:
+            member_levels = CM.detect_communities_distributed(edges, cfg)
+    lineage.record("louvain", cached=detect_cached,
+                   wall_s=_time.monotonic() - _t)
+    membership_tbl = CM.community_membership_table(member_levels)
+    if graph_fp is not None and not store.is_complete("membership", graph_fp):
+        store.write("membership", ray.data.from_arrow(membership_tbl), graph_fp)
+    membership_pdf = membership_tbl.to_pandas()
     # one distributed aggregate over the big mentions side; everything else
     # in the community chain is community-count-sized
     ranks = CM.community_ranks(membership_pdf, mentions_canon)

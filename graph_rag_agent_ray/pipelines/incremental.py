@@ -548,7 +548,8 @@ def _delta_graph_build(
 
     # ---- communities + final entities (shared tail; entity-scale) ----
     entities_final, communities = communities_and_entities(
-        store, lineage, cfg, alias_fp, alias_ref, embedded, edges, mentions_canon)
+        store, lineage, cfg, alias_fp, alias_ref, embedded, edges,
+        mentions_canon, prev=prev)
 
     t0 = time.monotonic()
     for f in pending:
