@@ -510,6 +510,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf, "documents", ["doc_id", "n_chars"]), k=50),
         "distinct_per_group": lambda sf: AN.distinct_per_group(
             _events_typed(sf)),
+        # inequality (band) join via time-bucket co-partitioning — each
+        # event meets each incident window in exactly one (key, bucket)
+        # partition, so no dedup shuffle (ops/relational.interval_join)
+        "interval_join": lambda sf: R.interval_join(
+            _events_typed(sf), anchor_type="error", window_s=600),
         "kg_chunks": _kg_chunks_q,
         "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples_q,
@@ -666,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": AN.sample_exact_k_sql(
             50, key="doc_id", table="documents", columns="doc_id, n_chars"),
         "distinct_per_group": AN.distinct_per_group_sql(),
+        "interval_join": R.interval_join_sql(anchor_type="error", window_s=600),
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),

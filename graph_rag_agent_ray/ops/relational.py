@@ -42,6 +42,7 @@ __all__ = [
     "asof_join",
     "group_topk",
     "hash_sample",
+    "interval_join",
     "token_shards",
 ]
 
@@ -117,6 +118,104 @@ l AS (
 SELECT l.event_id, l.user_id, l.ts, l.value, r.matched_ts, r.matched_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.matched_ts
+"""
+
+
+# ------------------------------------------------------ interval/band join --
+
+def interval_join(
+    events: "ray.data.Dataset",
+    anchor_type: str = "error",
+    window_s: int = 600,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Range (band) join: every ``anchor_type`` event opens a half-open
+    incident window ``[ts, ts + window_s)``; return each (incident, event)
+    pair of the same ``key`` whose event timestamp falls in the window (the
+    anchor matches its own window).
+
+    The join Ray Data lacks natively: an inequality predicate, so no single
+    equi-join key exists. Distribution: time-bucket co-partitioning with
+    bucket width = window length. Each EVENT lands in exactly one
+    ``(key, time_bucket)`` partition; each INTERVAL is replicated to every
+    bucket it overlaps (≤ 2, since the window is one bucket wide). A matched
+    pair meets in the event's bucket exactly once, so no dedup shuffle is
+    needed — output rows are emitted exactly once. One hash shuffle total;
+    the per-bucket work is a vectorized pandas equi-merge on ``key`` plus a
+    range filter.
+
+    Output: ``(incident_id, event_id)`` — incident_id is the anchor's
+    event_id. At 100 TB the pair volume is bounded by (events per key per
+    window) × (anchors); skewed keys shard across buckets by time, not by
+    key alone.
+    """
+    window_us = window_s * 1_000_000
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = df[key].to_numpy()
+        eids = df["event_id"].to_numpy()
+        ev_bucket = ts_us // window_us
+        out = [pd.DataFrame({
+            key: keys, "tb": ev_bucket, "role": 0,
+            "event_id": eids, "ts_us": ts_us, "end_us": np.int64(0),
+        })]
+        anchor = (df["event_type"] == anchor_type).to_numpy()
+        if anchor.any():
+            a_ts = ts_us[anchor]
+            a_key = keys[anchor]
+            a_id = eids[anchor]
+            end_us = a_ts + window_us
+            # replicate to each overlapped bucket: start's bucket, plus the
+            # next one when the window crosses the boundary (end exclusive)
+            last_b = (end_us - 1) // window_us
+            first_b = a_ts // window_us
+            for shift in (0, 1):
+                sel = (first_b + shift) <= last_b if shift else np.ones(
+                    len(a_ts), dtype=bool)
+                out.append(pd.DataFrame({
+                    key: a_key[sel], "tb": first_b[sel] + shift, "role": 1,
+                    "event_id": a_id[sel], "ts_us": a_ts[sel],
+                    "end_us": end_us[sel],
+                }))
+        return pd.concat(out, ignore_index=True)
+
+    tagged = events.select_columns(
+        ["event_id", key, ts_col, "event_type"]
+    ).map_batches(explode, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["role"] == 0]
+        iv = df[df["role"] == 1].rename(
+            columns={"event_id": "incident_id", "ts_us": "start_us"})
+        if ev.empty or iv.empty:
+            return pd.DataFrame({"incident_id": pd.Series(dtype="int64"),
+                                 "event_id": pd.Series(dtype="int64")})
+        m = ev[[key, "tb", "event_id", "ts_us"]].merge(
+            iv[[key, "tb", "incident_id", "start_us", "end_us"]],
+            on=[key, "tb"])
+        m = m[(m["ts_us"] >= m["start_us"]) & (m["ts_us"] < m["end_us"])]
+        return m[["incident_id", "event_id"]].astype("int64")
+
+    return hash_partitioned_groupby(tagged, [key, "tb"], per_bucket,
+                                    n_buckets=n_buckets)
+
+
+def interval_join_sql(anchor_type: str = "error", window_s: int = 600) -> str:
+    """DuckDB oracle for :func:`interval_join` (inequality join)."""
+    w_us = window_s * 1_000_000
+    return f"""
+WITH i AS (
+  SELECT user_id, event_id AS incident_id, epoch_us(ts) AS start_us
+  FROM events WHERE event_type = '{anchor_type}'
+)
+SELECT i.incident_id, e.event_id
+FROM events e JOIN i
+  ON e.user_id = i.user_id
+ AND epoch_us(e.ts) >= i.start_us
+ AND epoch_us(e.ts) < i.start_us + {w_us}
 """
 
 

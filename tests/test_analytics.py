@@ -170,3 +170,64 @@ class TestDistinct:
             .to_pandas().set_index("event_type")["n_distinct"]
         ref = df.groupby("event_type").user_id.nunique()
         assert out.sort_index().to_dict() == ref.sort_index().to_dict()
+
+
+def _events(n=600, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 3_600_000, n)), unit="ms"),
+        "user_id": rng.integers(0, 12, n),
+        "event_type": rng.choice(["view", "click", "error"], n,
+                                 p=[0.6, 0.3, 0.1]),
+        "value": np.round(rng.uniform(0, 20, n), 2),
+    })
+
+
+class TestIntervalJoin:
+    def _ref(self, ev, window_s):
+        w = pd.Timedelta(seconds=window_s)
+        inc = ev[ev.event_type == "error"]
+        m = ev.merge(inc[["user_id", "event_id", "ts"]]
+                     .rename(columns={"event_id": "incident_id",
+                                      "ts": "start"}), on="user_id")
+        m = m[(m.ts >= m.start) & (m.ts < m.start + w)]
+        return (m[["incident_id", "event_id"]].astype("int64")
+                .sort_values(["incident_id", "event_id"])
+                .reset_index(drop=True))
+
+    def test_matches_pandas(self):
+        from graph_rag_agent_ray.ops import relational as R
+        ev = _events()
+        out = R.interval_join(rd.from_pandas(ev).repartition(7),
+                              anchor_type="error", window_s=120).to_pandas()
+        got = (out.sort_values(["incident_id", "event_id"])
+               .reset_index(drop=True).astype("int64"))
+        pd.testing.assert_frame_equal(got, self._ref(ev, 120),
+                                      check_dtype=False)
+        # the anchor matches its own window
+        assert ((got.incident_id == got.event_id).sum()
+                == (ev.event_type == "error").sum())
+
+    def test_boundary_exclusive_and_cross_bucket(self):
+        """End-exclusive semantics and windows crossing the time-bucket
+        boundary (replica in the second bucket) both behave."""
+        from graph_rag_agent_ray.ops import relational as R
+        t0 = pd.Timestamp("2024-01-01")
+        ev = pd.DataFrame({
+            "event_id": [0, 1, 2, 3],
+            # anchor at 90s: bucket 0 of width 120s, window [90, 210)
+            # crosses into bucket 1; event at 209.999999s matches, 210s not
+            "ts": [t0 + pd.Timedelta(seconds=90),
+                   t0 + pd.Timedelta(seconds=209, microseconds=999_999),
+                   t0 + pd.Timedelta(seconds=210),
+                   t0 + pd.Timedelta(seconds=89)],
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["error", "view", "view", "view"],
+            "value": [0.0, 1.0, 2.0, 3.0],
+        })
+        out = R.interval_join(rd.from_pandas(ev), anchor_type="error",
+                              window_s=120).to_pandas()
+        got = set(zip(out.incident_id, out.event_id))
+        assert got == {(0, 0), (0, 1)}
