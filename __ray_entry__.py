@@ -463,6 +463,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_trained": lambda sf: SIM.knn_ivf_trained(
             _emb(sf), query_ids=range(8), k=10, n_centroids=8, n_probes=8
         ).drop_columns(["sim"]),
+        # IVF-PQ probing all cells with rerank >= batch size prunes nothing,
+        # so the exact-cosine rerank makes it exact — verifies the coarse
+        # assign + residual encode + ADC scan plumbing against the same
+        # oracle; the compressed approximate config's recall@10 is in bench
+        "knn_ivf_pq": lambda sf: SIM.knn_ivf_pq(
+            _emb(sf), query_ids=range(8), k=10, n_centroids=8, m=8,
+            n_codes=64, n_probes=8, rerank=4096
+        ).drop_columns(["sim"]),
         # knobs COMPUTED, not hand-tuned: n_bits from corpus size
         # (auto_neardup_bits) and n_tables from the OR-construction recall
         # rule at target 1-1e-6 (auto_lsh_tables → 30 tables at this
@@ -697,6 +705,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # all-cells trained IVF is exact — same ground truth as brute force
         "knn_ivf_trained": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, v.embedding), 6) AS sim
+                FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 8
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        """,
+        # all-cells IVF-PQ with no-op pruning + exact rerank — same truth
+        "knn_ivf_pq": """
             WITH sims AS (
                 SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
                        round(list_cosine_similarity(q.embedding, v.embedding), 6) AS sim

@@ -197,6 +197,9 @@ def run_bench() -> dict:
     timed("knn_ivf_trained",
           lambda: SIM.knn_ivf_trained(emb(), range(8), k=10,
                                       n_centroids=16, n_probes=12).count())
+    timed("knn_ivf_pq",
+          lambda: SIM.knn_ivf_pq(emb(), range(8), k=10, n_centroids=16,
+                                 m=8, n_codes=64, n_probes=12).count())
     timed("embedding_neardup", lambda: D.embedding_neardup_pairs(emb(), 0.35).count())
     timed("neardup_blocked",
           lambda: D.embedding_neardup_blocked(emb(), 0.35, n_bits=2, n_tables=16).count())
@@ -277,6 +280,11 @@ def run_bench() -> dict:
     ivf_trained_recall = SIM.knn_recall(
         emb(), range(8), k=10, method=SIM.knn_ivf_trained,
         n_centroids=16, n_probes=12)
+    # compressed tier at the same probe fraction: uint8 PQ codes + ADC scan
+    # + exact rerank of the ADC survivors (recall-only errors)
+    ivf_pq_recall = SIM.knn_recall(
+        emb(), range(8), k=10, method=SIM.knn_ivf_pq,
+        n_centroids=16, m=8, n_codes=64, n_probes=12)
 
     return {
         "metric": "kg_build_end_to_end",
@@ -290,6 +298,7 @@ def run_bench() -> dict:
         "triples_per_sec": round(n_triples / headline, 2),
         "knn_ivf_recall_at_10": round(ivf_recall, 4),
         "knn_ivf_trained_recall_at_10": round(ivf_trained_recall, 4),
+        "knn_ivf_pq_recall_at_10": round(ivf_pq_recall, 4),
         "dedup_headline": {
             "n_docs": int(n_dup_docs),
             "n_triples": int(n_triples_dup),

@@ -182,6 +182,16 @@ def _probe_and_merge(bucketed: "ray.data.Dataset", q_ref, k: int,
                 }))
         return pd.concat(frames, ignore_index=True) if frames else empty
 
+    partials = bucketed.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=4096)
+    return _merge_topk(partials, k)
+
+
+def _merge_topk(partials: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
+    """Per-query merge of (query_id, neighbor_id, sim) partials into the
+    final (query_id, neighbor_id, rank, sim) top-k — the shared tail of
+    every IVF variant. The shuffle moves only partial-top-k rows."""
+
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(["query_id", "neighbor_id"])
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
@@ -189,8 +199,6 @@ def _probe_and_merge(bucketed: "ray.data.Dataset", q_ref, k: int,
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "neighbor_id", "rank", "sim"]]
 
-    partials = bucketed.map_batches(partial, batch_format="pyarrow",
-                                    batch_size=4096)
     return partials.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pandas")
 
@@ -316,6 +324,161 @@ def knn_ivf_trained(
         assign_cells, batch_format="pyarrow", batch_size=4096
     )
     return _probe_and_merge(bucketed, q_ref, k, round_digits)
+
+
+def train_pq(
+    emb: "ray.data.Dataset", centroids: np.ndarray, m: int = 8,
+    n_codes: int = 256, sample_cap: int = 16384, n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks over coarse-cell RESIDUALS
+    (Jégou et al. 2011): the unit vector minus its nearest coarse centroid,
+    split into ``m`` subvectors, each k-means'd to ``n_codes`` codes.
+    Training uses the same bounded multiplicative-hash sample as
+    :func:`train_centroids` (layout-independent, driver-local, ≤ sample_cap
+    rows). Returns ``(m, n_codes_eff, dim/m)`` float64 — a few hundred KB,
+    broadcast once."""
+    n = emb.count()
+    if n == 0 or centroids.size == 0:
+        return np.zeros((m, 0, 0), dtype=np.float64)
+    keep_below = np.uint32(min(1.0, sample_cap / n) * 0xFFFFFFFF)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return batch.filter(pa.array(h <= keep_below))
+
+    pdf = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        sample, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    resid = unit - centroids[np.argmax(unit @ centroids.T, axis=1)]
+    d = resid.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    k_eff = min(n_codes, len(resid))
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        sub = resid[:, s * d_sub:(s + 1) * d_sub]
+        # seeded k-means++ on euclidean distance, then Lloyd iterations
+        cents = [sub[int(rng.integers(0, len(sub)))]]
+        for _ in range(1, k_eff):
+            d2 = np.min(((sub[:, None, :] - np.asarray(cents)[None]) ** 2)
+                        .sum(-1), axis=1)
+            tot = d2.sum()
+            if tot <= 0:
+                cents.append(sub[int(rng.integers(0, len(sub)))])
+                continue
+            cents.append(sub[int(rng.choice(len(sub), p=d2 / tot))])
+        cents = np.asarray(cents)
+        for _ in range(n_iters):
+            assign = np.argmin(((sub[:, None, :] - cents[None]) ** 2).sum(-1),
+                               axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return np.asarray(books)
+
+
+def knn_ivf_pq(
+    emb: "ray.data.Dataset", query_ids: Sequence[int], k: int = 10,
+    n_centroids: int | None = 16, m: int = 8, n_codes: int = 64,
+    n_probes: int = 4, rerank: int | None = None, round_digits: int = 6,
+    sample_cap: int = 16384, seed: int = 42,
+) -> "ray.data.Dataset":
+    """IVF-PQ (Jégou et al. 2011) — the extreme-scale path where even one
+    float row per vector is too much state: vectors compress to ``m`` uint8
+    codes (e.g. 64-dim float32 = 256 B → 8 B), queries scan probed cells via
+    ADC table lookups (no per-vector float math), and only the ADC-top
+    ``rerank`` candidates per (batch, query) get an exact-cosine rerank —
+    the emitted sims are TRUE cosines, so errors are recall-only (a true
+    neighbour pruned by ADC), never wrong scores. Approximate by
+    construction: no SQL oracle; recall@k vs :func:`knn_bruteforce` is the
+    measured contract (bench + tests). ``rerank=None`` → 4k. At 100 TB the
+    encode pass runs once and persists (vec_id, cell, codes); this op fuses
+    encode+scan for the in-repo benchmark shape."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
+        sample_cap = max(sample_cap, 32 * n_centroids)
+    rerank = 4 * k if rerank is None else rerank
+    centroids = train_centroids(emb, n_centroids, sample_cap, seed=seed)
+    if centroids.size == 0:
+        return knn_bruteforce(emb, query_ids, k=k, round_digits=round_digits)
+    books = train_pq(emb, centroids, m=m, n_codes=n_codes,
+                     sample_cap=sample_cap, seed=seed)
+    n_probes = min(n_probes, len(centroids))
+    q_ids, q_unit = _query_matrix(emb, query_ids)
+    q_cells = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probes]
+    q_by_cell: dict = {}
+    for qi, (qid, cells) in enumerate(zip(q_ids, q_cells)):
+        for cell in cells:
+            q_by_cell.setdefault(int(cell), []).append(qi)
+    # ADC tables: T[qi, cell_rank-independent] — per query, per subspace,
+    # per code: q_sub · code. Shape (n_queries, m, n_codes) — tiny; plus the
+    # q·centroid term per (query, cell).
+    d_sub = q_unit.shape[1] // m
+    adc = np.einsum("qsd,scd->qsc",
+                    q_unit.reshape(len(q_unit), m, d_sub), books)
+    qcent = q_unit @ centroids.T  # (n_queries, n_cells)
+    state_ref = ray.put((q_ids, q_unit, q_by_cell, centroids, books, adc,
+                         qcent))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        (ids_q, qm, by_cell, cents, bks, adc_t, qc) = ray.get(state_ref)
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(batch) == 0:
+            return empty
+        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        cells = np.argmax(unit @ cents.T, axis=1)
+        resid = unit - cents[cells]
+        codes = np.empty((len(unit), len(bks)), dtype=np.int64)
+        ds = unit.shape[1] // len(bks)
+        for s in range(len(bks)):
+            sub = resid[:, s * ds:(s + 1) * ds]
+            codes[:, s] = np.argmin(
+                ((sub[:, None, :] - bks[s][None]) ** 2).sum(-1), axis=1)
+        frames = []
+        for cell in np.unique(cells):
+            q_idx = by_cell.get(int(cell))
+            if not q_idx:
+                continue
+            rows = np.nonzero(cells == cell)[0]
+            row_codes = codes[rows]  # (n_rows, m)
+            ids = b_ids[rows]
+            for qi in q_idx:
+                # ADC score: q·centroid + Σ_s T[qi, s, code_s]
+                score = qc[qi, cell] + adc_t[qi][
+                    np.arange(len(bks))[:, None], row_codes.T
+                ].sum(axis=0)
+                mask = ids != ids_q[qi]
+                cand = np.nonzero(mask)[0]
+                if len(cand) > rerank:
+                    cand = cand[np.argpartition(-score[cand], rerank)[:rerank]]
+                # exact rerank of the ADC survivors (batch-local vectors)
+                exact = np.round(unit[rows[cand]] @ qm[qi], round_digits)
+                order = np.lexsort((ids[cand], -exact))[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": int(ids_q[qi]),
+                    "neighbor_id": ids[cand][order],
+                    "sim": exact[order],
+                }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    partials = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096)
+    return _merge_topk(partials, k)
 
 
 def knn_recall(emb: "ray.data.Dataset", query_ids: Sequence[int], k: int = 10,

@@ -206,6 +206,68 @@ class TestKnnTrained:
             b[cols].sort_values(cols).values.tolist()
 
 
+class TestKnnIvfPq:
+    def test_codebooks_deterministic_and_shaped(self, emb_ds):
+        cents = SIM.train_centroids(emb_ds, n_centroids=4, seed=42)
+        b1 = SIM.train_pq(emb_ds, cents, m=4, n_codes=8, seed=42)
+        b2 = SIM.train_pq(emb_ds.repartition(5), cents, m=4, n_codes=8, seed=42)
+        assert np.array_equal(b1, b2)          # layout-independent training
+        assert b1.shape == (4, 8, 4)           # (m, n_codes, dim/m)
+
+    def test_indivisible_dim_raises(self, emb_ds):
+        cents = SIM.train_centroids(emb_ds, n_centroids=4, seed=42)
+        with pytest.raises(ValueError):
+            SIM.train_pq(emb_ds, cents, m=3)   # 16 % 3 != 0
+
+    def test_noop_prune_full_probe_is_exact(self, emb_ds):
+        """Probing all cells with rerank >= batch size prunes nothing, so
+        the exact-cosine rerank reproduces brute force (the oracle config)."""
+        ex = SIM.knn_bruteforce(emb_ds, query_ids=[0, 1, 2], k=5).to_pandas()
+        ap = SIM.knn_ivf_pq(emb_ds, query_ids=[0, 1, 2], k=5, n_centroids=4,
+                            m=4, n_codes=16, n_probes=4,
+                            rerank=4096).to_pandas()
+        cols = ["query_id", "neighbor_id", "rank", "sim"]
+        assert ex[cols].sort_values(cols).values.tolist() == \
+            ap[cols].sort_values(cols).values.tolist()
+
+    def test_sims_are_true_cosines(self, emb_ds):
+        """Even at a pruning config, emitted sims must be exact cosine values
+        (errors are recall-only, never wrong scores)."""
+        ap = SIM.knn_ivf_pq(emb_ds, query_ids=[0], k=3, n_centroids=4,
+                            m=4, n_codes=8, n_probes=2, rerank=5).to_pandas()
+        ex = SIM.knn_bruteforce(emb_ds, query_ids=[0], k=50).to_pandas()
+        truth = dict(zip(ex["neighbor_id"], ex["sim"]))
+        for nid, sim in zip(ap["neighbor_id"], ap["sim"]):
+            assert truth[nid] == sim
+
+    def test_recall_on_clustered(self, ray_session):
+        """Compressed codes + ADC prune + exact rerank on clustered
+        embeddings keep recall at a single probe."""
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((4, 16)).astype(np.float32) * 4
+        vecs = np.concatenate([
+            c + 0.3 * rng.standard_normal((25, 16)).astype(np.float32)
+            for c in centers])
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        r = SIM.knn_recall(ds, range(8), k=10, method=SIM.knn_ivf_pq,
+                           n_centroids=4, m=4, n_codes=16, n_probes=1)
+        assert r >= 0.9
+
+    def test_layout_invariant(self, emb_ds):
+        a = SIM.knn_ivf_pq(emb_ds, query_ids=[0, 1], k=5, n_centroids=4,
+                           m=4, n_codes=8, n_probes=2).to_pandas()
+        b = SIM.knn_ivf_pq(emb_ds.repartition(7), query_ids=[0, 1], k=5,
+                           n_centroids=4, m=4, n_codes=8,
+                           n_probes=2).to_pandas()
+        cols = ["query_id", "neighbor_id", "rank", "sim"]
+        assert a[cols].sort_values(cols).values.tolist() == \
+            b[cols].sort_values(cols).values.tolist()
+
+
 class TestTextStats:
     def test_token_count_matches_python_split(self, docs_with_dups):
         out = TS.token_count(docs_with_dups).to_pandas().set_index("doc_id")
