@@ -151,8 +151,10 @@ def build_kg(
 
     # ---- decision chain: blocking → alias → edges → communities ----
     _t = _time.monotonic()
+    blocking_bits = C.auto_blocking_bits(embedded.count(), cfg)
     pairs = C.candidate_pairs(embedded, cfg,
-                              keep_block_key=cfg.incremental_snapshots)
+                              keep_block_key=cfg.incremental_snapshots,
+                              bits=blocking_bits)
     pairs_pdf = pairs.to_pandas()  # judged merge decisions — small by construction
     lineage.record("canon_blocking", cached=False, wall_s=_time.monotonic() - _t)
     # mention counts ride on the pair rows (canonicalize._pairs_in_block), so
@@ -187,9 +189,12 @@ def build_kg(
             "n_a": pa.array(pairs_pdf.get("n_a", []), pa.int64()),
             "n_b": pa.array(pairs_pdf.get("n_b", []), pa.int64()),
         })
+        # blocking_bits rides in the manifest: carried pairs are only valid
+        # for a tick that derives the SAME block-key scheme
         pairs_w = side.submit(
             store.write, "canon_pairs", ray.data.from_arrow(pairs_tbl),
-            fingerprint(base_fp, "canon_pairs", extractor_cls.__name__))
+            fingerprint(base_fp, "canon_pairs", extractor_cls.__name__),
+            {"blocking_bits": blocking_bits})
     else:
         alias_w = side.submit(lambda: None)
         pairs_w = side.submit(lambda: None)

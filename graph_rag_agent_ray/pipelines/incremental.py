@@ -362,12 +362,18 @@ def _delta_graph_build(
     # ticks, manual-edit overlays); bulk deltas take the full re-pair.
     t0 = time.monotonic()
     pair_cols = ["block_key", "a", "b", "n_a", "n_b"]
-    scoped = len(touched) <= max(8, (1 << cfg.lsh_bits) // 8)
+    bits = C.auto_blocking_bits(embedded.count(), cfg)
+    prev_bits = (prev.manifest("canon_pairs") or {}).get("blocking_bits")
+    # carried pairs are only valid under the SAME block-key scheme — a
+    # vocabulary-growth step that changes the auto bits forces a full re-pair
+    scoped = (prev_bits == bits
+              and len(touched) <= max(8, (1 << bits) // 8))
     if scoped:
-        dirty_keys = C.surface_block_keys(sorted(touched), cfg)
+        dirty_keys = C.surface_block_keys(sorted(touched), cfg, bits=bits)
         dirty_ref = ray.put(pa.array(sorted(dirty_keys), pa.string()))
         fresh_pairs = C.candidate_pairs(
             embedded, cfg, keep_block_key=True, only_keys_ref=dirty_ref,
+            bits=bits,
         ).to_pandas()
         carried_pairs = _filter_col_in(
             prev.read("canon_pairs"), dirty_ref, "block_key", invert=True,
@@ -376,7 +382,7 @@ def _delta_graph_build(
     else:
         dirty_keys = ()
         fresh_pairs = C.candidate_pairs(
-            embedded, cfg, keep_block_key=True).to_pandas()
+            embedded, cfg, keep_block_key=True, bits=bits).to_pandas()
         frames = [fresh_pairs[pair_cols]] if len(fresh_pairs) else []
     pairs_pdf = (pd.concat(frames, ignore_index=True) if frames
                  else pd.DataFrame({c: [] for c in pair_cols}))
@@ -389,7 +395,8 @@ def _delta_graph_build(
             "n_a": pa.array(pairs_pdf["n_a"], pa.int64()),
             "n_b": pa.array(pairs_pdf["n_b"], pa.int64()),
         })),
-        fingerprint(base_fp, "canon_pairs", extractor_cls.__name__)))
+        fingerprint(base_fp, "canon_pairs", extractor_cls.__name__),
+        {"blocking_bits": bits}))
     if len(pairs_pdf):
         counts = dict(zip(pairs_pdf["a"], pairs_pdf["n_a"]))
         counts.update(zip(pairs_pdf["b"], pairs_pdf["n_b"]))

@@ -169,9 +169,26 @@ def embed_entities(entities: "ray.data.Dataset", cfg: KGConfig | None = None) ->
 
 
 N_LSH_TABLES = 8
+BLOCK_TARGET_MEMBERS = 64  # aim for ~this many entities per LSH bucket
 
 
-def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
+def auto_blocking_bits(n_entities: int, cfg: KGConfig) -> int:
+    """Corpus-size rule for the similarity-blocking LSH granularity: enough
+    hyperplanes that a bucket holds ~BLOCK_TARGET_MEMBERS entities, never
+    fewer than the configured ``cfg.lsh_bits`` (small vocabularies keep the
+    tuned default — every small-corpus test and oracle is unchanged), capped
+    at 16. Bounded buckets keep the per-block O(n·W + KNN) cost flat as the
+    vocabulary grows AND give the dirty-block incremental path locality (a
+    touched surface dirties 1/2^bits of each table instead of a
+    corpus-fraction bucket)."""
+    import math
+    if n_entities <= 0:
+        return cfg.lsh_bits
+    need = math.ceil(math.log2(max(n_entities / BLOCK_TARGET_MEMBERS, 1.0)))
+    return int(min(16, max(cfg.lsh_bits, need)))
+
+
+def _blocking_keys(batch: pa.Table, cfg: KGConfig, bits: int | None = None) -> pa.Table:
     """Explode each entity to its blocking keys: N_LSH_TABLES LSH buckets +
     one normalized-prefix key (catches suffix/typo variants whose embeddings
     straddle a hyperplane). Output: (block_key, norm_surface, embedding)."""
@@ -189,7 +206,8 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
     surf_out: List[str] = []
     vec_out: List[int] = []  # row indices, to avoid copying vectors per key
     for t in range(N_LSH_TABLES):
-        buckets = lsh_bucket(vecs, cfg.lsh_bits, seed=cfg.seed + t)
+        buckets = lsh_bucket(vecs, bits if bits is not None else cfg.lsh_bits,
+                             seed=cfg.seed + t)
         for i, b in enumerate(buckets):
             keys.append(f"lsh{t}:{b}")
             surf_out.append(surfaces[i])
@@ -202,6 +220,15 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
         # block AND sorts far away in the window; ≤2-edit variants almost
         # always still share the last 4 chars
         keys.append("sfx:" + s[-4:])
+        surf_out.append(s)
+        vec_out.append(i)
+        # stripped-noise key: one blocking key per judge rule — the judge's
+        # stripped-equality rule (dash/underscore/suffix formatting variants)
+        # gets a DETERMINISTIC block of exactly its equality class, so those
+        # merges never depend on LSH geometry or window adjacency (at fine
+        # LSH bits the 8 tables can split a formatting pair; the pfx block
+        # holding it is often oversized/window-only)
+        keys.append("nrm:" + _strip_noise(s, cfg).lower())
         surf_out.append(s)
         vec_out.append(i)
     idx = np.asarray(vec_out, dtype=np.int64)
@@ -217,22 +244,25 @@ def _blocking_keys(batch: pa.Table, cfg: KGConfig) -> pa.Table:
     })
 
 
-def surface_block_keys(surfaces: List[str], cfg: KGConfig) -> Set[str]:
+def surface_block_keys(surfaces: List[str], cfg: KGConfig,
+                       bits: int | None = None) -> Set[str]:
     """Every blocking key the given surfaces participate in — the DIRTY block
-    set for an incremental tick. Pure function of the surface text + cfg
-    (the entity embedding is a deterministic hash of the surface), so both
-    the old and the new members of a block can be located with no stored
-    state. Must stay in lockstep with :func:`_blocking_keys`."""
+    set for an incremental tick. Pure function of the surface text + cfg +
+    ``bits`` (the entity embedding is a deterministic hash of the surface),
+    so both the old and the new members of a block can be located with no
+    stored state. Must stay in lockstep with :func:`_blocking_keys`."""
     out: Set[str] = set()
     if not surfaces:
         return out
     vecs = embed_texts(list(surfaces), dim=cfg.embed_dim).astype(np.float32)
     for t in range(N_LSH_TABLES):
-        for b in lsh_bucket(vecs, cfg.lsh_bits, seed=cfg.seed + t):
+        for b in lsh_bucket(vecs, bits if bits is not None else cfg.lsh_bits,
+                            seed=cfg.seed + t):
             out.add(f"lsh{t}:{b}")
     for s in surfaces:
         out.add("pfx:" + s[:4])
         out.add("sfx:" + s[-4:])
+        out.add("nrm:" + _strip_noise(s, cfg).lower())
     return out
 
 
@@ -385,6 +415,7 @@ def candidate_pairs(
     *,
     keep_block_key: bool = False,
     only_keys_ref=None,
+    bits: int | None = None,
 ) -> "ray.data.Dataset":
     """Blocking keys → hash-partitioned shuffle → per-block KNN + judge.
     One vectorized task per hash bucket (each holding many complete blocks);
@@ -396,10 +427,18 @@ def candidate_pairs(
     block-by-block on an incremental tick. ``only_keys_ref`` (a ray ObjectRef
     to a ``pa.StringArray`` of block keys) restricts pairing to those blocks —
     the filter runs BEFORE the shuffle, so a small dirty set means a small
-    shuffle regardless of entity-table size."""
+    shuffle regardless of entity-table size.
+
+    ``bits`` sets the LSH blocking granularity (default: the
+    :func:`auto_blocking_bits` corpus-size rule over the entity count, so
+    buckets hold ~BLOCK_TARGET_MEMBERS entities at any vocabulary size).
+    Callers that carry pairs across ticks must pass a consistent value."""
     cfg = cfg or KGConfig()
+    if bits is None:
+        bits = auto_blocking_bits(embedded.count(), cfg)
     blocks = embedded.map_batches(
-        lambda b: _blocking_keys(b, cfg), batch_format="pyarrow", batch_size=4096
+        lambda b: _blocking_keys(b, cfg, bits), batch_format="pyarrow",
+        batch_size=4096,
     )
     if only_keys_ref is not None:
         def _keep(batch: pa.Table) -> pa.Table:

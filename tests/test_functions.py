@@ -213,3 +213,18 @@ class TestHashJoin:
         assert len(got) == 2
         z = got[got["k"] == "z"]
         assert len(z) == 1 and pd.isna(z["y"].iloc[0])
+
+
+class TestAutoBlockingBits:
+    def test_corpus_size_rule(self):
+        from graph_rag_agent_ray.config import KGConfig
+        from graph_rag_agent_ray.stages.canonicalize import auto_blocking_bits
+        cfg = KGConfig()
+        assert auto_blocking_bits(0, cfg) == cfg.lsh_bits
+        assert auto_blocking_bits(1000, cfg) == cfg.lsh_bits   # small: default
+        assert auto_blocking_bits(64 * 2**8, cfg) == cfg.lsh_bits
+        assert auto_blocking_bits(64 * 2**8 + 1, cfg) == 9     # first step
+        assert auto_blocking_bits(10**6, cfg) == 14            # ceil(log2(n/64))
+        assert auto_blocking_bits(10**12, cfg) == 16           # clamp
+        ns = [auto_blocking_bits(n, cfg) for n in (10**4, 10**5, 10**6)]
+        assert ns == sorted(ns)
