@@ -362,10 +362,14 @@ def _pairs_in_block(group: pd.DataFrame, cfg: KGConfig) -> pd.DataFrame:
     n = len(dedup)
     if n < 2:
         return _EMPTY_PAIRS()
-    oversized = n > MAX_BLOCK_COMPARE
-    if oversized:
+    block_key = group["block_key"].iloc[0]
+    # nrm: blocks are stripped-equality classes — every pair passes the
+    # judge's stripped-equality rule, and the union-find chains the class
+    # through window-adjacent pairs, so the KNN embedding gate adds nothing
+    oversized = n > MAX_BLOCK_COMPARE or block_key.startswith("nrm:")
+    if n > MAX_BLOCK_COMPARE:
         logger.info("block %s window-only: %d > %d entities",
-                    group["block_key"].iloc[0], n, MAX_BLOCK_COMPARE)
+                    block_key, n, MAX_BLOCK_COMPARE)
     surfaces = dedup["norm_surface"].to_numpy(dtype=object)
     order = np.argsort(surfaces, kind="stable")
 
@@ -447,6 +451,11 @@ def candidate_pairs(
         blocks = blocks.map_batches(_keep, batch_format="pyarrow")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton blocks pair nothing — drop them before the per-group
+        # dispatch (most nrm:/pfx: classes are singletons; iterating 10k+
+        # empty groups costs more than the real pair work)
+        counts = df["block_key"].value_counts()
+        df = df[df["block_key"].map(counts) >= 2]
         frames = []
         for key, g in df.groupby("block_key", sort=False):
             f = _pairs_in_block(g, cfg)
