@@ -523,6 +523,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition, so no dedup shuffle (ops/relational.interval_join)
         "interval_join": lambda sf: R.interval_join(
             _events_typed(sf), anchor_type="error", window_s=600),
+        # GPT-3/Pile-style benchmark decontamination: docs 0-4 stand in as
+        # the held-out benchmark; flag any doc sharing a token n-gram with
+        # them (broadcast benchmark grams, shuffle-free corpus scan). n=3
+        # here so the synthetic corpus yields a discriminative flag set
+        # (~30% hit); production protocol default is n=13
+        "contamination": lambda sf: TS.contamination_stats(
+            _docs(sf), benchmark_ids=range(5), n=3),
         "kg_chunks": _kg_chunks_q,
         "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples_q,
@@ -680,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
             50, key="doc_id", table="documents", columns="doc_id, n_chars"),
         "distinct_per_group": AN.distinct_per_group_sql(),
         "interval_join": R.interval_join_sql(anchor_type="error", window_s=600),
+        "contamination": TS.contamination_sql(benchmark_ids=range(5), n=3),
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),

@@ -213,3 +213,92 @@ def lang_id(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             "lang": lang,
         })
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def _doc_ngrams(text: str, n: int) -> set:
+    toks = text.split()
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def contamination_stats(
+    ds: "ray.data.Dataset", benchmark_ids, n: int = 13,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination (the GPT-3/Pile n-gram protocol): flag every
+    document sharing a token ``n``-gram with any benchmark document.
+
+    Two-phase broadcast join — the benchmark side is tiny by definition:
+    1. collect the benchmark docs' distinct n-grams (one broadcast-filter
+       scan; the collected set is benchmark-sized, ray.put once);
+    2. one stateless pass over the corpus counts each doc's distinct grams
+       and how many hit the benchmark set — no shuffle at all, so the op
+       scales like any per-row transform.
+
+    Output: (doc_id, n_grams, n_contaminated, contaminated). Tokenization is
+    whitespace splitting on trimmed text (the same semantics as
+    ``token_count`` and the DuckDB oracle).
+    """
+    import ray as _ray
+
+    bench_ids = set(int(b) for b in benchmark_ids)
+    ids_ref = _ray.put(bench_ids)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("doc_id"),
+                        value_set=pa.array(sorted(_ray.get(ids_ref)), pa.int64()))
+        sub = batch.filter(keep)
+        grams: set = set()
+        for t in pc.utf8_trim_whitespace(sub.column("text")).to_pylist():
+            grams |= _doc_ngrams(t, n)
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    bench_pdf = ds.map_batches(
+        bench_grams, batch_format="pyarrow").to_pandas()
+    gram_ref = _ray.put(set(bench_pdf["g"]) if len(bench_pdf) else set())
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bset = _ray.get(gram_ref)
+        n_grams, n_hit = [], []
+        for t in pc.utf8_trim_whitespace(batch.column("text")).to_pylist():
+            grams = _doc_ngrams(t, n)
+            n_grams.append(len(grams))
+            n_hit.append(len(grams & bset) if bset else 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_contaminated": pa.array(n_hit, pa.int64()),
+            "contaminated": pa.array([h > 0 for h in n_hit], pa.bool_()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+
+def contamination_sql(benchmark_ids, n: int = 13) -> str:
+    """DuckDB oracle for :func:`contamination_stats`."""
+    ids = ", ".join(str(int(b)) for b in sorted(set(benchmark_ids)))
+    ws = r"'\s+'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' \t\n\r') = '' THEN []
+              ELSE regexp_split_to_array(trim(text, ' \t\n\r'), {ws}) END AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {n} + 2)) AS i) r
+), bg AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id IN ({ids})
+), agg AS (
+  SELECT grams.doc_id,
+         count(DISTINCT grams.g) AS n_grams,
+         count(DISTINCT grams.g) FILTER (WHERE bg.g IS NOT NULL) AS n_contaminated
+  FROM grams LEFT JOIN bg ON grams.g = bg.g
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_grams, 0) AS n_grams,
+       coalesce(agg.n_contaminated, 0) AS n_contaminated,
+       coalesce(agg.n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""

@@ -268,6 +268,37 @@ class TestKnnIvfPq:
             b[cols].sort_values(cols).values.tolist()
 
 
+class TestContamination:
+    def test_flags_ngram_overlap(self, ray_session):
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",   # benchmark
+                "a quick brown fox appears",                     # shares 3-gram
+                "completely different words entirely here",      # clean
+                "",                                              # empty
+            ],
+        }))
+        out = (TS.contamination_stats(docs, benchmark_ids=[0], n=3)
+               .to_pandas().set_index("doc_id"))
+        assert bool(out.loc[0, "contaminated"])          # benchmark self-hit
+        assert bool(out.loc[1, "contaminated"])          # 'quick brown fox'
+        assert not bool(out.loc[2, "contaminated"])
+        assert out.loc[3, "n_grams"] == 0 and not bool(out.loc[3, "contaminated"])
+        assert out.loc[1, "n_contaminated"] == 1
+        # distinct-gram counting: doc 0 has 7 3-grams, all self-contaminated
+        assert out.loc[0, "n_grams"] == 7 == out.loc[0, "n_contaminated"]
+
+    def test_short_doc_and_empty_benchmark(self, ray_session):
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1], "text": ["only two", "three tokens here"]}))
+        out = (TS.contamination_stats(docs, benchmark_ids=[0], n=3)
+               .to_pandas().set_index("doc_id"))
+        # benchmark doc shorter than n → empty benchmark gram set
+        assert not out["contaminated"].any()
+        assert out.loc[0, "n_grams"] == 0 and out.loc[1, "n_grams"] == 1
+
+
 class TestTextStats:
     def test_token_count_matches_python_split(self, docs_with_dups):
         out = TS.token_count(docs_with_dups).to_pandas().set_index("doc_id")
