@@ -27,6 +27,7 @@ import ray.data as rd
 
 from graph_rag_agent_ray import build_kg
 from graph_rag_agent_ray.ops import dedup as D
+from graph_rag_agent_ray.ops import export as EX
 from graph_rag_agent_ray.ops import analytics as AN
 from graph_rag_agent_ray.ops import relational as R
 from graph_rag_agent_ray.ops import similarity as SIM
@@ -530,6 +531,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (~30% hit); production protocol default is n=13
         "contamination": lambda sf: TS.contamination_stats(
             _docs(sf), benchmark_ids=range(5), n=3),
+        # composed export manifest: quality filter -> decontaminate ->
+        # exact-dedup winners -> global token-shard prefix sum, all in one
+        # streaming pipeline (ops/export.training_export)
+        # min_words=40 + decontamination discriminate on the synthetic
+        # token-stream corpus; the prose-only terminal-punct clause is off
+        "training_export": lambda sf: EX.training_export(
+            _docs(sf), benchmark_ids=range(5), budget=5000, n=3,
+            min_words=40, require_terminal=False),
         "kg_chunks": _kg_chunks_q,
         "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples_q,
@@ -688,6 +697,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_per_group": AN.distinct_per_group_sql(),
         "interval_join": R.interval_join_sql(anchor_type="error", window_s=600),
         "contamination": TS.contamination_sql(benchmark_ids=range(5), n=3),
+        "training_export": EX.training_export_sql(
+            benchmark_ids=range(5), budget=5000, n=3,
+            min_words=40, require_terminal=False),
         "minhash_dups": O.minhash_sql(threshold=0.7),
         "simhash_dups": O.simhash_sql(max_hamming=3),
         "ngram_jaccard": O.ngram_jaccard_sql(n=3, threshold=0.5),

@@ -339,6 +339,15 @@ def token_shards(
         })
 
     toks = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    return prefix_shards(toks, budget, n_ranges)
+
+
+def prefix_shards(
+    toks: "ray.data.Dataset", budget: int, n_ranges: int = 64,
+) -> "ray.data.Dataset":
+    """The distributed prefix-sum tail of :func:`token_shards` over an
+    already-counted ``(doc_id, n_tokens)`` dataset — reusable by composed
+    pipelines (e.g. ops/export.training_export) that filter docs first."""
     lo = toks.min("doc_id")
     hi = toks.max("doc_id")
     if lo is None:

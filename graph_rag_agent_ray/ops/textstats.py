@@ -222,6 +222,26 @@ def _doc_ngrams(text: str, n: int) -> set:
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
+def benchmark_gram_set(ds: "ray.data.Dataset", benchmark_ids, n: int) -> set:
+    """Distinct token n-grams of the benchmark docs — one broadcast-filter
+    scan; the collected set is benchmark-sized by definition."""
+    import ray as _ray
+
+    ids_ref = _ray.put(pa.array(sorted(int(b) for b in set(benchmark_ids)),
+                                pa.int64()))
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(
+            pc.is_in(batch.column("doc_id"), value_set=_ray.get(ids_ref)))
+        grams: set = set()
+        for t in pc.utf8_trim_whitespace(sub.column("text")).to_pylist():
+            grams |= _doc_ngrams(t, n)
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    pdf = ds.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    return set(pdf["g"]) if len(pdf) else set()
+
+
 def contamination_stats(
     ds: "ray.data.Dataset", benchmark_ids, n: int = 13,
 ) -> "ray.data.Dataset":
@@ -241,21 +261,7 @@ def contamination_stats(
     """
     import ray as _ray
 
-    bench_ids = set(int(b) for b in benchmark_ids)
-    ids_ref = _ray.put(bench_ids)
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(batch.column("doc_id"),
-                        value_set=pa.array(sorted(_ray.get(ids_ref)), pa.int64()))
-        sub = batch.filter(keep)
-        grams: set = set()
-        for t in pc.utf8_trim_whitespace(sub.column("text")).to_pylist():
-            grams |= _doc_ngrams(t, n)
-        return pa.table({"g": pa.array(sorted(grams), pa.string())})
-
-    bench_pdf = ds.map_batches(
-        bench_grams, batch_format="pyarrow").to_pandas()
-    gram_ref = _ray.put(set(bench_pdf["g"]) if len(bench_pdf) else set())
+    gram_ref = _ray.put(benchmark_gram_set(ds, benchmark_ids, n))
 
     def scan(batch: pa.Table) -> pa.Table:
         bset = _ray.get(gram_ref)

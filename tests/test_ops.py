@@ -415,6 +415,62 @@ class TestSqlOracleEquivalence:
                            con, O.winnow_sql(), ["doc_id", "fp"])
 
 
+class TestTrainingExport:
+    """Composed quality→decontaminate→dedup→shard pipeline vs its one-shot
+    DuckDB oracle, on a corpus where every stage drops something."""
+
+    @pytest.fixture(scope="class")
+    def export_corpus(self, ray_session):
+        import duckdb
+        prose = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "closes with a sentence here.")
+        bench = "secret benchmark answer tokens appear here in order today."
+        rows = [
+            {"doc_id": 0, "text": bench},                     # benchmark doc
+            {"doc_id": 1, "text": prose},                     # clean keeper
+            {"doc_id": 2, "text": prose},                     # exact dup of 1
+            {"doc_id": 3, "text": "too short."},              # quality drop
+            {"doc_id": 4, "text": prose.replace(".", " {x}.")},  # brace drop
+            {"doc_id": 5, "text": "leaked secret benchmark answer tokens in "
+                                  "a long training document that also ends "
+                                  "with proper punctuation right here."},
+            {"doc_id": 6, "text": "another independent document with plenty "
+                                  "of words and a full stop at the end."},
+            {"doc_id": 7, "text": ""},                        # empty
+        ]
+        pdf = pd.DataFrame(rows)
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        return rd.from_pandas(pdf), con
+
+    def test_matches_oracle(self, export_corpus):
+        from graph_rag_agent_ray.ops import export as EX
+        ds, con = export_corpus
+        ours = EX.training_export(
+            ds, benchmark_ids=[0], budget=20, n=3, min_words=5).to_pandas()
+        theirs = con.execute(EX.training_export_sql(
+            benchmark_ids=[0], budget=20, n=3, min_words=5)).df()
+        a = ours.sort_values("doc_id").reset_index(drop=True)[sorted(ours.columns)]
+        b = theirs.sort_values("doc_id").reset_index(drop=True)[sorted(theirs.columns)]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # every stage dropped its target: 0 (benchmark self-hit), 2 (dup of
+        # 1), 3 (short), 4 (brace), 5 (contaminated), 7 (empty)
+        assert sorted(ours["doc_id"]) == [1, 6]
+        # prefix sum is in doc_id order and shards split on the budget
+        assert list(ours.sort_values("doc_id")["start_offset"])[0] == 0
+
+    def test_empty_survivors(self, export_corpus):
+        from graph_rag_agent_ray.ops import export as EX
+        ds, _ = export_corpus
+        out = EX.training_export(
+            ds, benchmark_ids=[0], budget=20, n=3, min_words=10_000)
+        # schema survives the empty branch (to_pandas on an empty Ray
+        # dataset drops columns — a Ray quirk, so check the Dataset schema)
+        assert sorted(out.schema().names) == ["doc_id", "n_tokens", "shard",
+                                              "start_offset"]
+        assert len(out.to_pandas()) == 0
+
+
 class TestMultimodal:
     def test_media_plumbing(self, ray_session):
         from graph_rag_agent_ray.ops.multimodal import (
