@@ -54,16 +54,19 @@ def ensure_corpus(n_docs: int, facts_per_doc: int, dup_rate: float = 0.0,
     touches nearly every surface)."""
     tag = f"_dup{int(dup_rate * 100)}" if dup_rate else ""
     if sparse:
-        tag += "_sparse"
+        tag += "_sparse2"  # v2: intra_p=1.0 (disconnected components)
     path = f"/tmp/bench_corpus_{n_docs}_{facts_per_doc}{tag}"
     if not os.path.exists(f"{path}/documents.parquet"):
         from graph_rag_agent_ray.synth import generate, write_corpus
         if sparse:
+            # intra_p=1.0: the entity graph decomposes into per-cluster
+            # connected components (the topology of a real topical corpus),
+            # so a delta tick re-detects only the touched components
             corpus = generate(n_docs=n_docs, seed=42,
                               facts_per_doc=facts_per_doc,
                               n_entities=min(32_000, max(100, n_docs // 2)),
                               name_mode="structured", doc_locality=True,
-                              dup_rate=dup_rate)
+                              dup_rate=dup_rate, intra_p=1.0)
         else:
             corpus = generate(n_docs=n_docs, seed=42,
                               facts_per_doc=facts_per_doc,
@@ -200,6 +203,11 @@ def run_bench() -> dict:
     timed("knn_ivf_pq",
           lambda: SIM.knn_ivf_pq(emb(), range(8), k=10, n_centroids=16,
                                  m=8, n_codes=64, n_probes=12).count())
+    from graph_rag_agent_ray.ops import export as EXP
+    timed("training_export",
+          lambda: EXP.training_export(docs_flat(), benchmark_ids=range(5),
+                                      budget=5000, n=3, min_words=40,
+                                      require_terminal=False).count())
     timed("embedding_neardup", lambda: D.embedding_neardup_pairs(emb(), 0.35).count())
     timed("neardup_blocked",
           lambda: D.embedding_neardup_blocked(emb(), 0.35, n_bits=2, n_tables=16).count())
@@ -272,6 +280,7 @@ def run_bench() -> dict:
             "delta": {k: int(v) for k, v in delta_sp.items()},
             "update_over_build": round(sparse_update / sparse_build, 3),
             "delta_scoped_stages": _stage_evidence(out_sp_inc)[1],
+            "community_carry": _louvain_evidence(out_sp_inc),
         }
 
     ivf_recall = SIM.knn_recall(emb(), range(8), k=10)
@@ -319,6 +328,22 @@ def run_bench() -> dict:
         },
         "sparse_incremental_headline": sparse_headline,
     }
+
+
+def _louvain_evidence(out_dir: str) -> dict:
+    """Per-component community carry-over evidence from the lineage log:
+    how many components were carried vs re-detected and the detection wall."""
+    import json as _json
+    try:
+        with open(os.path.join(out_dir, "_lineage.jsonl")) as f:
+            rows = [_json.loads(l) for l in f if '"louvain"' in l]
+        r = rows[-1]
+        return {"components_carried": r.get("components_carried", 0),
+                "components_detected": r.get("components_detected", 0),
+                "cached": bool(r.get("cached")),
+                "wall_s": r.get("wall_s")}
+    except (OSError, IndexError):
+        return {}
 
 
 def _stage_evidence(out_dir: str) -> tuple:

@@ -311,6 +311,17 @@ def _graph_fingerprint(edges_pdf: pd.DataFrame, cfg: KGConfig) -> str:
     )
 
 
+def _parts_table(parts_pdf: pd.DataFrame) -> pa.Table:
+    """(entity_id, comp_fp, levels) per-component membership parts → Arrow
+    (the membership_parts snapshot the per-component carry-over reads)."""
+    return pa.table({
+        "entity_id": pa.array(list(parts_pdf["entity_id"]), pa.string()),
+        "comp_fp": pa.array(list(parts_pdf["comp_fp"]), pa.string()),
+        "levels": pa.array([list(map(int, x)) for x in parts_pdf["levels"]],
+                           pa.list_(pa.int32())),
+    })
+
+
 def _member_levels_from_table(pdf: pd.DataFrame) -> Dict[str, list]:
     """Inverse of communities.community_membership_table — rebuild the
     entity_id -> [community number per level] dict from the snapshot."""
@@ -362,13 +373,37 @@ def communities_and_entities(
                     src.read("membership").to_pandas())
                 detect_cached = True
                 break
+    n_carried = n_detected = 0
     if member_levels is None:
         if driver_local:
-            member_levels = CM.detect_communities(edges_pdf, cfg)
+            # tier 2: per-component carry-over — components whose subgraph
+            # is unchanged since the previous tick reuse their stored local
+            # membership; only dirty components re-run Leiden
+            carry = None
+            for src in (prev, store):
+                if src is not None and src.manifest("membership_parts"):
+                    carry = src.read("membership_parts").to_pandas()
+                    break
+            member_levels, parts_pdf, n_carried, n_detected = (
+                CM.detect_communities_partitioned(edges_pdf, cfg,
+                                                  carry_parts=carry))
+            if graph_fp is not None and not store.is_complete(
+                    "membership_parts", graph_fp):
+                store.write("membership_parts",
+                            ray.data.from_arrow(_parts_table(parts_pdf)),
+                            graph_fp)
         else:
             member_levels = CM.detect_communities_distributed(edges, cfg)
+    elif (prev is not None and prev.manifest("membership_parts")
+          and not store.manifest("membership_parts")):
+        # tier-1 (whole-graph) hit: forward the per-component parts so the
+        # NEXT tick can still carry when only this run's store is consulted
+        store.write("membership_parts", prev.read("membership_parts"),
+                    graph_fp)
     lineage.record("louvain", cached=detect_cached,
-                   wall_s=_time.monotonic() - _t)
+                   wall_s=_time.monotonic() - _t,
+                   components_carried=n_carried,
+                   components_detected=n_detected)
     membership_tbl = CM.community_membership_table(member_levels)
     if graph_fp is not None and not store.is_complete("membership", graph_fp):
         store.write("membership", ray.data.from_arrow(membership_tbl), graph_fp)

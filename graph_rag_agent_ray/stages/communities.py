@@ -185,11 +185,16 @@ def detect_communities_distributed(
 
     membership = hash_partitioned_groupby(tagged, ["component"], detect_bucket,
                                           n_buckets=32).to_pandas()
+    return _renumber_global(membership)
+
+
+def _renumber_global(membership: pd.DataFrame) -> Dict[str, List[int]]:
+    """Global canonical renumbering of per-component local memberships:
+    per level, communities (keyed by component + local number) ordered by
+    their smallest member — identical labels to a driver-local run on the
+    same graph. ``membership`` rows: (entity_id, component, levels)."""
     if membership.empty:
         return {}
-
-    # global renumbering: per level, communities ordered by their smallest
-    # member — identical labels to a driver-local run on the same graph
     max_levels = membership["levels"].map(len).max()
     out: Dict[str, List[int]] = {e: [] for e in membership["entity_id"]}
     for level in range(max_levels):
@@ -207,6 +212,120 @@ def detect_communities_distributed(
             for ent in members:
                 out[ent].append(num)
     return out
+
+
+def component_fingerprints(
+    edges_pdf: pd.DataFrame, cfg: KGConfig | None = None
+) -> pd.DataFrame:
+    """Tag the aggregated undirected simple graph with connected components
+    and a content fingerprint per component subgraph (+ detection knobs).
+    Returns (u, v, weight, component, comp_fp) — one row per simple edge.
+
+    The fingerprint is order-independent (sum of row hashes over the
+    canonicalized (u, v, weight) rows), so a component whose subgraph is
+    byte-identical across ticks hashes identically regardless of edge order
+    or which documents produced it. Weight changes conservatively dirty the
+    component even for detectors that ignore weights."""
+    import numpy as np
+
+    from ..functions.unionfind import UnionFind
+    from ..state.snapshots import fingerprint
+
+    cfg = cfg or KGConfig()
+    if edges_pdf.empty or "src" not in edges_pdf.columns:
+        return pd.DataFrame({"u": pd.Series(dtype=object),
+                             "v": pd.Series(dtype=object),
+                             "weight": pd.Series(dtype=float),
+                             "component": pd.Series(dtype=object),
+                             "comp_fp": pd.Series(dtype=object)})
+    df = edges_pdf[["src", "dst", "weight"]]
+    df = df[df["src"] != df["dst"]]
+    lo = df[["src", "dst"]].min(axis=1)
+    hi = df[["src", "dst"]].max(axis=1)
+    agg = (
+        pd.DataFrame({"u": lo, "v": hi, "weight": df["weight"].astype(float)})
+        .groupby(["u", "v"], sort=False)["weight"].sum().reset_index()
+    )
+    uf = UnionFind()
+    for u, v in zip(agg["u"], agg["v"]):
+        uf.union(u, v)
+    amap = uf.alias_map()
+    agg["component"] = agg["u"].map(amap)
+    row_hash = pd.util.hash_pandas_object(
+        agg[["u", "v", "weight"]], index=False).to_numpy()
+    content = pd.DataFrame({
+        "component": agg["component"],
+        "h": row_hash,
+    }).groupby("component")["h"].agg(
+        lambda s: int(np.asarray(s, dtype=np.uint64).sum(dtype=np.uint64)))
+    sizes = agg.groupby("component").size()
+    knobs = (cfg.community_algorithm, cfg.community_seed, cfg.community_gamma,
+             cfg.community_max_levels, cfg.community_objective,
+             cfg.sllpa_max_iterations, cfg.sllpa_min_association)
+    fps = {c: fingerprint("community_component", int(content[c]),
+                          int(sizes[c]), *knobs)
+           for c in content.index}
+    agg["comp_fp"] = agg["component"].map(fps)
+    return agg
+
+
+def detect_communities_partitioned(
+    edges_pdf: pd.DataFrame,
+    cfg: KGConfig | None = None,
+    carry_parts: pd.DataFrame | None = None,
+) -> Tuple[Dict[str, List[int]], pd.DataFrame, int, int]:
+    """Driver-local per-component detection with content-addressed
+    per-component carry-over (the incremental analogue of the whole-graph
+    detection cache): CPM-objective Leiden never forms a community across
+    disconnected components, so a component whose subgraph is unchanged
+    since the previous tick reuses its stored local membership verbatim and
+    only dirty components re-run detection.
+
+    ``carry_parts`` rows (from a previous tick's ``membership_parts``
+    snapshot): (entity_id, comp_fp, levels list<int>) — local community
+    numbers per level WITHIN the component, which are invariant to what the
+    rest of the graph looks like. The returned global ``member_levels``
+    renumbers all components together (smallest-member order per level,
+    the same convention as detect_communities_distributed), so the result
+    is a pure function of the current graph — identical whether every
+    component was carried, freshly detected, or mixed.
+
+    Returns (member_levels, parts_pdf, n_carried, n_detected)."""
+    cfg = cfg or KGConfig()
+    agg = component_fingerprints(edges_pdf, cfg)
+    if agg.empty:
+        empty = pd.DataFrame({"entity_id": pd.Series(dtype=object),
+                              "comp_fp": pd.Series(dtype=object),
+                              "levels": pd.Series(dtype=object)})
+        return {}, empty, 0, 0
+
+    carried_fps: set = set()
+    frames: List[pd.DataFrame] = []
+    if carry_parts is not None and len(carry_parts):
+        live = set(agg["comp_fp"].unique())
+        hit = carry_parts[carry_parts["comp_fp"].isin(live)]
+        if len(hit):
+            frames.append(hit[["entity_id", "comp_fp", "levels"]].copy())
+            carried_fps = set(hit["comp_fp"].unique())
+
+    n_detected = 0
+    for fp, g in agg.groupby("comp_fp", sort=False):
+        if fp in carried_fps:
+            continue
+        local = detect_communities(
+            g.rename(columns={"u": "src", "v": "dst"}), cfg)
+        frames.append(pd.DataFrame({
+            "entity_id": list(local.keys()),
+            "comp_fp": fp,
+            "levels": [list(map(int, v)) for v in local.values()],
+        }))
+        n_detected += 1
+
+    parts = pd.concat(frames, ignore_index=True)
+    membership = parts.rename(columns={"comp_fp": "component"})
+    member_levels = _renumber_global(
+        membership[["entity_id", "component", "levels"]])
+    return member_levels, parts, len(carried_fps), n_detected
 
 
 def community_membership_table(member_levels: Dict[str, List[int]]) -> pa.Table:

@@ -158,7 +158,8 @@ def generate(n_docs: int = 100, seed: int = 42,
              media_rate: float = 0.03,
              dup_rate: float = 0.0,
              name_mode: str = "separated",
-             doc_locality: bool = False) -> SynthCorpus:
+             doc_locality: bool = False,
+             intra_p: float = INTRA_P) -> SynthCorpus:
     """``dup_rate`` appends ``int(n_docs * dup_rate)`` EXACT-duplicate
     documents (copies of earlier docs under fresh doc_ids, media refs
     rewritten to the new doc). Duplicate docs share every chunk_id
@@ -239,7 +240,9 @@ def generate(n_docs: int = 100, seed: int = 42,
     # cluster), else an independent global draw (sparse inter-cluster noise)
     oi_global = draw_cluster_zipf(total_facts)
     within_o = rng.choice(CLUSTER_SIZE, p=zipf_k, size=total_facts)
-    intra_mask = rng.random(total_facts) < INTRA_P
+    # intra_p=1.0 plants a DISCONNECTED graph (clusters = connected
+    # components) — the per-component community carry-over regime
+    intra_mask = rng.random(total_facts) < intra_p
     c_start = (si_all // CLUSTER_SIZE) * CLUSTER_SIZE
     c_size = np.minimum(c_start + CLUSTER_SIZE, n_entities) - c_start
     oi_intra = c_start + (within_o % c_size)
