@@ -311,6 +311,30 @@ def _graph_fingerprint(edges_pdf: pd.DataFrame, cfg: KGConfig) -> str:
     )
 
 
+def _write_summary_cache(store: SnapshotStore, communities, sc_fp: str,
+                         prev_cache: Dict[str, str], lineage) -> None:
+    """Persist {sha1(full_content): summary} for every model-summarized
+    community (top-N-sized) so the next tick carries unchanged communities.
+    Error sentinels are excluded — a failed summary retries next tick."""
+    from ..stages.communities import ModelSummarizer, summary_content_key
+
+    pdf = communities.select_columns(["summary", "full_content"]).to_pandas()
+    if len(pdf):
+        pdf = pdf[(pdf["summary"] != "")
+                  & (pdf["summary"] != ModelSummarizer.ERROR_SENTINEL)]
+    keys = [summary_content_key(fc) for fc in pdf.get("full_content", [])]
+    hits = sum(1 for k in keys if k in prev_cache)
+    tbl = pa.table({
+        "content_key": pa.array(keys, pa.string()),
+        "summary": pa.array(list(pdf.get("summary", [])), pa.string()),
+    })
+    if not store.is_complete("summary_cache", sc_fp):
+        store.write("summary_cache", ray.data.from_arrow(tbl), sc_fp)
+    lineage.record("summary_cache", cached=False, wall_s=0.0,
+                   summaries_carried=int(hits),
+                   summaries_generated=int(len(keys) - hits))
+
+
 def _parts_table(parts_pdf: pd.DataFrame) -> pa.Table:
     """(entity_id, comp_fp, levels) per-component membership parts → Arrow
     (the membership_parts snapshot the per-component carry-over reads)."""
@@ -417,11 +441,25 @@ def communities_and_entities(
                 f"{getattr(summarizer_factory, '__module__', '?')}."
                 f"{getattr(summarizer_factory, '__qualname__', repr(summarizer_factory))}")
     comm_fp = fingerprint(alias_fp, "communities", sumr_tag)
+    # content-addressed per-community summary carry-over (model path only):
+    # the model prompt is a pure function of full_content, so an unchanged
+    # community's summary carries across ticks without a model call. The
+    # cache snapshot is top-N-sized (≤ community_top_n_summaries rows).
+    sum_cache: Dict[str, str] = {}
+    sc_fp = fingerprint("summary_cache", sumr_tag)
+    if summarizer_factory is not None:
+        for src in (prev, store):
+            if src is not None and src.is_complete("summary_cache", sc_fp):
+                sc_pdf = src.read("summary_cache").to_pandas()
+                if len(sc_pdf) and "content_key" in sc_pdf.columns:
+                    sum_cache = dict(zip(sc_pdf["content_key"],
+                                         sc_pdf["summary"]))
+                break
     if driver_local:
         ranks_pdf = ranks.to_pandas()
         comm_pdf = CM.summarize_communities_local(
             member_levels, edges_pdf, ranks_pdf, cfg,
-            summarizer_factory=summarizer_factory)
+            summarizer_factory=summarizer_factory, summary_cache=sum_cache)
         comm_arrow = pa.Table.from_pandas(comm_pdf, preserve_index=False)
         communities = store.run_stage(
             "communities", comm_fp,
@@ -433,9 +471,12 @@ def communities_and_entities(
             "communities", comm_fp,
             lambda: CM.summarize_communities(
                 membership, edges_pdf, ranks, cfg,
-                summarizer_factory=summarizer_factory),
+                summarizer_factory=summarizer_factory,
+                summary_cache=sum_cache),
             lineage,
         )
+    if summarizer_factory is not None:
+        _write_summary_cache(store, communities, sc_fp, sum_cache, lineage)
 
     # ---- final entities: attach degree + community levels (broadcast maps) ----
     if len(edges_pdf) and "src" in edges_pdf.columns:

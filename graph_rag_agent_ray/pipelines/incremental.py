@@ -240,7 +240,7 @@ def _canon_mentions_map(alias_ref):
 def _delta_graph_build(
     docs_new, store: SnapshotStore, prev: SnapshotStore, cfg: KGConfig,
     base_fp: str, extractor_cls, dirty: Set[str], kept: Set[str],
-    removed: Set[str], lineage: LineageLog,
+    removed: Set[str], lineage: LineageLog, summarizer_factory=None,
 ) -> Dict[str, "ray.data.Dataset"]:
     """The delta-scoped update: every per-doc stage and every corpus-sized
     shuffle runs only on the touched subset; untouched rows carry over from
@@ -556,7 +556,7 @@ def _delta_graph_build(
     # ---- communities + final entities (shared tail; entity-scale) ----
     entities_final, communities = communities_and_entities(
         store, lineage, cfg, alias_fp, alias_ref, embedded, edges,
-        mentions_canon, prev=prev)
+        mentions_canon, summarizer_factory=summarizer_factory, prev=prev)
 
     t0 = time.monotonic()
     for f in pending:
@@ -588,7 +588,7 @@ def _delta_graph_build(
 def _legacy_incremental(
     docs_new, store: SnapshotStore, prev: SnapshotStore, cfg: KGConfig,
     base_fp: str, out_dir: str, input_token: str, extractor_cls,
-    dirty: Set[str], kept: Set[str],
+    dirty: Set[str], kept: Set[str], summarizer_factory=None,
 ) -> Dict[str, "ray.data.Dataset"]:
     """Merge the per-doc snapshots that DO exist under the new build's
     fingerprints, then run ``build_kg`` (it resumes into the downstream
@@ -630,7 +630,8 @@ def _legacy_incremental(
     writes.shutdown()
 
     return build_kg(docs_new, out_dir, cfg=cfg, input_token=input_token,
-                    extractor_cls=extractor_cls)
+                    extractor_cls=extractor_cls,
+                    summarizer_factory=summarizer_factory)
 
 
 def incremental_build_kg(
@@ -640,6 +641,7 @@ def incremental_build_kg(
     cfg: Optional[KGConfig] = None,
     input_token: str = "",
     extractor_cls=MockLLMExtractor,
+    summarizer_factory=None,
 ) -> Tuple[Dict[str, "ray.data.Dataset"], Dict[str, int]]:
     """Update the KG at ``out_dir`` given the previous build at ``prev_dir``.
 
@@ -683,11 +685,13 @@ def incremental_build_kg(
     if cfg.incremental_snapshots and all(prev.manifest(s) for s in DELTA_STAGES):
         tables = _delta_graph_build(
             docs_new, store, prev, cfg, base_fp, extractor_cls,
-            dirty, kept, removed, lineage)
+            dirty, kept, removed, lineage,
+            summarizer_factory=summarizer_factory)
     else:
         tables = _legacy_incremental(
             docs_new, store, prev, cfg, base_fp, out_dir, input_token,
-            extractor_cls, dirty, kept)
+            extractor_cls, dirty, kept,
+            summarizer_factory=summarizer_factory)
 
     store.write(REGISTRY_STAGE, new_registry, fingerprint(base_fp, REGISTRY_STAGE))
     return tables, counts

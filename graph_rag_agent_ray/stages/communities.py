@@ -381,6 +381,7 @@ def summarize_communities_local(
     ranks_pdf: pd.DataFrame,
     cfg: KGConfig | None = None,
     summarizer_factory=None,
+    summary_cache=None,
 ) -> pd.DataFrame:
     """Driver-side fast path of :func:`summarize_communities` for builds that
     already detected communities driver-locally (the membership, edge list
@@ -450,7 +451,8 @@ def summarize_communities_local(
         # top-N rows go through the same actor-pool stage as the distributed
         # variant (reference parallelizes exactly this step, base.py:225-250)
         pdf = (_model_summary_stage(ray.data.from_pandas(pdf),
-                                    summarizer_factory, top_ids, cfg)
+                                    summarizer_factory, top_ids, cfg,
+                                    summary_cache=summary_cache)
                .to_pandas().sort_values("community_id").reset_index(drop=True))
     return pdf
 
@@ -497,7 +499,7 @@ class ModelSummarizer:
     SYSTEM_PROMPT = "给定一个输入三元组，生成信息摘要。没有序言。"
 
     def __init__(self, client=None, client_factory=None, top_ids=None,
-                 retries: int = 3, backoff_s: float = 0.0):
+                 retries: int = 3, backoff_s: float = 0.0, cache=None):
         if client is not None:
             self._client = client
         elif client_factory is not None:
@@ -508,11 +510,20 @@ class ModelSummarizer:
         self._top = None if top_ids is None else set(top_ids)
         self._retries = retries
         self._backoff = backoff_s
+        # content-addressed summary cache {sha1(full_content): summary} —
+        # the model prompt is a pure function of full_content, so an
+        # unchanged community's summary carries over across ticks without a
+        # model call (the reference's summary-reuse semantics). Error
+        # sentinels are never cached, so failures retry next tick.
+        self._cache = dict(cache) if cache else {}
 
     def summarize_one(self, full_content: str) -> str:
         from .llm import call_with_retry
         if len(full_content) < 10:
             return self.NO_INFO_SENTINEL
+        hit = self._cache.get(summary_content_key(full_content))
+        if hit is not None:
+            return hit
         msgs = [{"role": "system", "content": self.SYSTEM_PROMPT},
                 {"role": "user", "content": full_content}]
         out = call_with_retry(self._client, msgs, retries=self._retries,
@@ -530,15 +541,25 @@ class ModelSummarizer:
         return batch
 
 
+def summary_content_key(full_content: str) -> str:
+    """Content address of one community's model prompt (the summary is a
+    pure function of full_content — members + intra edges)."""
+    import hashlib
+
+    return hashlib.sha1(full_content.encode("utf-8")).hexdigest()
+
+
 def _model_summary_stage(ds: "ray.data.Dataset", summarizer_factory,
-                         top_ids, cfg: KGConfig) -> "ray.data.Dataset":
+                         top_ids, cfg: KGConfig,
+                         summary_cache=None) -> "ray.data.Dataset":
     """Attach the actor-pool model-summary stage to a communities dataset:
     small batches (model calls dominate), elastic pool so it never starves
-    upstream stages of CPUs."""
+    upstream stages of CPUs. ``summary_cache`` ({content_key: summary},
+    top-N-sized) short-circuits unchanged communities."""
     return ds.map_batches(
         ModelSummarizer,
         fn_constructor_kwargs=dict(client_factory=summarizer_factory,
-                                   top_ids=top_ids),
+                                   top_ids=top_ids, cache=summary_cache),
         batch_format="pandas", batch_size=16,
         concurrency=(1, max(2, cfg.extract_concurrency)),
     )
@@ -550,6 +571,7 @@ def summarize_communities(
     ranks: "ray.data.Dataset",
     cfg: KGConfig | None = None,
     summarizer_factory=None,
+    summary_cache=None,
 ) -> "ray.data.Dataset":
     """Top-N communities by rank get summaries (reference takes top 200 by
     rank — community/summary/leiden.py:36-39); all communities get rows.
@@ -643,5 +665,6 @@ def summarize_communities(
 
     out = per_comm.map_batches(attach_rank, batch_format="pyarrow", batch_size=4096)
     if summarizer_factory is not None and top_ids:
-        out = _model_summary_stage(out, summarizer_factory, top_ids, cfg)
+        out = _model_summary_stage(out, summarizer_factory, top_ids, cfg,
+                                   summary_cache=summary_cache)
     return out

@@ -92,6 +92,22 @@ class TestModelSummarizer:
         with pytest.raises(NotImplementedError):
             CM.ModelSummarizer()  # no client injected, no openai package/env
 
+    def test_cache_hit_skips_model(self):
+        """A content-addressed cache hit returns the carried summary without
+        touching the client at all (no model call on unchanged communities)."""
+        class Boom:
+            def complete(self, messages):  # pragma: no cover - must not run
+                raise AssertionError("model must not be called on a hit")
+
+        fc = _digest(["a", "b", "c"], [("a", "b", "rel")])
+        cache = {CM.summary_content_key(fc): "carried summary"}
+        s = CM.ModelSummarizer(client=Boom(), backoff_s=0.0, cache=cache)
+        assert s.summarize_one(fc) == "carried summary"
+        # a different full_content misses the cache and reaches the client
+        # (whose failure is swallowed by the retry ladder → error sentinel)
+        out = s.summarize_one(_digest(["x", "y", "z"], []))
+        assert out == CM.ModelSummarizer.ERROR_SENTINEL
+
 
 class TestFullBuildWithModelSummarizer:
     def test_build_kg_summaries_through_production_path(self, ray_session,
@@ -128,6 +144,55 @@ class TestFullBuildWithModelSummarizer:
                 ["src", "pred", "dst"]).reset_index(drop=True),
             t_model["edges"].to_pandas().sort_values(
                 ["src", "pred", "dst"]).reset_index(drop=True))
+
+    def test_summary_cache_carries_across_ticks(self, ray_session, tmp_path):
+        """An incremental tick with the model summarizer carries unchanged
+        communities' summaries content-addressed (lineage evidence), and the
+        tick's summaries equal a fresh model build's value-exactly."""
+        import json
+
+        import pyarrow as pa
+        from graph_rag_agent_ray import build_kg
+        from graph_rag_agent_ray import schema as S
+        from graph_rag_agent_ray.pipelines.incremental import (
+            incremental_build_kg,
+            write_registry,
+        )
+        from graph_rag_agent_ray.synth import generate
+
+        corpus = generate(n_docs=25, seed=9, doc_locality=True, intra_p=1.0)
+        docs_v1 = rd.from_arrow(corpus.documents)
+        d1 = str(tmp_path / "v1")
+        build_kg(docs_v1, d1, input_token="v1",
+                 summarizer_factory=DigestSummaryClient)
+        write_registry(docs_v1, d1, input_token="v1")
+        with open(f"{d1}/_lineage.jsonl") as f:
+            sc1 = [json.loads(l) for l in f if '"summary_cache"' in l][-1]
+        assert sc1["summaries_generated"] > 0
+        assert sc1["summaries_carried"] == 0
+
+        rows = corpus.documents.to_pylist()
+        rows[0]["spans"][0]["text"] += (
+            " The organization Zephyrix Corp collaborates with "
+            "the technology Quantaflux。")
+        v2 = pa.Table.from_pylist(rows, schema=S.DOCUMENTS)
+        d2 = str(tmp_path / "v2")
+        t_inc, _ = incremental_build_kg(
+            rd.from_arrow(v2), d2, d1, input_token="v2",
+            summarizer_factory=DigestSummaryClient)
+        with open(f"{d2}/_lineage.jsonl") as f:
+            sc2 = [json.loads(l) for l in f if '"summary_cache"' in l][-1]
+        assert sc2["summaries_carried"] > 0
+        assert sc2["summaries_carried"] >= sc2["summaries_generated"]
+
+        t_full = build_kg(rd.from_arrow(v2), str(tmp_path / "full"),
+                          input_token="v2f",
+                          summarizer_factory=DigestSummaryClient)
+        a = t_inc["communities"].to_pandas().sort_values(
+            "community_id").reset_index(drop=True)
+        b = t_full["communities"].to_pandas().sort_values(
+            "community_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
     def test_distributed_summarize_path(self, ray_session):
         """summarize_communities (the non-driver-local variant) routes top
