@@ -222,10 +222,15 @@ def component_fingerprints(
     Returns (u, v, weight, component, comp_fp) — one row per simple edge.
 
     The fingerprint is order-independent (sum of row hashes over the
-    canonicalized (u, v, weight) rows), so a component whose subgraph is
+    canonicalized simple-edge rows), so a component whose subgraph is
     byte-identical across ticks hashes identically regardless of edge order
-    or which documents produced it. Weight changes conservatively dirty the
-    component even for detectors that ignore weights."""
+    or which documents produced it. Weight sensitivity follows the detector:
+    Louvain consumes aggregated weights, so its fingerprints hash
+    (u, v, weight); Leiden and SLPA run unweighted (see detect_communities),
+    so their fingerprints hash topology only — weight-only churn (e.g. the
+    same fact re-asserted by a new duplicate doc) carries the component
+    instead of re-detecting an identical partition. The algorithm name is
+    part of the knob tuple, so the two tiers never share cache entries."""
     import numpy as np
 
     from ..functions.unionfind import UnionFind
@@ -251,8 +256,12 @@ def component_fingerprints(
         uf.union(u, v)
     amap = uf.alias_map()
     agg["component"] = agg["u"].map(amap)
+    # weight-insensitive tier for unweighted detectors (leiden forces 1.0
+    # edges; slpa ignores its weight operand — functions/slpa.py:41)
+    fp_cols = (["u", "v", "weight"] if cfg.community_algorithm == "louvain"
+               else ["u", "v"])
     row_hash = pd.util.hash_pandas_object(
-        agg[["u", "v", "weight"]], index=False).to_numpy()
+        agg[fp_cols], index=False).to_numpy()
     content = pd.DataFrame({
         "component": agg["component"],
         "h": row_hash,

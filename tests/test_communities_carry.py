@@ -73,15 +73,40 @@ class TestPartitionedDetection:
         ml_fresh, _, _, _ = CM.detect_communities_partitioned(g2, cfg)
         assert ml2 == ml_fresh
 
-    def test_weight_change_dirties_component(self, two_component_graph):
+    def test_weight_change_carries_for_unweighted_detector(
+            self, two_component_graph):
+        # default detector (leiden) runs unweighted: weight-only churn must
+        # NOT dirty the component (TODO 20 — weight-insensitive tier)
         cfg = KGConfig()
+        ml1, parts1, _, _ = CM.detect_communities_partitioned(
+            two_component_graph, cfg)
+        g2 = two_component_graph.copy()
+        g2.loc[0, "weight"] = 9.0  # a-b weight change, same topology
+        ml2, _, n_car, n_det = CM.detect_communities_partitioned(
+            g2, cfg, carry_parts=parts1)
+        assert n_car == 2 and n_det == 0
+        assert ml1 == ml2  # carried result equals the (identical) detection
+
+    def test_weight_change_dirties_component_for_louvain(
+            self, two_component_graph):
+        # louvain consumes weights: weight churn must re-detect
+        cfg = KGConfig(community_algorithm="louvain")
         _, parts1, _, _ = CM.detect_communities_partitioned(
             two_component_graph, cfg)
         g2 = two_component_graph.copy()
         g2.loc[0, "weight"] = 9.0  # a-b weight change, same topology
-        _, _, n_car, n_det = CM.detect_communities_partitioned(
+        ml2, _, n_car, n_det = CM.detect_communities_partitioned(
             g2, cfg, carry_parts=parts1)
-        assert n_car == 1 and n_det == 1  # conservative: weight dirties
+        assert n_car == 1 and n_det == 1
+        ml_fresh, _, _, _ = CM.detect_communities_partitioned(g2, cfg)
+        assert ml2 == ml_fresh
+
+    def test_tiers_share_no_cache_entries(self, two_component_graph):
+        # same topology, different algorithm -> disjoint fingerprints
+        a = CM.component_fingerprints(two_component_graph, KGConfig())
+        b = CM.component_fingerprints(
+            two_component_graph, KGConfig(community_algorithm="louvain"))
+        assert not (set(a["comp_fp"]) & set(b["comp_fp"]))
 
     def test_stale_parts_ignored(self, two_component_graph):
         cfg = KGConfig()
