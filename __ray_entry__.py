@@ -31,6 +31,8 @@ from graph_rag_agent_ray.ops import export as EX
 from graph_rag_agent_ray.ops import analytics as AN
 from graph_rag_agent_ray.ops import relational as R
 from graph_rag_agent_ray.ops import similarity as SIM
+from graph_rag_agent_ray.ops import sketches as SK
+from graph_rag_agent_ray.ops import spans as SP
 from graph_rag_agent_ray.ops import textstats as TS
 from graph_rag_agent_ray.ops import windows as W
 from graph_rag_agent_ray.ops.multimodal import decode_media, media_from_documents
@@ -539,6 +541,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_export": lambda sf: EX.training_export(
             _docs(sf), benchmark_ids=range(5), budget=5000, n=3,
             min_words=40, require_terminal=False),
+        # ExactSubstr dedup (Lee et al. 2022): rolling-hash candidates ->
+        # substring-verified duplicated positions -> maximal per-doc spans;
+        # the strip variant removes every duplicated span
+        "duplicate_spans": lambda sf: SP.duplicate_spans(_docs(sf), length=20),
+        "strip_dup_spans": lambda sf: SP.strip_duplicate_spans(
+            _docs(sf), length=20),
+        # heavy-hitter token n-grams (map-side combine before the one
+        # gram-keyed shuffle; HAVING runs inside complete-key reducers)
+        "frequent_ngrams": lambda sf: TS.frequent_ngrams(
+            _docs(sf), n=2, min_count=5),
+        # HyperLogLog distinct sketch: the register TABLE is deterministic
+        # (string registers + integer ranks), so the sketch machinery is
+        # hash-exact even though the derived estimate is approximate
+        "hll_registers": lambda sf: SK.hll_registers(
+            _tbl(sf, "events", ["event_type", "user_id"])),
         "kg_chunks": _kg_chunks_q,
         "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples_q,
@@ -697,6 +714,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_per_group": AN.distinct_per_group_sql(),
         "interval_join": R.interval_join_sql(anchor_type="error", window_s=600),
         "contamination": TS.contamination_sql(benchmark_ids=range(5), n=3),
+        "duplicate_spans": SP.duplicate_spans_sql(length=20),
+        "strip_dup_spans": SP.strip_duplicate_spans_sql(length=20),
+        "frequent_ngrams": TS.frequent_ngrams_sql(n=2, min_count=5),
+        "hll_registers": SK.hll_registers_sql(),
         "training_export": EX.training_export_sql(
             benchmark_ids=range(5), budget=5000, n=3,
             min_words=40, require_terminal=False),

@@ -76,14 +76,20 @@ def hash_join(
     how: str = "inner",
     n_buckets: int = 32,
     suffixes: tuple = ("", "_r"),
+    lcols: Sequence[str] | None = None,
+    rcols: Sequence[str] | None = None,
 ) -> "ray.data.Dataset":
     """Distributed hash join: both sides bucketed by ``hash(on) % n_buckets``,
     matching buckets merged with pandas inside one task each — the explicit
     partitioned hash join from the Ray guide for large⋈large (broadcast the
-    small side instead when one side fits an object-store put)."""
+    small side instead when one side fits an object-store put).
+
+    ``lcols``/``rcols``: pass the column lists explicitly when a side may be
+    EMPTY (an all-empty Dataset has no schema to introspect — e.g. the
+    candidate side of a verification join on a clean corpus)."""
     on = list(on)
-    lcols = [f for f in left.schema().names]
-    rcols = [f for f in right.schema().names]
+    lcols = list(lcols) if lcols is not None else list(left.schema().names)
+    rcols = list(rcols) if rcols is not None else list(right.schema().names)
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
     def tag(side: str):

@@ -1,0 +1,140 @@
+"""Sketch operators — bounded-memory approximations of corpus-wide
+aggregates, the scale path where exact counterparts shuffle too much.
+
+First member: HyperLogLog distinct-count registers (Flajolet et al. 2007,
+"HyperLogLog: the analysis of a near-optimal cardinality estimation
+algorithm"). The exact companion is ``ops/analytics.distinct_per_group``,
+whose shuffle volume is O(distinct pairs); the HLL sketch shuffles at most
+``groups x m`` register rows regardless of corpus size — the documented
+"swap in HLL partials" option of that op.
+
+Determinism/oracle design: the register index is the first ``prefix_chars``
+HEX characters of md5(key) (kept as a STRING so the SQL oracle never parses
+hex into integers), the rank is 1 + the number of leading zero BITS of the
+remaining 56-bit hex suffix — both integer/string-exact, so the full
+register table hash-compares against a DuckDB oracle even though the
+*estimate* is approximate. The estimate itself is a driver-side fold over
+the (tiny) register table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+import ray.data
+
+from ..functions.shuffle import hash_partitioned_groupby
+
+
+def _register_rank(hexdigest: str, prefix_chars: int) -> tuple[str, int]:
+    """(register, rank) of one md5 hex digest. Rank counts leading zero bits
+    of the hex suffix chars [prefix_chars, 16) — 4*(16-prefix_chars) bits —
+    plus one; an all-zero suffix ranks bits+1 (the HLL convention for the
+    max observable rank at this hash width)."""
+    bits = 4 * (16 - prefix_chars)
+    suffix = int(hexdigest[prefix_chars:16], 16)
+    rank = bits + 1 if suffix == 0 else bits - suffix.bit_length() + 1
+    return hexdigest[:prefix_chars], rank
+
+
+def hll_registers(
+    ds: "ray.data.Dataset",
+    key: str = "event_type",
+    distinct_col: str = "user_id",
+    prefix_chars: int = 2,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group HyperLogLog registers: (key, register, max_rank), one row
+    per non-empty register (m = 16^prefix_chars registers per group; absent
+    rows are rank-0 by convention).
+
+    Shape: per-batch map-side fold to register partials (a batch emits at
+    most groups x m rows no matter how many input rows it held), then ONE
+    max-combine shuffle over (key, register) — the sketch property is
+    precisely that this shuffle is corpus-size-independent. max is
+    associative/commutative, so the result is layout- and order-exact:
+    the whole table hash-compares against the DuckDB oracle."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, distinct_col]].drop_duplicates()
+        regs = []
+        ranks = []
+        for v in d[distinct_col].astype(str):
+            hx = hashlib.md5(v.encode("utf-8")).hexdigest()
+            r, rk = _register_rank(hx, prefix_chars)
+            regs.append(r)
+            ranks.append(rk)
+        part = pd.DataFrame({key: d[key].to_numpy(), "register": regs,
+                             "max_rank": pd.array(ranks, dtype="int64")})
+        return (part.groupby([key, "register"], sort=False)["max_rank"]
+                .max().reset_index())
+
+    parts = ds.map_batches(partials, batch_format="pandas", batch_size=16384)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby([key, "register"], sort=False)["max_rank"]
+               .max().reset_index())
+        out["max_rank"] = out["max_rank"].astype("int64")
+        return out
+
+    return hash_partitioned_groupby(parts, [key, "register"], combine,
+                                    n_buckets=n_buckets)
+
+
+def hll_registers_sql(key: str = "event_type", distinct_col: str = "user_id",
+                      prefix_chars: int = 2, table: str = "events") -> str:
+    """DuckDB oracle for :func:`hll_registers` — same md5/string-register/
+    leading-zero-bit spec, computed without any hex→int conversion: z leading
+    '0' hex chars contribute 4z zero bits and the first nonzero hex char c
+    contributes clz(c) more (c in 1→3, 2-3→2, 4-7→1, 8-f→0)."""
+    bits = 4 * (16 - prefix_chars)
+    suf_start = prefix_chars + 1  # substr is 1-based
+    suf_len = 16 - prefix_chars
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {key}, md5(CAST({distinct_col} AS VARCHAR)) AS hx
+  FROM {table}
+), z AS (
+  SELECT {key}, substr(hx, 1, {prefix_chars}) AS register,
+         length(regexp_extract(substr(hx, {suf_start}, {suf_len}), '^0*')) AS nz,
+         substr(hx, {suf_start}, {suf_len}) AS suffix
+  FROM h
+), r AS (
+  SELECT {key}, register,
+         CASE WHEN nz = {suf_len} THEN {bits + 1}
+              ELSE 4 * nz
+                   + CASE substr(suffix, nz + 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END
+                   + 1 END AS rank
+  FROM z
+)
+SELECT {key}, register, CAST(max(rank) AS BIGINT) AS max_rank
+FROM r GROUP BY {key}, register
+"""
+
+
+def hll_estimate(registers: pd.DataFrame, key: str = "event_type",
+                 prefix_chars: int = 2) -> pd.DataFrame:
+    """Fold a register table into per-group cardinality estimates
+    (key, estimate) — the standard HLL estimator with the small-range
+    linear-counting correction. The register table is groups x m rows at
+    most, so this is a driver-side scalar fold, never a data-sized one."""
+    m = 16 ** prefix_chars
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rows = []
+    for g, sub in registers.groupby(key, sort=False):
+        ranks = sub["max_rank"].to_numpy()
+        zero_registers = m - len(ranks)
+        denom = zero_registers * 1.0 + float((2.0 ** (-ranks.astype(float))).sum())
+        est = alpha * m * m / denom
+        if est <= 2.5 * m and zero_registers > 0:
+            est = m * math.log(m / zero_registers)
+        rows.append((g, est))
+    return pd.DataFrame(rows, columns=[key, "estimate"])

@@ -280,6 +280,86 @@ def contamination_stats(
     return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
 
 
+def frequent_ngrams(
+    ds: "ray.data.Dataset", n: int = 2, min_count: int = 5,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Corpus-wide heavy-hitter token n-grams: (gram, n_docs, n_occ) for
+    every n-gram with at least ``min_count`` total occurrences — the
+    frequent-pattern mining step behind boilerplate discovery, tokenizer
+    vocab candidates, and repetition audits.
+
+    Scale shape: the n-gram key space is corpus-sized, so the op lives or
+    dies on the map-side combine — each batch folds ALL its docs' grams into
+    one partial frame (gram, occ partial, doc partial) before the single
+    (gram)-keyed shuffle; integer sums are order-independent, so the result
+    is hash-exact vs the DuckDB oracle. The HAVING filter runs inside the
+    reduce bucket (complete key groups), so only surviving heavy hitters
+    ever leave the reducers. Tokenization is the token_count whitespace
+    spec."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from ..functions.shuffle import hash_partitioned_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        occ: Counter = Counter()
+        docs: Counter = Counter()
+        # the SAME split kernel as token_count / gopher_repetition — its
+        # DuckDB-oracle equivalence on this whitespace spec is already proven
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        word_lists = pc.split_pattern_regex(trimmed, pattern=r"\s+").to_pylist()
+        for toks in word_lists:
+            if toks == [""]:
+                toks = []
+            if len(toks) < n:
+                continue
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            occ.update(grams)
+            docs.update(set(grams))
+        keys = list(occ.keys())
+        return pa.table({
+            "gram": pa.array(keys, pa.string()),
+            "occ": pa.array([occ[k] for k in keys], pa.int64()),
+            "docs": pa.array([docs[k] for k in keys], pa.int64()),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("gram", sort=False)[["occ", "docs"]].sum().reset_index()
+        agg = agg[agg["occ"] >= min_count]
+        return pd.DataFrame({"gram": agg["gram"],
+                             "n_docs": agg["docs"].astype("int64"),
+                             "n_occ": agg["occ"].astype("int64")})
+
+    return hash_partitioned_groupby(parts, ["gram"], reduce_bucket,
+                                    n_buckets=n_buckets)
+
+
+def frequent_ngrams_sql(n: int = 2, min_count: int = 5) -> str:
+    """DuckDB oracle for :func:`frequent_ngrams` (token_count whitespace
+    tokenization; doc frequency counts distinct docs)."""
+    ws = r"'\s+'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' \t\n\r') = '' THEN []
+              ELSE regexp_split_to_array(trim(text, ' \t\n\r'), {ws}) END AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {n} + 2)) AS i) r
+  WHERE len(t) >= {n}
+)
+SELECT gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM grams GROUP BY gram HAVING count(*) >= {min_count}
+"""
+
+
 def contamination_sql(benchmark_ids, n: int = 13) -> str:
     """DuckDB oracle for :func:`contamination_stats`."""
     ids = ", ".join(str(int(b)) for b in sorted(set(benchmark_ids)))
