@@ -30,6 +30,7 @@ from graph_rag_agent_ray.ops import dedup as D
 from graph_rag_agent_ray.ops import export as EX
 from graph_rag_agent_ray.ops import analytics as AN
 from graph_rag_agent_ray.ops import relational as R
+from graph_rag_agent_ray.ops import search as SE
 from graph_rag_agent_ray.ops import similarity as SIM
 from graph_rag_agent_ray.ops import sketches as SK
 from graph_rag_agent_ray.ops import spans as SP
@@ -551,6 +552,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gram-keyed shuffle; HAVING runs inside complete-key reducers)
         "frequent_ngrams": lambda sf: TS.frequent_ngrams(
             _docs(sf), n=2, min_count=5),
+        # BM25 lexical top-k (keyword retrieval at corpus scale): tiny
+        # stats collect -> broadcast idf/avgdl -> per-batch partial top-k;
+        # rounded-score + doc_id total order makes it SQL-exact
+        "bm25_topk": lambda sf: SE.bm25_topk(
+            _docs(sf), terms=["spark", "vector", "customer"], k=20),
         # HyperLogLog distinct sketch: the register TABLE is deterministic
         # (string registers + integer ranks), so the sketch machinery is
         # hash-exact even though the derived estimate is approximate
@@ -718,6 +724,8 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": SP.strip_duplicate_spans_sql(length=20),
         "frequent_ngrams": TS.frequent_ngrams_sql(n=2, min_count=5),
         "hll_registers": SK.hll_registers_sql(),
+        "bm25_topk": SE.bm25_topk_sql(
+            terms=["spark", "vector", "customer"], k=20),
         "training_export": EX.training_export_sql(
             benchmark_ids=range(5), budget=5000, n=3,
             min_words=40, require_terminal=False),

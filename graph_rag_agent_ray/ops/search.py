@@ -1,0 +1,161 @@
+"""Keyword (lexical) retrieval — BM25 top-k over the documents table.
+
+The reference's search tools seed retrieval with keyword matching next to
+vector similarity (search/tool/*_search_tool.py keyword paths); this is the
+corpus-scale form: score every document against a query term set and return
+the global top-k without ever collecting corpus-sized state.
+
+Shape (the knn_bruteforce pattern applied to lexical scoring):
+1. STATS — one pass folds per-batch partials (per-term document frequency,
+   doc count, token-length sum) to the driver; the collect is
+   O(terms x blocks), never corpus-sized. IDF and avgdl derive from it and
+   broadcast via ray.put.
+2. SCORE — one stateless pass computes per-doc BM25 (Robertson/Sparck Jones;
+   the Lucene ln(1 + (N-df+.5)/(df+.5)) idf form, so scores stay positive)
+   and keeps a per-batch partial top-k; only (blocks x k) rows shuffle to
+   the final merge.
+
+Scores are rounded to ``round_digits`` BEFORE ranking and tie-broken by
+doc_id, so the ordering is total and the DuckDB oracle (same formula,
+df/avgdl computed independently in SQL) hash-matches. Tokenization is the
+token_count whitespace spec.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _token_lists(batch: pa.Table) -> list:
+    trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+    lists = pc.split_pattern_regex(trimmed, pattern=r"\s+").to_pylist()
+    return [[] if t == [""] else t for t in lists]
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset", terms: list[str], k: int = 20,
+    k1: float = 1.2, b: float = 0.75, round_digits: int = 6,
+) -> "ray.data.Dataset":
+    """(doc_id, rank, score) — global BM25 top-k for one query term set;
+    only docs containing at least one term (score > 0) rank."""
+    terms = sorted(set(terms))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch)
+        df = Counter()
+        for t in toks:
+            s = set(t)
+            for term in terms:
+                if term in s:
+                    df[term] += 1
+        return pa.table({
+            "term": pa.array(terms + [None], pa.string()),
+            "df": pa.array([df[t] for t in terms] + [0], pa.int64()),
+            "n_docs": pa.array([0] * len(terms) + [len(toks)], pa.int64()),
+            "sum_dl": pa.array([0] * len(terms)
+                               + [sum(len(t) for t in toks)], pa.int64()),
+        })
+
+    stats = (ds.map_batches(stats_partial, batch_format="pyarrow",
+                            batch_size=8192).to_pandas())
+    n = int(stats["n_docs"].sum())
+    avgdl = (stats["sum_dl"].sum() / n) if n else 1.0
+    df_by_term = stats.groupby("term")["df"].sum()
+    idf = {t: float(np.log(1.0 + (n - df_by_term.get(t, 0) + 0.5)
+                           / (df_by_term.get(t, 0) + 0.5)))
+           for t in terms}
+    params_ref = ray.put((idf, float(avgdl)))
+
+    def score_partial(batch: pa.Table) -> pd.DataFrame:
+        idf_, avgdl_ = ray.get(params_ref)
+        toks = _token_lists(batch)
+        ids = batch.column("doc_id").to_pylist()
+        out_ids, out_scores = [], []
+        for doc_id, t in zip(ids, toks):
+            tf = Counter(t)
+            dl = len(t)
+            score = 0.0
+            for term in terms:  # fixed order — same fold as the oracle sum
+                f = tf.get(term, 0)
+                if f:
+                    score += idf_[term] * (f * (k1 + 1.0)) / (
+                        f + k1 * (1.0 - b + b * dl / avgdl_))
+            if score > 0.0:
+                out_ids.append(doc_id)
+                out_scores.append(score)
+        part = pd.DataFrame({
+            "doc_id": pd.array(out_ids, dtype="int64"),
+            "score": np.round(np.asarray(out_scores, dtype=np.float64),
+                              round_digits),
+        })
+        return (part.sort_values(["score", "doc_id"],
+                                 ascending=[False, True], kind="stable")
+                .head(k))
+
+    partials = ds.map_batches(score_partial, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_id" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        g = (df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True))
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "rank", "score"]]
+
+    # the merge input is (blocks x k) rows — repartition(1) + one reducer
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)
+
+
+def bm25_topk_sql(terms: list[str], k: int = 20, k1: float = 1.2,
+                  b: float = 0.75) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — df/avgdl/idf computed
+    INDEPENDENTLY in SQL (not inlined from the Ray side)."""
+    terms = sorted(set(terms))
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    ws = r"'\s+'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' \t\n\r') = '' THEN []
+              ELSE regexp_split_to_array(trim(text, ' \t\n\r'), {ws}) END AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(t) AS dl, t FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS f
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ({tlist})
+  GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok, ln(1.0 + (stats.n - count(DISTINCT doc_id) + 0.5)
+                       / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf, stats GROUP BY tok, stats.n
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(idf.idf * (tf.f * ({k1} + 1.0))
+                   / (tf.f + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))),
+               6) AS score
+  FROM tf JOIN idf USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > 0
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= {k}
+"""

@@ -9,6 +9,7 @@ import pytest
 
 import ray.data as rd
 
+from graph_rag_agent_ray.ops import search as SE
 from graph_rag_agent_ray.ops import sketches as SK
 from graph_rag_agent_ray.ops import spans as SP
 from graph_rag_agent_ray.ops import textstats as TS
@@ -166,4 +167,39 @@ class TestHLL:
                 .sort_values(key).reset_index(drop=True))
         oracle = (con.execute(SK.hll_registers_sql()).df()
                   .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+class TestBM25:
+    def test_hand_scored(self, ray_session):
+        # 3 docs; term "cat": df=2, N=3 -> idf = ln(1 + 1.5/2.5)
+        import math
+        ds = _docs("cat sat mat", "cat cat dog", "dog runs far away now")
+        pdf = (SE.bm25_topk(ds, ["cat"], k=10, k1=1.2, b=0.75)
+               .to_pandas().reset_index(drop=True))
+        assert list(pdf["doc_id"]) == [1, 0]  # doc 1 has tf=2
+        idf = math.log(1 + 1.5 / 2.5)
+        avgdl = (3 + 3 + 5) / 3
+        def s(tf, dl):
+            return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+        assert list(pdf["score"]) == [s(2, 3), s(1, 3)]
+        assert list(pdf["rank"]) == [1, 2]
+
+    def test_no_match_empty(self, ray_session):
+        ds = _docs("alpha beta", "gamma delta")
+        pdf = SE.bm25_topk(ds, ["zeta"], k=5).to_pandas()
+        assert len(pdf) == 0
+
+    def test_oracle_equivalence(self, ray_session, sf_dir):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')")
+        terms = ["spark", "vector", "customer"]
+        mine = (SE.bm25_topk(docs, terms, k=15).to_pandas()
+                .sort_values("rank").reset_index(drop=True))
+        oracle = (con.execute(SE.bm25_topk_sql(terms, k=15)).df()
+                  .sort_values("rank").reset_index(drop=True))
+        assert len(mine) > 0
         pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
