@@ -211,6 +211,15 @@ def run_bench() -> dict:
     timed("embedding_neardup", lambda: D.embedding_neardup_pairs(emb(), 0.35).count())
     timed("neardup_blocked",
           lambda: D.embedding_neardup_blocked(emb(), 0.35, n_bits=2, n_tables=16).count())
+    from graph_rag_agent_ray.ops import search as SRCH
+    from graph_rag_agent_ray.ops import sketches as SKETCH
+    from graph_rag_agent_ray.ops import spans as SPN
+    timed("duplicate_spans", lambda: SPN.duplicate_spans(docs_flat(), length=20).count())
+    timed("frequent_ngrams", lambda: TS.frequent_ngrams(docs_flat(), n=2, min_count=5).count())
+    timed("bm25_topk", lambda: SRCH.bm25_topk(
+        docs_flat(), terms=["spark", "vector", "customer"], k=20).count())
+    timed("hll_registers", lambda: SKETCH.hll_registers(rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"])).count())
     # ---- third headline: incremental update with 1% dirty docs — the
     # delta-scoped path: per-doc stages (chunk/extract/embed/parse) carry
     # rows over for unchanged docs, and the graph-side aggregates (exact

@@ -203,3 +203,47 @@ class TestBM25:
                   .sort_values("rank").reset_index(drop=True))
         assert len(mine) > 0
         pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def _ref_spans(texts, length, min_count=2):
+    """Brute-force reference: count every L-substring, mark positions whose
+    substring repeats, merge per doc."""
+    from collections import Counter
+    grams = Counter()
+    for t in texts:
+        for i in range(len(t) - length + 1):
+            grams[t[i:i + length]] += 1
+    out = []
+    for d, t in enumerate(texts):
+        pos = [i for i in range(len(t) - length + 1)
+               if grams[t[i:i + length]] >= min_count]
+        start = prev = None
+        for p in pos:
+            if start is None:
+                start = prev = p
+            elif p - prev <= length:
+                prev = p
+            else:
+                out.append((d, start, prev + length))
+                start = prev = p
+        if start is not None:
+            out.append((d, start, prev + length))
+    return sorted(out)
+
+
+class TestSpanProperties:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_bruteforce_reference(self, ray_session, seed):
+        # tiny alphabet forces heavy substring repetition (incl. within-doc
+        # overlaps and cross-doc chains) — the regime where the merge and
+        # verification logic can silently diverge
+        import random
+        rng = random.Random(seed)
+        texts = ["".join(rng.choice("ab") for _ in range(rng.randint(0, 14)))
+                 for _ in range(rng.randint(1, 5))]
+        ds = _docs(*texts)
+        pdf = SP.duplicate_spans(ds, length=3).to_pandas()
+        got = ([] if pdf.empty else
+               sorted(map(tuple, pdf[["doc_id", "span_start", "span_end"]]
+                          .to_numpy())))
+        assert got == _ref_spans(texts, 3)
