@@ -73,6 +73,7 @@ def _tbl(sf_dir: str, name: str, columns=None) -> "rd.Dataset":
 
 
 STRATA_RATES = {"HOUSEHOLD": 0.5, "MACHINERY": 0.2, "FURNITURE": 0.05}
+QUOTAS = {"en": 50, "zh": 30, "de": 20}
 
 
 KG_TRUTH_DIR = "/tmp/graft_kg_truth/current"
@@ -522,6 +523,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf, "documents", ["doc_id", "n_chars"]), k=50),
         "distinct_per_group": lambda sf: AN.distinct_per_group(
             _events_typed(sf)),
+        # exact per-group quotas (the training-mix recipe primitive):
+        # deterministic smallest-(md5,key) draw per language
+        "quota_sample": lambda sf: AN.quota_sample(
+            _tbl(sf, "documents", ["doc_id", "lang", "n_chars"]),
+            QUOTAS, group_col="lang", default_quota=5),
         # inequality (band) join via time-bucket co-partitioning — each
         # event meets each incident window in exactly one (key, bucket)
         # partition, so no dedup shuffle (ops/relational.interval_join)
@@ -718,6 +724,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": AN.sample_exact_k_sql(
             50, key="doc_id", table="documents", columns="doc_id, n_chars"),
         "distinct_per_group": AN.distinct_per_group_sql(),
+        "quota_sample": AN.quota_sample_sql(
+            QUOTAS, group_col="lang", columns="doc_id, lang, n_chars",
+            default_quota=5),
         "interval_join": R.interval_join_sql(anchor_type="error", window_s=600),
         "contamination": TS.contamination_sql(benchmark_ids=range(5), n=3),
         "duplicate_spans": SP.duplicate_spans_sql(length=20),

@@ -346,6 +346,53 @@ LIMIT {k}
 """
 
 
+def quota_sample(ds: "ray.data.Dataset", quotas: Dict[str, int],
+                 group_col: str = "lang", key: str = "doc_id",
+                 default_quota: int = 0,
+                 n_buckets: int = 16) -> "ray.data.Dataset":
+    """Exact per-group quotas — the mixture-recipe primitive: a training-mix
+    spec says "50k docs of en, 30k of zh, …" and this draws EXACTLY that many
+    per group (or the whole group when smaller), deterministically (the
+    quota_g smallest (md5(key), key) pairs per group — key-stable across
+    runs, machines, and block layout; the composite order makes md5-prefix
+    ties harmless). Per-batch per-group partial top-k bounds the shuffle to
+    <= blocks x quota rows per group; the group-keyed merge re-applies the
+    same rank cut inside complete groups."""
+    from ..functions.shuffle import hash_partitioned_groupby
+
+    def cut(df: pd.DataFrame, keep_h: bool) -> pd.DataFrame:
+        df = df.sort_values(["_h", key], kind="stable")
+        r = df.groupby(group_col, sort=False).cumcount().to_numpy()
+        q = df[group_col].map(quotas).fillna(default_quota).to_numpy()
+        out = df[r < q]
+        return out if keep_h else out.drop(columns=["_h"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = _md5_prefix_key(df[key].to_numpy())
+        return cut(df, keep_h=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return hash_partitioned_groupby(
+        partials, [group_col], lambda df: cut(df, keep_h=False),
+        n_buckets=n_buckets)
+
+
+def quota_sample_sql(quotas: Dict[str, int], group_col: str = "lang",
+                     key: str = "doc_id", table: str = "documents",
+                     columns: str = "*", default_quota: int = 0) -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {int(q)}" for s, q in quotas.items())
+    return f"""
+SELECT {columns} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col}
+    ORDER BY lpad(substr(md5(CAST({key} AS VARCHAR)), 1, 8), 9, '0'), {key}
+  ) AS _r
+  FROM {table}
+) WHERE _r <= CASE {group_col} {cases} ELSE {int(default_quota)} END
+"""
+
+
 # ------------------------------------------------ distinct-count rollup ----
 
 def distinct_per_group(events: "ray.data.Dataset",

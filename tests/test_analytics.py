@@ -231,3 +231,49 @@ class TestIntervalJoin:
                               window_s=120).to_pandas()
         got = set(zip(out.incident_id, out.event_id))
         assert got == {(0, 0), (0, 1)}
+
+
+class TestQuotaSample:
+    def test_exact_quotas_and_determinism(self, ray_session, sf_dir):
+        import duckdb
+
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.analytics import (
+            quota_sample,
+            quota_sample_sql,
+        )
+
+        path = f"{sf_dir}/documents.parquet"
+        docs = rd.read_parquet(path, columns=["doc_id", "lang", "n_chars"])
+        q = {"en": 7, "zh": 3}
+        a = (quota_sample(docs, q, group_col="lang", default_quota=1)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # quotas hit exactly (each lang has more rows than its quota here)
+        counts = a["lang"].value_counts()
+        assert counts["en"] == 7 and counts["zh"] == 3
+        assert (counts.drop(["en", "zh"]) == 1).all()
+        # repartitioned input draws the SAME sample (layout independence)
+        b = (quota_sample(docs.repartition(7), q, group_col="lang",
+                          default_quota=1)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        oracle = (con.execute(quota_sample_sql(
+            q, group_col="lang", columns="doc_id, lang, n_chars",
+            default_quota=1)).df().sort_values("doc_id")
+            .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, oracle, check_dtype=False)
+
+    def test_quota_larger_than_group_takes_all(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.analytics import quota_sample
+
+        t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                      "lang": pa.array(["a"] * 2 + ["b"] * 4)})
+        out = quota_sample(rd.from_arrow(t), {"a": 10, "b": 2},
+                           group_col="lang").to_pandas()
+        c = out["lang"].value_counts()
+        assert c["a"] == 2 and c["b"] == 2
