@@ -74,6 +74,7 @@ def _tbl(sf_dir: str, name: str, columns=None) -> "rd.Dataset":
 
 STRATA_RATES = {"HOUSEHOLD": 0.5, "MACHINERY": 0.2, "FURNITURE": 0.05}
 QUOTAS = {"en": 50, "zh": 30, "de": 20}
+TOKEN_BUDGETS = {"en": 20000, "zh": 8000}
 
 
 KG_TRUTH_DIR = "/tmp/graft_kg_truth/current"
@@ -528,6 +529,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": lambda sf: AN.quota_sample(
             _tbl(sf, "documents", ["doc_id", "lang", "n_chars"]),
             QUOTAS, group_col="lang", default_quota=5),
+        # per-group TOKEN budgets (mixture recipes count tokens): scalar
+        # rows only shuffle; map-side local-prefix prune is budget-bounded
+        "token_budget_sample": lambda sf: AN.token_budget_sample(
+            _tbl(sf, "documents", ["doc_id", "lang", "text"]),
+            TOKEN_BUDGETS, group_col="lang", default_budget=2000),
         # inequality (band) join via time-bucket co-partitioning — each
         # event meets each incident window in exactly one (key, bucket)
         # partition, so no dedup shuffle (ops/relational.interval_join)
@@ -727,6 +733,8 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": AN.quota_sample_sql(
             QUOTAS, group_col="lang", columns="doc_id, lang, n_chars",
             default_quota=5),
+        "token_budget_sample": AN.token_budget_sample_sql(
+            TOKEN_BUDGETS, group_col="lang", default_budget=2000),
         "interval_join": R.interval_join_sql(anchor_type="error", window_s=600),
         "contamination": TS.contamination_sql(benchmark_ids=range(5), n=3),
         "duplicate_spans": SP.duplicate_spans_sql(length=20),

@@ -378,6 +378,83 @@ def quota_sample(ds: "ray.data.Dataset", quotas: Dict[str, int],
         n_buckets=n_buckets)
 
 
+def token_budget_sample(ds: "ray.data.Dataset", budgets: Dict[str, int],
+                        group_col: str = "lang", key: str = "doc_id",
+                        default_budget: int = 0,
+                        n_buckets: int = 16) -> "ray.data.Dataset":
+    """Per-group TOKEN budgets — mixture recipes are usually specified in
+    tokens, not documents ("20M tokens of zh"): walk each group in the
+    deterministic (md5(key), key) order and keep documents while the
+    group's running token total stays within budget.
+
+    Scale shape: only (key, group, n_tokens, h) SCALAR rows move — text
+    never shuffles — and the map side already drops any doc whose LOCAL
+    prefix sum exceeds the budget (the global prefix at a doc is >= its
+    local prefix along the same order, so a local overshoot is a sound
+    prune: surviving volume per block is budget-bounded, not
+    corpus-bounded). The group-keyed reducer re-runs the same
+    sort + cumsum + cut on complete groups. Output
+    (key, group, n_tokens, cum_tokens); join back on ``key`` for payloads.
+    Tokenization is the token_count whitespace spec."""
+    import pyarrow.compute as pc_
+
+    from ..functions.shuffle import hash_partitioned_groupby
+
+    def cut(df: pd.DataFrame, keep_h: bool) -> pd.DataFrame:
+        df = df.sort_values(["_h", key], kind="stable")
+        cum = df.groupby(group_col, sort=False)["n_tokens"].cumsum()
+        budget = df[group_col].map(budgets).fillna(default_budget)
+        out = df[cum.to_numpy() <= budget.to_numpy()].copy()
+        if keep_h:
+            return out
+        out["cum_tokens"] = (out.groupby(group_col, sort=False)["n_tokens"]
+                             .cumsum().astype("int64"))
+        return out[[key, group_col, "n_tokens", "cum_tokens"]]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        trimmed = pc_.utf8_trim_whitespace(batch.column("text"))
+        counts = pc_.list_value_length(
+            pc_.split_pattern_regex(trimmed, pattern=r"\s+"))
+        empty = pc_.equal(pc_.utf8_length(trimmed), 0)
+        n_tokens = pc_.if_else(empty, pa.scalar(0, pa.int32()), counts)
+        df = pd.DataFrame({
+            key: batch.column(key).to_pandas(),
+            group_col: batch.column(group_col).to_pandas(),
+            "n_tokens": n_tokens.to_pandas().astype("int64"),
+        })
+        df["_h"] = _md5_prefix_key(df[key].to_numpy())
+        return cut(df, keep_h=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+    return hash_partitioned_groupby(
+        partials, [group_col], lambda df: cut(df, keep_h=False),
+        n_buckets=n_buckets)
+
+
+def token_budget_sample_sql(budgets: Dict[str, int], group_col: str = "lang",
+                            key: str = "doc_id", table: str = "documents",
+                            default_budget: int = 0) -> str:
+    ws = r"'\s+'"
+    n_tokens = (
+        "CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 "
+        f"ELSE array_length(regexp_split_to_array(trim(text, ' \t\n\r'), {ws})) END"
+    )
+    cases = " ".join(f"WHEN '{s}' THEN {int(b)}" for s, b in budgets.items())
+    return f"""
+SELECT {key}, {group_col}, n_tokens, cum_tokens FROM (
+  SELECT {key}, {group_col}, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY {group_col}
+           ORDER BY lpad(substr(md5(CAST({key} AS VARCHAR)), 1, 8), 9, '0'),
+                    {key}
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM (SELECT {key}, {group_col},
+               CAST({n_tokens} AS BIGINT) AS n_tokens FROM {table})
+) WHERE cum_tokens <= CASE {group_col} {cases} ELSE {int(default_budget)} END
+"""
+
+
 def quota_sample_sql(quotas: Dict[str, int], group_col: str = "lang",
                      key: str = "doc_id", table: str = "documents",
                      columns: str = "*", default_quota: int = 0) -> str:

@@ -277,3 +277,51 @@ class TestQuotaSample:
                            group_col="lang").to_pandas()
         c = out["lang"].value_counts()
         assert c["a"] == 2 and c["b"] == 2
+
+
+class TestTokenBudgetSample:
+    def test_budget_cut_and_oracle(self, ray_session, sf_dir):
+        import duckdb
+
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.analytics import (
+            token_budget_sample,
+            token_budget_sample_sql,
+        )
+
+        path = f"{sf_dir}/documents.parquet"
+        docs = rd.read_parquet(path, columns=["doc_id", "lang", "text"])
+        budgets = {"en": 3000, "zh": 1200}
+        a = (token_budget_sample(docs, budgets, default_budget=500)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # every group's total stays within its budget and is maximal
+        # (adding the next doc in hash order would overshoot -> cum is
+        # within [budget - max_doc_tokens, budget]; just check the cap here)
+        totals = a.groupby("lang")["n_tokens"].sum()
+        assert totals["en"] <= 3000 and totals["zh"] <= 1200
+        assert (a.groupby("lang")["cum_tokens"].max() == totals).all()
+        # layout independence
+        b = (token_budget_sample(docs.repartition(9), budgets,
+                                 default_budget=500)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        oracle = (con.execute(token_budget_sample_sql(
+            budgets, default_budget=500)).df()
+            .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, oracle, check_dtype=False)
+
+    def test_zero_budget_group_excluded(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.analytics import token_budget_sample
+
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "lang": pa.array(["a", "a", "b", "b"]),
+                      "text": pa.array(["one two", "three", "x y z", "w"])})
+        out = token_budget_sample(rd.from_arrow(t), {"a": 100},
+                                  default_budget=0).to_pandas()
+        assert set(out["lang"]) == {"a"}
+        assert out["n_tokens"].sum() == 3
