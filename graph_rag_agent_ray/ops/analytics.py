@@ -381,19 +381,27 @@ def quota_sample(ds: "ray.data.Dataset", quotas: Dict[str, int],
 def token_budget_sample(ds: "ray.data.Dataset", budgets: Dict[str, int],
                         group_col: str = "lang", key: str = "doc_id",
                         default_budget: int = 0,
-                        n_buckets: int = 16) -> "ray.data.Dataset":
+                        n_buckets: int = 16,
+                        batch_size: int = 8192) -> "ray.data.Dataset":
     """Per-group TOKEN budgets — mixture recipes are usually specified in
     tokens, not documents ("20M tokens of zh"): walk each group in the
     deterministic (md5(key), key) order and keep documents while the
     group's running token total stays within budget.
 
     Scale shape: only (key, group, n_tokens, h) SCALAR rows move — text
-    never shuffles — and the map side already drops any doc whose LOCAL
-    prefix sum exceeds the budget (the global prefix at a doc is >= its
-    local prefix along the same order, so a local overshoot is a sound
-    prune: surviving volume per block is budget-bounded, not
-    corpus-bounded). The group-keyed reducer re-runs the same
-    sort + cumsum + cut on complete groups. Output
+    never shuffles — and the map side prunes every doc past its group's
+    LOCAL budget overflow, keeping the FIRST overflowing row per (group,
+    batch) as a weight-carrying sentinel. The sentinel is what makes the
+    prune sound for variable-weight cuts (unlike the count-based
+    quota_sample, where rank alone suffices): the first GLOBAL overflow row
+    m is, within its own batch, either locally live or that batch's first
+    local overflow — so m always reaches the reducer, the reducer's
+    recomputed prefix sums are exact up to m, and everything at or after m
+    overflows and is dropped. Without the sentinel a doc after m can
+    falsely survive because a pruned row's tokens vanish from the prefix
+    sum (caught by the sf0.001 oracle gate). Surviving volume per block is
+    still budget-bounded plus one row per group. The group-keyed reducer
+    re-runs the exact sort + cumsum + cut on complete groups. Output
     (key, group, n_tokens, cum_tokens); join back on ``key`` for payloads.
     Tokenization is the token_count whitespace spec."""
     import pyarrow.compute as pc_
@@ -404,9 +412,15 @@ def token_budget_sample(ds: "ray.data.Dataset", budgets: Dict[str, int],
         df = df.sort_values(["_h", key], kind="stable")
         cum = df.groupby(group_col, sort=False)["n_tokens"].cumsum()
         budget = df[group_col].map(budgets).fillna(default_budget)
-        out = df[cum.to_numpy() <= budget.to_numpy()].copy()
+        over = cum.to_numpy() > budget.to_numpy()
         if keep_h:
-            return out
+            # keep live rows + the first overflowing row per group (sentinel
+            # carrying the overflow weight — see docstring proof sketch)
+            n_over_so_far = (pd.Series(over.astype("int64"), index=df.index)
+                             .groupby(df[group_col], sort=False).cumsum())
+            first_over = over & (n_over_so_far.to_numpy() == 1)
+            return df[~over | first_over].copy()
+        out = df[~over].copy()
         out["cum_tokens"] = (out.groupby(group_col, sort=False)["n_tokens"]
                              .cumsum().astype("int64"))
         return out[[key, group_col, "n_tokens", "cum_tokens"]]
@@ -426,7 +440,7 @@ def token_budget_sample(ds: "ray.data.Dataset", budgets: Dict[str, int],
         return cut(df, keep_h=True)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=8192)
+                              batch_size=batch_size)
     return hash_partitioned_groupby(
         partials, [group_col], lambda df: cut(df, keep_h=False),
         n_buckets=n_buckets)
@@ -444,11 +458,11 @@ def token_budget_sample_sql(budgets: Dict[str, int], group_col: str = "lang",
     return f"""
 SELECT {key}, {group_col}, n_tokens, cum_tokens FROM (
   SELECT {key}, {group_col}, n_tokens,
-         sum(n_tokens) OVER (
+         CAST(sum(n_tokens) OVER (
            PARTITION BY {group_col}
            ORDER BY lpad(substr(md5(CAST({key} AS VARCHAR)), 1, 8), 9, '0'),
                     {key}
-           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM (SELECT {key}, {group_col},
                CAST({n_tokens} AS BIGINT) AS n_tokens FROM {table})
 ) WHERE cum_tokens <= CASE {group_col} {cases} ELSE {int(default_budget)} END

@@ -325,3 +325,62 @@ class TestTokenBudgetSample:
                                   default_budget=0).to_pandas()
         assert set(out["lang"]) == {"a"}
         assert out["n_tokens"].sum() == 3
+
+
+class TestTokenBudgetSentinel:
+    def test_overflow_sentinel_regression(self, ray_session, sf_dir):
+        """Regression for the unsound local-prefix prune: with the driver's
+        budgets at sf0.001, a batch's first overflowing doc was dropped
+        map-side, its tokens vanished from the reducer's prefix sums, and a
+        later doc falsely survived (caught by the oracle gate). Many small
+        partitions maximize cross-batch interleaving."""
+        import duckdb
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.analytics import (
+            token_budget_sample,
+            token_budget_sample_sql,
+        )
+
+        path = f"{sf_dir}/documents.parquet"
+        budgets = {"en": 20000, "zh": 8000}
+        docs = rd.read_parquet(path, columns=["doc_id", "lang", "text"])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        oracle = (con.execute(token_budget_sample_sql(
+            budgets, default_budget=2000)).df()
+            .sort_values("doc_id").reset_index(drop=True))
+        for parts in (1, 13):
+            got = (token_budget_sample(docs.repartition(parts), budgets,
+                                       default_budget=2000)
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+
+
+class TestTokenBudgetSentinelUnit:
+    def test_dropped_overflow_row_weight_preserved(self, ray_session):
+        """Deterministic counterexample for a sentinel-less local prune:
+        hash order A(6), B(6), C(3) with budget 10 — B is the global cut row.
+        If B's batch drops it without a sentinel, a reducer seeing only
+        {A, C} computes cum(C)=9 <= 10 and falsely keeps C. Correct output
+        keeps A only. batch_size=2 forces [A, B] and [C] into separate map
+        batches (Ray coalesces small blocks, so block layout alone is not
+        enough)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.analytics import (
+            _md5_prefix_key,
+            token_budget_sample,
+        )
+
+        ids = sorted(range(40), key=lambda i: (_md5_prefix_key([i])[0], i))
+        a, b, c = ids[0], ids[1], ids[2]
+
+        def doc(i, n):
+            return {"doc_id": i, "lang": "g", "text": " ".join(["w"] * n)}
+
+        ds = rd.from_arrow(pa.Table.from_pylist(
+            [doc(a, 6), doc(b, 6), doc(c, 3)]))
+        out = token_budget_sample(ds, {"g": 10}, batch_size=2).to_pandas()
+        assert out["doc_id"].tolist() == [a]
+        assert out["cum_tokens"].tolist() == [6]
