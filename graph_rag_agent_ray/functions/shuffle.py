@@ -127,3 +127,52 @@ def drop_duplicate_keys(
         lambda df: df.sort_values(keys, kind="stable").drop_duplicates(keys),
         n_buckets=n_buckets,
     )
+
+
+def hash_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str],
+    lcols: Sequence[str] | None = None,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed anti-join: rows of ``left`` whose key does NOT appear in
+    ``right``. Both sides shuffle by ``hash(on) % n_buckets``; each bucket
+    drops left rows matching any right key with one vectorized isin — the
+    large⋈large shape for exclusion sets too big to broadcast (use
+    ``pc.is_in`` against a ray.put set when the right side is small)."""
+    on = list(on)
+    lcols = list(lcols) if lcols is not None else list(left.schema().names)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[lcols].copy()
+        df["_side"] = "l"
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[on].copy()
+        for c in lcols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["_side"] = "r"
+        return out[lcols + ["_side"]]
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["_side"] == "l", lcols]
+        if l.empty:
+            return l
+        r = df.loc[df["_side"] == "r", on]
+        if r.empty:
+            return l
+        if len(on) == 1:
+            mask = ~l[on[0]].isin(r[on[0]])
+        else:
+            key_l = pd.MultiIndex.from_frame(l[on])
+            mask = ~key_l.isin(pd.MultiIndex.from_frame(r[on]))
+        return l[mask]
+
+    return hash_partitioned_groupby(both, on, per_bucket, n_buckets=n_buckets)

@@ -772,20 +772,38 @@ def duplicate_components(
 def resolve_duplicates(
     docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
     max_rounds: int = 20, n_buckets: int = 32,
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Drop every document dominated by a smaller-id near-duplicate: keep a
     doc iff it is not a non-representative member of a duplicate component.
-    Anti-join against the (duplicate-sized, NOT corpus-sized) dominated-id
-    set, broadcast once via ray.put."""
+
+    The dominated-id set is duplicate-count-sized, not corpus-sized, but a
+    duplicate-heavy corpus (50% dups) makes it corpus/2 — so the exclusion
+    strategy auto-selects: ``ray.put`` + vectorized ``pc.is_in`` below
+    ``broadcast_limit`` ids, distributed hash anti-join above (same
+    broadcast-vs-shuffle rule as the canonicalization alias remap,
+    pipelines/build.py)."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import hash_anti_join
+
     comp = duplicate_components(pairs, max_rounds=max_rounds, n_buckets=n_buckets)
-    dominated = comp.filter(
-        lambda r: r["doc_id"] != r["component"])  # tiny; duplicate-count rows
-    dom_ids = pa.array(
-        [r["doc_id"] for r in dominated.iter_rows()], pa.int64())
+
+    def dominated_only(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("doc_id"), batch.column("component"))
+        return batch.filter(mask).select(["doc_id"])
+
+    dominated = comp.map_batches(
+        dominated_only, batch_format="pyarrow").materialize()
+    if dominated.count() == 0:
+        return docs
+    if dominated.count() > broadcast_limit:
+        return hash_anti_join(docs, dominated, on=["doc_id"],
+                              n_buckets=n_buckets)
+    dom_ids = pa.array(dominated.to_pandas()["doc_id"], pa.int64())
     dom_ref = ray.put(dom_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         dom = ray.get(dom_ref)
         return batch.filter(
             pc.invert(pc.is_in(batch.column("doc_id"), value_set=dom)))
@@ -811,4 +829,16 @@ reach(src, node) AS (
 )
 SELECT node AS doc_id, MIN(src) AS component
 FROM reach GROUP BY node
+"""
+
+
+def resolve_duplicates_sql(pairs_sql: str, columns: str = "doc_id",
+                           table: str = "documents") -> str:
+    """DuckDB oracle for :func:`resolve_duplicates` (projected columns)."""
+    return f"""
+SELECT {columns} FROM {table}
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({duplicate_components_sql(pairs_sql)}) AS comp
+  WHERE doc_id <> component
+)
 """
