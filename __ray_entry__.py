@@ -456,6 +456,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher repetition signals + C4-style keep/drop filter
         "gopher_repetition": lambda sf: TS.gopher_repetition(_docs(sf)),
         "quality_filter": lambda sf: TS.quality_filter(_docs(sf), min_words=5),
+        # corpus-unigram-LM scoring (perplexity-filter shape): integer
+        # surrogate columns hash-compare; mean_logp is float-derived and
+        # dropped like knn's sim
+        "unigram_rarity": lambda sf: TS.unigram_rarity(
+            _docs(sf)).drop_columns(["mean_logp"]),
+        # per-doc tf-idf keyword extraction (the corpus-statistics form of
+        # the reference's query-side keyword seeding); float score dropped
+        "tfidf_keywords": lambda sf: SE.tfidf_keywords(
+            _docs(sf), k=5).drop_columns(["score"]),
         # multi-probe IVF at full Hamming coverage (n_probes=2^n_bits) is
         # EXACT, so the bucketize/probe/partial-topk/merge machinery verifies
         # against the same SQL oracle as brute force; the approximate default
@@ -499,6 +508,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup RESOLUTION: simhash pairs -> connected components ->
         # smallest-id representative (the keep/drop decision after pairing)
         "neardup_components": lambda sf: D.duplicate_components(
+            D.simhash_duplicate_pairs(_docs(sf), max_hamming=3)),
+        # full keep/drop policy applied to the corpus: survivors after
+        # dropping every doc dominated by a smaller-id near-duplicate
+        # (broadcast is_in below 2M dominated ids, hash anti-join above)
+        "neardup_resolve": lambda sf: D.resolve_duplicates(
+            _tbl(sf, "documents", ["doc_id", "lang", "n_chars"]),
             D.simhash_duplicate_pairs(_docs(sf), max_hamming=3)),
         # analytical shapes over the relational side tables (ops/analytics):
         # map-side-combined rollup, partitioned hash join, broadcast
@@ -719,6 +734,9 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": R.token_shards_sql(5000, n_tokens),
         "neardup_components": D.duplicate_components_sql(
             O.simhash_sql(max_hamming=3)),
+        "neardup_resolve": D.resolve_duplicates_sql(
+            O.simhash_sql(max_hamming=3),
+            columns="doc_id, lang, n_chars"),
         "pricing_summary": AN.pricing_summary_sql(),
         "order_revenue": AN.order_revenue_rollup_sql(),
         "segment_sales": AN.segment_sales_sql(),
@@ -755,6 +773,8 @@ def oracle_sql() -> dict[str, str]:
         "mask_pii": O.pii_sql(),
         "gopher_repetition": O.gopher_sql(),
         "quality_filter": O.quality_filter_sql(min_words=5),
+        "unigram_rarity": TS.unigram_rarity_sql(),
+        "tfidf_keywords": SE.tfidf_keywords_sql(k=5),
         "knn_topk": """
             WITH sims AS (
                 SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

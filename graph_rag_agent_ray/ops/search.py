@@ -159,3 +159,144 @@ WITH toks AS (
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= {k}
 """
+
+
+def tfidf_keywords(
+    ds: "ray.data.Dataset", k: int = 5, n_buckets: int = 32,
+    round_digits: int = 6,
+) -> "ray.data.Dataset":
+    """(doc_id, token, rank, score) — top-k tf·idf keywords per document,
+    the corpus-statistics form of the reference's query-side keyword
+    extraction (search/tool/*_search_tool.py keyword seeding, which asks the
+    LLM; here the classic tf·idf ranking plays that role at corpus scale).
+
+    idf = ln(N / df) with df = docs containing the token, N = docs with ≥ 1
+    token. Scores round to ``round_digits`` before ranking and tie-break by
+    token, so the order is total and SQL-reproducible (the bm25/knn
+    pattern; the driver query drops the float column).
+
+    Scale shape: documents are rows, so per-doc distinct tokens are exact
+    within one batch — df needs only a (token, partial_df) scalar shuffle
+    and N one aggregate. Scoring co-partitions per-doc tf rows with the df
+    table by token (hash_join — the vocabulary never sits on the driver),
+    then one (doc_id,)-keyed scalar shuffle ranks per doc. Text shuffles
+    nowhere."""
+    from ..functions.shuffle import hash_join, hash_partitioned_groupby
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        toks = _token_lists(batch)
+        ids = batch.column("doc_id").to_pylist()
+        doc_rep, flat = [], []
+        for d, t in zip(ids, toks):
+            doc_rep.extend([d] * len(t))
+            flat.extend(t)
+        if not flat:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64")})
+        df = pd.DataFrame({"doc_id": doc_rep, "token": flat})
+        return (df.groupby(["doc_id", "token"], sort=False)
+                .size().rename("tf").reset_index())
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow",
+                        batch_size=4096).materialize()
+
+    def df_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "token" not in df.columns:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64")})
+        # rows are already distinct (doc, token) pairs — count per token
+        return (df.groupby("token", sort=False).size()
+                .rename("df").reset_index())
+
+    dfreq = hash_partitioned_groupby(
+        tf.map_batches(df_partials, batch_format="pandas",
+                       batch_size=16384),
+        ["token"],
+        lambda d: d.groupby("token", sort=False)["df"].sum().reset_index(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    # N = count of docs with >= 1 token, aggregated straight off ``ds``
+    # (docs are rows there; tf's blocks may be re-sliced mid-doc by the
+    # block-size target, which would double-count a per-block nunique)
+    def n_partials(batch: pa.Table) -> pd.DataFrame:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.sum(pc.cast(
+            pc.not_equal(pc.utf8_length(trimmed), 0), pa.int64())).as_py()
+        return pd.DataFrame({"n": [int(nonempty or 0)]})
+
+    n_docs = int(ds.map_batches(n_partials, batch_format="pyarrow")
+                 .to_pandas()["n"].sum())
+    log_n = float(np.log(n_docs)) if n_docs else 0.0
+
+    joined = hash_join(tf, dfreq, on=["token"], n_buckets=n_buckets,
+                       lcols=["doc_id", "token", "tf"],
+                       rcols=["token", "df"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_id" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="object"),
+                                 "score": pd.Series(dtype="float64")})
+        s = (df["tf"].to_numpy(dtype=np.float64)
+             * (log_n - np.log(df["df"].to_numpy(dtype=np.float64))))
+        out = df[["doc_id", "token"]].copy()
+        out["score"] = np.round(s, round_digits)
+        # per-batch partial top-k bounds the doc-keyed shuffle volume
+        return (out.sort_values(["doc_id", "score", "token"],
+                                ascending=[True, False, True], kind="stable")
+                .groupby("doc_id", sort=False).head(k))
+
+    partials = joined.map_batches(score, batch_format="pandas",
+                                  batch_size=16384)
+
+    def final_rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_id" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="object"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        g = (df.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True], kind="stable")
+             .groupby("doc_id", sort=False).head(k).reset_index(drop=True))
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g["rank"] = g["rank"].astype("int64")
+        return g[["doc_id", "token", "rank", "score"]]
+
+    return hash_partitioned_groupby(partials, ["doc_id"], final_rank,
+                                    n_buckets=n_buckets)
+
+
+def tfidf_keywords_sql(k: int = 5, table: str = "documents") -> str:
+    """DuckDB oracle for the integer/string columns of
+    :func:`tfidf_keywords` (float ``score`` dropped; df/N/idf recomputed
+    independently in SQL)."""
+    ws = r"'\s+'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' \t\n\r') = '' THEN []
+              ELSE regexp_split_to_array(trim(text, ' \t\n\r'), {ws}) END AS t
+  FROM {table}
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln(n.n * 1.0 / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (tok), n
+), ranked AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, tok AS token, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -388,3 +388,128 @@ SELECT d.doc_id,
        coalesce(agg.n_contaminated, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
+
+
+# ------------------------------------------------- unigram LM rarity --------
+
+def unigram_rarity(ds: "ray.data.Dataset", n_buckets: int = 32,
+                   round_digits: int = 6) -> "ray.data.Dataset":
+    """Corpus-unigram-LM document scoring — the perplexity-filter shape
+    (CCNet/KenLM-style quality signal) without an external LM: train the
+    unigram MLE on THIS corpus (global token counts), then score every doc.
+
+    Output per doc (docs with >= 1 token):
+    - ``n_tokens``, ``sum_cnt`` = Σ_tokens tf·count(token): exact int64
+      surrogates (mean corpus-frequency ``sum_cnt/n_tokens`` ranks docs by
+      rarity; hash-exact vs the SQL oracle).
+    - ``mean_logp`` = (Σ tf·ln(cnt) − n·ln(N)) / n: the true unigram
+      log-probability per token (float; dropped in the driver query like
+      knn's ``sim``).
+
+    Scale shape: pass 1 folds per-batch token counts map-side, then one
+    (token, n) scalar shuffle builds the LM — the vocabulary never sits on
+    the driver. Pass 2 re-derives per-doc (token, tf) rows and co-partitions
+    them with the counts by token (hash_join), pre-aggregates per doc inside
+    each batch, and one (doc_id, partials) scalar shuffle finishes. Token
+    rows are corpus-token-sized but scalar-only (text never shuffles) —
+    the same inherent-cost class as the n-gram join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    from ..functions.shuffle import hash_join, hash_partitioned_groupby
+
+    def _tok_lists(batch: pa.Table) -> list:
+        trimmed = pc_.utf8_trim_whitespace(batch.column("text"))
+        lists = pc_.split_pattern_regex(trimmed, pattern=r"\s+").to_pylist()
+        return [[] if t == [""] else t for t in lists]
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        toks = _tok_lists(batch)
+        ids = batch.column("doc_id").to_pylist()
+        doc_rep, flat = [], []
+        for d, t in zip(ids, toks):
+            doc_rep.extend([d] * len(t))
+            flat.extend(t)
+        if not flat:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64")})
+        df = pd.DataFrame({"doc_id": doc_rep, "token": flat})
+        return (df.groupby(["doc_id", "token"], sort=False)
+                .size().rename("tf").reset_index())
+
+    def count_partials(batch: pa.Table) -> pd.DataFrame:
+        part = tf_rows(batch)
+        if part.empty:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "cnt": pd.Series(dtype="int64")})
+        return (part.groupby("token", sort=False)["tf"].sum()
+                .rename("cnt").reset_index())
+
+    counts = hash_partitioned_groupby(
+        ds.map_batches(count_partials, batch_format="pyarrow",
+                       batch_size=4096),
+        ["token"],
+        lambda df: df.groupby("token", sort=False)["cnt"].sum().reset_index(),
+        n_buckets=n_buckets,
+    ).materialize()
+    # N (total corpus tokens) is ONE scalar — an aggregate, not a collect
+    total = counts.sum("cnt") or 0
+    log_n = float(np.log(total)) if total else 0.0
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096)
+    joined = hash_join(tf, counts, on=["token"], n_buckets=n_buckets,
+                       lcols=["doc_id", "token", "tf"],
+                       rcols=["token", "cnt"])
+
+    def doc_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_id" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "sum_cnt": pd.Series(dtype="int64"),
+                                 "sum_tflog": pd.Series(dtype="float64")})
+        df = df.assign(
+            sum_cnt=df["tf"].to_numpy() * df["cnt"].to_numpy(),
+            sum_tflog=df["tf"].to_numpy()
+            * np.log(df["cnt"].to_numpy(dtype=np.float64)),
+        )
+        return (df.groupby("doc_id", sort=False)
+                .agg(n_tokens=("tf", "sum"), sum_cnt=("sum_cnt", "sum"),
+                     sum_tflog=("sum_tflog", "sum")).reset_index())
+
+    partials = joined.map_batches(doc_partials, batch_format="pandas",
+                                  batch_size=16384)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("doc_id", sort=False)
+             .agg(n_tokens=("n_tokens", "sum"), sum_cnt=("sum_cnt", "sum"),
+                  sum_tflog=("sum_tflog", "sum")).reset_index())
+        n = g["n_tokens"].to_numpy(dtype=np.float64)
+        g["mean_logp"] = np.round(
+            (g["sum_tflog"].to_numpy(dtype=np.float64) - n * log_n) / n,
+            round_digits)
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        g["sum_cnt"] = g["sum_cnt"].astype("int64")
+        return g[["doc_id", "n_tokens", "sum_cnt", "mean_logp"]]
+
+    return hash_partitioned_groupby(partials, ["doc_id"], finish,
+                                    n_buckets=n_buckets)
+
+
+def unigram_rarity_sql(table: str = "documents") -> str:
+    """DuckDB oracle for the integer-exact columns of
+    :func:`unigram_rarity` (``mean_logp`` is float-derived and dropped)."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM {table})
+  GROUP BY doc_id, tok
+), cnt AS (
+  SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok
+)
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * cnt.cnt) AS BIGINT) AS sum_cnt
+FROM tf JOIN cnt USING (tok) GROUP BY tf.doc_id
+"""

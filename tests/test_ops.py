@@ -704,3 +704,150 @@ class TestLangId:
         }))
         out = TS.lang_id(ds).to_pandas().set_index("doc_id").sort_index()
         assert list(out["lang"]) == ["en", "zh", "latin", "unknown"]
+
+
+class TestResolveDuplicates:
+    def _pairs(self):
+        import pyarrow as pa
+        import ray.data as rd
+        # components: {1,2,3} (chain), {10,11}; singletons 5, 7 untouched
+        return rd.from_arrow(pa.table({
+            "a": pa.array([1, 2, 10], pa.int64()),
+            "b": pa.array([2, 3, 11], pa.int64()),
+        }))
+
+    def _docs(self):
+        import pyarrow as pa
+        import ray.data as rd
+        ids = [1, 2, 3, 5, 7, 10, 11]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array([i * 10 for i in ids], pa.int64()),
+        }))
+
+    def test_components_min_label(self, ray_session):
+        from graph_rag_agent_ray.ops.dedup import duplicate_components
+        comp = duplicate_components(self._pairs()).to_pandas()
+        got = dict(zip(comp["doc_id"], comp["component"]))
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_survivors_broadcast_and_distributed_agree(self, ray_session):
+        from graph_rag_agent_ray.ops.dedup import resolve_duplicates
+        kept_b = (resolve_duplicates(self._docs(), self._pairs())
+                  .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert kept_b["doc_id"].tolist() == [1, 5, 7, 10]
+        # force the hash-anti-join path (broadcast_limit=0) — same result
+        kept_d = (resolve_duplicates(self._docs(), self._pairs(),
+                                     broadcast_limit=0)
+                  .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(kept_b, kept_d, check_dtype=False)
+
+    def test_no_pairs_keeps_all(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.dedup import resolve_duplicates
+        empty = rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+        kept = resolve_duplicates(self._docs(), empty).to_pandas()
+        assert len(kept) == 7
+
+
+class TestHashAntiJoin:
+    def test_matches_pandas(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.functions.shuffle import hash_anti_join
+        left = rd.from_arrow(pa.table({
+            "k": pa.array(list(range(100)), pa.int64()),
+            "v": pa.array([i * 2 for i in range(100)], pa.int64())}))
+        right = rd.from_arrow(pa.table({
+            "k": pa.array([i for i in range(0, 100, 3)], pa.int64())}))
+        out = (hash_anti_join(left, right, on=["k"])
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert out["k"].tolist() == [i for i in range(100) if i % 3 != 0]
+        assert (out["v"] == out["k"] * 2).all()
+
+
+class TestUnigramRarity:
+    def test_oracle_and_layout_independence(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.textstats import (
+            unigram_rarity,
+            unigram_rarity_sql,
+        )
+
+        path = f"{sf_dir}/documents.parquet"
+        docs = rd.read_parquet(path, columns=["doc_id", "text"])
+        a = (unigram_rarity(docs).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (unigram_rarity(docs.repartition(7)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            a.drop(columns=["mean_logp"]), b.drop(columns=["mean_logp"]))
+        # float path: layout-independent after rounding
+        assert np.allclose(a["mean_logp"], b["mean_logp"], atol=2e-6)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        oracle = (con.execute(unigram_rarity_sql()).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            a.drop(columns=["mean_logp"]), oracle, check_dtype=False)
+
+    def test_rarity_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.textstats import unigram_rarity
+
+        # doc 0: common tokens; doc 1: unique tokens; doc 2: empty (excluded)
+        t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array(["x x x y", "rare1 rare2", "   "])})
+        out = (unigram_rarity(rd.from_arrow(t)).to_pandas()
+               .set_index("doc_id"))
+        assert 2 not in out.index
+        # common doc has higher mean corpus-frequency and higher logp
+        assert (out.loc[0, "sum_cnt"] / out.loc[0, "n_tokens"]
+                > out.loc[1, "sum_cnt"] / out.loc[1, "n_tokens"])
+        assert out.loc[0, "mean_logp"] > out.loc[1, "mean_logp"]
+
+
+class TestTfidfKeywords:
+    def test_oracle_and_layout_independence(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.search import (
+            tfidf_keywords,
+            tfidf_keywords_sql,
+        )
+
+        path = f"{sf_dir}/documents.parquet"
+        docs = rd.read_parquet(path, columns=["doc_id", "text"])
+        a = (tfidf_keywords(docs, k=3).to_pandas()
+             .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+        b = (tfidf_keywords(docs.repartition(9), k=3).to_pandas()
+             .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        oracle = (con.execute(tfidf_keywords_sql(k=3)).df()
+                  .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            a.drop(columns=["score"]), oracle, check_dtype=False)
+
+    def test_rare_term_ranks_first(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.search import tfidf_keywords
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["common words zebra", "common words",
+                              "common words"]),
+        })
+        out = tfidf_keywords(rd.from_arrow(t), k=1).to_pandas()
+        row0 = out[out["doc_id"] == 0].iloc[0]
+        assert row0["token"] == "zebra" and row0["rank"] == 1
+        # doc-frequency-N terms have idf 0: every doc still ranks k terms
+        assert set(out["doc_id"]) == {0, 1, 2}
