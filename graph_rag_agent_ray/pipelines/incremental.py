@@ -346,38 +346,73 @@ def _delta_graph_build(
     _record("entities_embedded", t0)
 
     # ---- blocking → pairs → alias map (DIRTY-BLOCK scoped) ----
-    # pairs are a pure per-block function of the block's member set, and a
-    # block's member set can only change if one of its members is a touched
-    # surface. Every blocking key of a surface is recomputable from its text
-    # alone (canonicalize.surface_block_keys), so: re-pair exactly the blocks
-    # touching a touched surface, carry the previous tick's pairs for the
-    # rest. The re-pair shuffle is dirty-block-sized, not entity-table-sized.
+    # Pair membership is a pure function of each block's member surface SET:
+    # block keys derive from the surface text alone (surface_block_keys),
+    # the pair generators see only member surfaces and their DETERMINISTIC
+    # hash embeddings (EmbedEntities is a function of norm_surface), and the
+    # judge is surface-only (judge_indices). So the touched set splits:
     #
-    # Saturation bypass: each touched surface dirties one LSH bucket in each
-    # of the N_LSH_TABLES tables, so once the touched set approaches the
-    # bucket count (2^lsh_bits per table) virtually every block is dirty and
-    # the scoped path just re-pairs everything with extra bookkeeping —
-    # measured slower than the plain vocab-scale re-pair. Scope only when
-    # the expected dirty-bucket fraction is small (single-doc scheduler
-    # ticks, manual-edit overlays); bulk deltas take the full re-pair.
+    # * EXISTENCE-touched — surfaces that entered or left the vocabulary —
+    #   change their blocks' member sets: re-pair exactly those blocks.
+    # * COUNT-touched — mention count changed, surface present both ticks —
+    #   change NO block and NO pair decision; only the n_a/n_b metadata
+    #   carried on their pairs is stale (build_alias_map reads counts off
+    #   the pair rows), and a vectorized map() refresh fixes it in place.
+    #
+    # A bulk edit that rewrites counts across the corpus therefore still
+    # takes the scoped path (the usual tick mutates text in place: counts
+    # churn, the vocabulary barely moves). The saturation bypass now keys on
+    # existence churn only: each such surface dirties one bucket per LSH
+    # table, so once existence-touched approaches the bucket count
+    # (2^lsh_bits) virtually every block is dirty and the plain vocab-scale
+    # re-pair is faster than scoped bookkeeping.
     t0 = time.monotonic()
     pair_cols = ["block_key", "a", "b", "n_a", "n_b"]
     bits = C.auto_blocking_bits(embedded.count(), cfg)
     prev_bits = (prev.manifest("canon_pairs") or {}).get("blocking_bits")
+    # (norm_surface, n_mentions) for the touched slice of the NEW vocabulary:
+    # one touched-sized collect serving the existence split + count patch
+    touched_new_pdf = (_filter_col_in(embedded, touched_ref, "norm_surface")
+                       .select_columns(["norm_surface", "n_mentions"])
+                       .to_pandas())
+    new_present = (set(touched_new_pdf["norm_surface"])
+                   if len(touched_new_pdf) else set())
+    prev_present_pdf = (_filter_col_in(
+        prev.read("entities_embedded", columns=["norm_surface"]),
+        touched_ref, "norm_surface").to_pandas())
+    prev_present = (set(prev_present_pdf["norm_surface"])
+                    if len(prev_present_pdf) else set())
+    existence_touched = touched - (new_present & prev_present)
     # carried pairs are only valid under the SAME block-key scheme — a
     # vocabulary-growth step that changes the auto bits forces a full re-pair
     scoped = (prev_bits == bits
-              and len(touched) <= max(8, (1 << bits) // 8))
+              and len(existence_touched) <= max(8, (1 << bits) // 8))
     if scoped:
-        dirty_keys = C.surface_block_keys(sorted(touched), cfg, bits=bits)
-        dirty_ref = ray.put(pa.array(sorted(dirty_keys), pa.string()))
-        fresh_pairs = C.candidate_pairs(
-            embedded, cfg, keep_block_key=True, only_keys_ref=dirty_ref,
-            bits=bits,
-        ).to_pandas()
-        carried_pairs = _filter_col_in(
-            prev.read("canon_pairs"), dirty_ref, "block_key", invert=True,
-        ).to_pandas()
+        dirty_keys = C.surface_block_keys(sorted(existence_touched), cfg,
+                                          bits=bits)
+        if dirty_keys:
+            dirty_ref = ray.put(pa.array(sorted(dirty_keys), pa.string()))
+            fresh_pairs = C.candidate_pairs(
+                embedded, cfg, keep_block_key=True, only_keys_ref=dirty_ref,
+                bits=bits,
+            ).to_pandas()
+            carried_pairs = _filter_col_in(
+                prev.read("canon_pairs"), dirty_ref, "block_key", invert=True,
+            ).to_pandas()
+        else:
+            fresh_pairs = pd.DataFrame({c: [] for c in pair_cols})
+            carried_pairs = prev.read("canon_pairs").to_pandas()
+        if len(carried_pairs) and len(touched_new_pdf):
+            # refresh stale counts on carried pairs (count-touched surfaces;
+            # removed surfaces never reach here — their blocks are dirty)
+            patch = dict(zip(touched_new_pdf["norm_surface"],
+                             touched_new_pdf["n_mentions"]))
+            if patch:
+                carried_pairs = carried_pairs.copy()
+                for col, ncol in (("a", "n_a"), ("b", "n_b")):
+                    m = carried_pairs[col].map(patch)
+                    carried_pairs[ncol] = (
+                        m.fillna(carried_pairs[ncol]).astype("int64"))
         frames = [f[pair_cols] for f in (fresh_pairs, carried_pairs) if len(f)]
     else:
         dirty_keys = ()
@@ -414,7 +449,8 @@ def _delta_graph_build(
         fingerprint(base_fp, "alias_map", extractor_cls.__name__)))
     _record("alias_map", t0, n_pairs=int(len(pairs_pdf)), n_aliases=len(alias),
             scoped=scoped, n_dirty_blocks=len(dirty_keys),
-            n_fresh_pairs=int(len(fresh_pairs)))
+            n_fresh_pairs=int(len(fresh_pairs)),
+            n_existence_touched=len(existence_touched))
 
     # ---- alias diff → affected canonical ids ----
     # a surface s with old_map(s) == new_map(s) produces identical canonical

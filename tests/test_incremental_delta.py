@@ -137,10 +137,13 @@ class TestDeltaScopedEquivalence:
         t_full = build_kg(v2, str(tmp_path / "bf"), input_token="b1f")
         _assert_tables_equal(t_inc, t_full, ALL_TABLES)
 
-    def test_single_doc_tick_scoped_blocking(self, ray_session, tmp_path):
-        """A single-doc modification must take the DIRTY-BLOCK scoped pair
-        derivation (scoped=True, carried pairs > 0, fresh pairs ≪ total)
-        and still match a fresh build value-exactly on every table."""
+    def test_single_doc_tick_count_only_zero_dirty(self, ray_session, tmp_path):
+        """A single-doc modification that leaves the entity VOCABULARY
+        unchanged (appended free text the extractor grammar ignores — only
+        mention counts/chunk ids of the doc's existing surfaces churn) must
+        re-derive ZERO blocks: count-touched surfaces change no block member
+        set and no judge decision, so every pair carries over with patched
+        n_a/n_b — and the result still matches a fresh build value-exactly."""
         corpus = generate(n_docs=30, seed=13)
         docs_v1 = rd.from_arrow(corpus.documents)
         d1 = str(tmp_path / "s0")
@@ -161,7 +164,44 @@ class TestDeltaScopedEquivalence:
             stages = [json.loads(l) for l in f if l.strip()]
         alias_rows = [r for r in stages if r["stage"] == "alias_map"]
         assert alias_rows and alias_rows[-1]["scoped"] is True
+        assert alias_rows[-1]["n_existence_touched"] == 0
+        assert alias_rows[-1]["n_dirty_blocks"] == 0
+        assert alias_rows[-1]["n_fresh_pairs"] == 0
+        assert alias_rows[-1]["n_pairs"] > 0  # all carried
+
+        t_full = build_kg(rd.from_arrow(v2_tbl), str(tmp_path / "sf"),
+                          input_token="s1f")
+        _assert_tables_equal(t_inc, t_full, ALL_TABLES)
+
+    def test_single_doc_tick_scoped_blocking(self, ray_session, tmp_path):
+        """A single-doc modification that ADDS vocabulary (two new aliased
+        surfaces the grammar extracts) must take the DIRTY-BLOCK scoped pair
+        derivation (scoped=True, fresh pairs > 0 but ≪ total, most pairs
+        carried) and still match a fresh build value-exactly."""
+        corpus = generate(n_docs=30, seed=13)
+        docs_v1 = rd.from_arrow(corpus.documents)
+        d1 = str(tmp_path / "s0")
+        build_kg(docs_v1, d1, input_token="s0")
+        write_registry(docs_v1, d1, input_token="s0")
+
+        rows = corpus.documents.to_pylist()
+        rows[5]["spans"][0]["text"] += (
+            " The organization Glimmerline Labs collaborates with "
+            "the organization Glimmerline Labs Inc."
+        )
+        v2_tbl = pa.Table.from_pylist(rows, schema=S.DOCUMENTS)
+        d2 = str(tmp_path / "s1")
+        t_inc, counts = incremental_build_kg(
+            rd.from_arrow(v2_tbl), d2, d1, input_token="s1")
+        assert counts["modified"] == 1 and counts["added"] == 0
+
+        with open(f"{d2}/_lineage.jsonl") as f:
+            stages = [json.loads(l) for l in f if l.strip()]
+        alias_rows = [r for r in stages if r["stage"] == "alias_map"]
+        assert alias_rows and alias_rows[-1]["scoped"] is True
+        assert alias_rows[-1]["n_existence_touched"] > 0
         assert alias_rows[-1]["n_dirty_blocks"] > 0
+        assert alias_rows[-1]["n_fresh_pairs"] > 0
         # the carried fraction is the point: most pairs must NOT re-derive
         assert (alias_rows[-1]["n_fresh_pairs"]
                 < alias_rows[-1]["n_pairs"])
