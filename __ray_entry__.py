@@ -46,6 +46,11 @@ def _clean():
     from graph_rag_agent_ray.ops import clean
     return clean
 
+
+def _graphstats():
+    from graph_rag_agent_ray.ops import graphstats
+    return graphstats
+
 _KG_CACHE: Dict[str, dict] = {}
 
 
@@ -310,6 +315,16 @@ def _kg_entities_q(sf_dir: str):
 def _kg_edges_q(sf_dir: str):
     return _kg_tables(sf_dir)["edges"].select_columns(
         ["src", "pred", "dst", "weight"])
+
+
+def _kg_degree_dist_q(sf_dir: str):
+    from graph_rag_agent_ray.ops import graphstats as G
+    return G.degree_distribution(_kg_tables(sf_dir)["edges"])
+
+
+def _kg_triangles_q(sf_dir: str):
+    from graph_rag_agent_ray.ops import graphstats as G
+    return G.triangle_count(_kg_tables(sf_dir)["edges"])
 
 
 def _kg_communities_q(sf_dir: str):
@@ -594,6 +609,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples_q,
         "kg_entities": _kg_entities_q,
         "kg_edges": _kg_edges_q,
+        # graph metrics over the canonical edge graph (GDS degree-projection
+        # parity): distinct-neighbour degree histogram + exact triangle
+        # count via degree-oriented wedge enumeration (skew-bounded)
+        "kg_degree_dist": _kg_degree_dist_q,
+        "kg_triangles": _kg_triangles_q,
         "kg_communities": _kg_communities_q,
         "kg_incremental": _kg_incremental_q,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing):
@@ -723,6 +743,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"SELECT doc_id, subj, pred, obj FROM read_parquet('{KG_TRUTH_DIR}/kg_triples.parquet')",
         "kg_entities": f"SELECT entity_id, entity_type, n_docs FROM read_parquet('{KG_TRUTH_DIR}/kg_entities.parquet')",
         "kg_edges": f"SELECT src, pred, dst, weight FROM read_parquet('{KG_TRUTH_DIR}/kg_edges.parquet')",
+        "kg_degree_dist": _graphstats().degree_distribution_sql(
+            f"{KG_TRUTH_DIR}/kg_edges.parquet"),
+        "kg_triangles": _graphstats().triangle_count_sql(
+            f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",
         "media_frames": f"SELECT doc_id, media_ref, kind, frame_idx, ts_ms FROM read_parquet('{KG_TRUTH_DIR}/media_frames.parquet')",
