@@ -371,15 +371,22 @@ def _delta_graph_build(
     bits = C.auto_blocking_bits(embedded.count(), cfg)
     prev_bits = (prev.manifest("canon_pairs") or {}).get("blocking_bits")
     # (norm_surface, n_mentions) for the touched slice of the NEW vocabulary:
-    # one touched-sized collect serving the existence split + count patch
-    touched_new_pdf = (_filter_col_in(embedded, touched_ref, "norm_surface")
-                       .select_columns(["norm_surface", "n_mentions"])
-                       .to_pandas())
+    # one touched-sized collect serving the existence split + count patch.
+    # Both presence scans are independent touched-sized collects — run them
+    # concurrently (each execution carries ~1 s of scheduler fixed cost that
+    # would otherwise serialize into the update's critical path)
+    with ThreadPoolExecutor(max_workers=2) as scans:
+        f_new = scans.submit(
+            lambda: _filter_col_in(embedded, touched_ref, "norm_surface")
+            .select_columns(["norm_surface", "n_mentions"]).to_pandas())
+        f_prev = scans.submit(
+            lambda: _filter_col_in(
+                prev.read("entities_embedded", columns=["norm_surface"]),
+                touched_ref, "norm_surface").to_pandas())
+        touched_new_pdf = f_new.result()
+        prev_present_pdf = f_prev.result()
     new_present = (set(touched_new_pdf["norm_surface"])
                    if len(touched_new_pdf) else set())
-    prev_present_pdf = (_filter_col_in(
-        prev.read("entities_embedded", columns=["norm_surface"]),
-        touched_ref, "norm_surface").to_pandas())
     prev_present = (set(prev_present_pdf["norm_surface"])
                     if len(prev_present_pdf) else set())
     existence_touched = touched - (new_present & prev_present)
@@ -703,15 +710,17 @@ def incremental_build_kg(
     delta = compute_delta(old_registry, new_registry).materialize()
     lineage.record("registry_diff", cached=False,
                    wall_s=time.monotonic() - t_reg)
+    # doc_id sets for the delta (broadcast; at 10^12 scale this becomes a
+    # bloom filter / semi-join, same shape). Status counts come off the same
+    # collect — a separate groupby().count() would re-execute the delta
+    # pipeline as one more all-to-all just to produce four integers.
+    changed_pdf = delta.to_pandas()
     counts = {
         s: 0 for s in ("added", "modified", "deleted", "unchanged")
     }
-    for row in delta.groupby("status").count().take_all():
-        counts[row["status"]] = int(row["count()"])
-
-    # doc_id sets for the delta (broadcast; at 10^12 scale this becomes a
-    # bloom filter / semi-join, same shape)
-    changed_pdf = delta.to_pandas()
+    if len(changed_pdf):
+        counts.update({str(k): int(v) for k, v in
+                       changed_pdf["status"].value_counts().items()})
     dirty = set(changed_pdf.loc[changed_pdf["status"].isin(["added", "modified"]), "doc_id"])
     kept = set(changed_pdf.loc[changed_pdf["status"] == "unchanged", "doc_id"])
     removed = set(changed_pdf.loc[changed_pdf["status"].isin(["modified", "deleted"]), "doc_id"])
