@@ -327,6 +327,11 @@ def _kg_triangles_q(sf_dir: str):
     return G.triangle_count(_kg_tables(sf_dir)["edges"])
 
 
+def _kg_pagerank_q(sf_dir: str):
+    from graph_rag_agent_ray.ops import graphstats as G
+    return G.pagerank(_kg_tables(sf_dir)["edges"], n_buckets=8)
+
+
 def _kg_communities_q(sf_dir: str):
     """(entity_id, community_number) at the FINAL detection level — compared
     against the generator's planted partition (canonically numbered)."""
@@ -614,6 +619,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count via degree-oriented wedge enumeration (skew-bounded)
         "kg_degree_dist": _kg_degree_dist_q,
         "kg_triangles": _kg_triangles_q,
+        # important-node ranking, the reference's nx.pagerank over its
+        # assembled KG (search/tool/reasoning/kg_builder.py:293-298):
+        # truncated power iteration as 2*iters scalar shuffles over the
+        # aggregated entity graph; ppb integer surrogate for the hash gate
+        "kg_pagerank": _kg_pagerank_q,
         "kg_communities": _kg_communities_q,
         "kg_incremental": _kg_incremental_q,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing):
@@ -746,6 +756,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_dist": _graphstats().degree_distribution_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_triangles": _graphstats().triangle_count_sql(
+            f"{KG_TRUTH_DIR}/kg_edges.parquet"),
+        "kg_pagerank": _graphstats().pagerank_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",

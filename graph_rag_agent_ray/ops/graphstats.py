@@ -194,3 +194,155 @@ FROM und e1
 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
 """
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 20,
+    n_buckets: int = 32,
+    scale: int = 10**9,
+) -> "ray.data.Dataset":
+    """(node, pr_ppb): truncated-power-iteration PageRank over the
+    undirected simple graph, as a parts-per-billion integer surrogate.
+
+    Reference parity: the reference ranks "important nodes" with
+    ``nx.pagerank`` over its assembled knowledge graph
+    (``search/tool/reasoning/kg_builder.py:293-298``) and weights core
+    community entities by PageRank (``community_enhance.py:175``). This is
+    the same measure as Ray dataflow: each undirected edge feeds both
+    directions, rank(v) <- (1-d)/n + d * sum_{u in N(v)} rank(u)/deg(u),
+    a FIXED ``iters`` iterations (a convergence test is a driver-side
+    barrier and makes the output run-dependent; truncation keeps it a pure
+    function of the graph — the SQL oracle unrolls the same iterations).
+
+    Scale shape: the adjacency is edge-scale and the rank state is
+    node-scale over the AGGREGATED entity graph (not the corpus). deg(u)
+    is attached to the adjacency ONCE before the loop; each iteration is
+    one hash_join (state onto out-edges) + one bucketed groupby-sum =
+    2*iters scalar shuffles. No driver-side graph; the only driver scalar
+    is n (node count). Reducers sum each node's contributions in sorted
+    order so the floats are a pure function of the graph, not of block
+    arrival order; the ppb grid (1e-9) sits ~6 orders above the residual
+    FP noise, so the integer surrogate is hash-stable vs the SQL oracle.
+    """
+    und = _undirected_edges(edges)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object")})
+        return pd.concat(
+            [df.rename(columns={"a": "u", "b": "v"})[["u", "v"]],
+             df.rename(columns={"a": "v", "b": "u"})[["u", "v"]]],
+            ignore_index=True)
+
+    adj = und.map_batches(both_dirs, batch_format="pandas",
+                          batch_size=65536)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "deg": pd.Series(dtype="int64")})
+        return df.groupby("u", sort=False).size().reset_index(name="deg")
+
+    deg = hash_partitioned_groupby(
+        adj.map_batches(deg_partial, batch_format="pandas"),
+        ["u"],
+        lambda df: df.groupby("u", sort=False)["deg"].sum().reset_index(),
+        n_buckets=n_buckets,
+    )
+    adj_deg = hash_join(adj, deg, on=["u"], n_buckets=n_buckets,
+                        lcols=["u", "v"], rcols=["u", "deg"]).materialize()
+    n = deg.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "pr_ppb": pa.array([], pa.int64())}))
+    base = (1.0 - damping) / n
+    r0 = 1.0 / n
+
+    state = deg.map_batches(
+        lambda df: pd.DataFrame({"u": df["u"], "r": r0})
+        if not df.empty and "u" in df.columns
+        else pd.DataFrame({"u": pd.Series(dtype="object"),
+                           "r": pd.Series(dtype="float64")}),
+        batch_format="pandas").materialize()
+
+    def contrib_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "v" not in df.columns:
+            return pd.DataFrame({"v": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "v": df["v"],
+            "c": df["r"].astype("float64") / df["deg"].astype("float64")})
+
+    def sum_reducer(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "v" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "r": pd.Series(dtype="float64")})
+        # sort by (node, contribution) so the per-node sum order — and
+        # therefore the float result — is a pure function of the graph
+        df = df.sort_values(["v", "c"], kind="stable")
+        s = df.groupby("v", sort=False)["c"].sum()
+        return pd.DataFrame({"u": s.index, "r": base + damping * s.values})
+
+    for _ in range(iters):
+        joined = hash_join(state, adj_deg, on=["u"], n_buckets=n_buckets,
+                           lcols=["u", "r"], rcols=["u", "v", "deg"])
+        contribs = joined.map_batches(contrib_rows, batch_format="pandas",
+                                      batch_size=65536)
+        new_state = hash_partitioned_groupby(
+            contribs, ["v"], sum_reducer, n_buckets=n_buckets).materialize()
+        # truncate the logical-plan lineage: a materialized dataset still
+        # carries its upstream plan, and tens of chained iterations overflow
+        # the driver's recursion limit — re-rooting on the block refs keeps
+        # the state in the object store with an O(1)-depth plan
+        state = ray.data.from_arrow_refs(new_state.to_arrow_refs())
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "pr_ppb": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "node": df["u"],
+            "pr_ppb": np.rint(df["r"].astype("float64") * scale)
+            .astype("int64")})
+
+    return state.map_batches(finalize, batch_format="pandas")
+
+
+def pagerank_sql(
+    edges_path: str,
+    damping: float = 0.85,
+    iters: int = 20,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB oracle for :func:`pagerank` — the identical truncated power
+    iteration unrolled as chained CTEs (standard SQL forbids aggregation in
+    a recursive CTE term, so the fixed iteration count is written out)."""
+    ctes = [f"""und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('{edges_path}') WHERE src <> dst
+), adj AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), deg AS (
+  SELECT u, count(*) AS deg FROM adj GROUP BY u
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+), pr0 AS (
+  SELECT u, 1.0 / (SELECT n FROM nn) AS r FROM deg
+)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""pr{k} AS (
+  SELECT adj.v AS u,
+         (1.0 - {damping}) / (SELECT n FROM nn)
+         + {damping} * sum(p.r / deg.deg) AS r
+  FROM pr{k - 1} p
+  JOIN adj ON adj.u = p.u
+  JOIN deg ON deg.u = p.u
+  GROUP BY adj.v
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT u AS node, CAST(round(r * {scale}.0) AS BIGINT)"
+            f" AS pr_ppb FROM pr{iters}")

@@ -102,3 +102,84 @@ class TestKgGraphOracles:
         want_tri = con.execute(triangle_count_sql(path)).df()[
             "n_triangles"].iloc[0]
         assert got_tri == want_tri
+
+
+class TestPageRank:
+    def test_matches_dense_power_iteration(self, ray_session):
+        """Exact match (at the ppb grid) against a dense numpy power
+        iteration with the identical truncation."""
+        import numpy as np
+        from graph_rag_agent_ray.ops.graphstats import pagerank
+
+        rng = np.random.default_rng(7)
+        n = 30
+        rows = [(f"n{i}", f"n{j}") for i in range(n) for j in range(i + 1, n)
+                if rng.random() < 0.2]
+        out = pagerank(_edges(rows), iters=20).to_pandas()
+
+        nodes = sorted({x for r in rows for x in r})
+        idx = {v: i for i, v in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b in set(rows):
+            A[idx[a], idx[b]] = 1.0
+            A[idx[b], idx[a]] = 1.0
+        deg = A.sum(axis=1)
+        r = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(20):
+            r = (1 - 0.85) / len(nodes) + 0.85 * (A.T @ (r / deg))
+        want = {v: int(np.rint(r[i] * 1e9)) for v, i in idx.items()}
+        got = dict(zip(out["node"], out["pr_ppb"]))
+        assert got == want
+
+    def test_truncation_converges(self, ray_session):
+        """60 truncated iterations sit within 1e-8 of the CONVERGED
+        PageRank (the reference's nx.pagerank measure, kg_builder.py:294;
+        nx itself needs scipy, absent here, so the converged baseline is a
+        500-step dense power iteration — far past the 0.85^k residual)."""
+        import numpy as np
+        from graph_rag_agent_ray.ops.graphstats import pagerank
+
+        rng = np.random.default_rng(3)
+        rows = [(f"e{i}", f"e{j}") for i in range(25) for j in range(i + 1, 25)
+                if rng.random() < 0.25]
+        out = pagerank(_edges(rows), iters=60).to_pandas()
+
+        nodes = sorted({x for r in rows for x in r})
+        idx = {v: i for i, v in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b in set(rows):
+            A[idx[a], idx[b]] = 1.0
+            A[idx[b], idx[a]] = 1.0
+        deg = A.sum(axis=1)
+        r = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(500):
+            r = (1 - 0.85) / len(nodes) + 0.85 * (A.T @ (r / deg))
+        for _, row in out.iterrows():
+            assert abs(row["pr_ppb"] / 1e9 - r[idx[row["node"]]]) < 1e-8
+
+    def test_vs_duckdb_oracle(self, ray_session, tmp_path):
+        """Driver-query shape: hash-exact ppb surrogates vs the unrolled
+        SQL oracle, with a margin check on the rounding grid."""
+        import duckdb
+        import numpy as np
+        import pyarrow.parquet as pq
+        from graph_rag_agent_ray.ops.graphstats import pagerank, pagerank_sql
+
+        rng = np.random.default_rng(13)
+        src, dst = [], []
+        for i in range(35):
+            for j in range(i + 1, 35):
+                if rng.random() < 0.18:
+                    src.append(f"e{j}"); dst.append(f"e{i}")
+        tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                        "pred": pa.array(["r"] * len(src)),
+                        "weight": pa.array([1.0] * len(src))})
+        path = str(tmp_path / "edges.parquet")
+        pq.write_table(tbl, path)
+        import ray.data as rd
+
+        got = (pagerank(rd.from_arrow(tbl)).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        want = (duckdb.connect().execute(pagerank_sql(path)).df()
+                .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
