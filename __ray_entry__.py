@@ -51,6 +51,11 @@ def _graphstats():
     from graph_rag_agent_ray.ops import graphstats
     return graphstats
 
+
+def _linalg():
+    from graph_rag_agent_ray.ops import linalg
+    return linalg
+
 _KG_CACHE: Dict[str, dict] = {}
 
 
@@ -332,6 +337,11 @@ def _kg_pagerank_q(sf_dir: str):
     return G.pagerank(_kg_tables(sf_dir)["edges"], n_buckets=8)
 
 
+def _kg_components_q(sf_dir: str):
+    from graph_rag_agent_ray.ops import graphstats as G
+    return G.weakly_connected(_kg_tables(sf_dir)["edges"], n_buckets=8)
+
+
 def _kg_communities_q(sf_dir: str):
     """(entity_id, community_number) at the FINAL detection level — compared
     against the generator's planted partition (canonically numbered)."""
@@ -513,6 +523,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # config/corpus property, so the gate re-verifies exactness per run
         "embedding_neardup_blocked": lambda sf: D.embedding_neardup_blocked(
             _emb(sf), threshold=0.35, n_bits=None, n_tables=None),
+        # distributed linear algebra: integer-exact quantized Gram matrix
+        # (the one distributed step under PCA/whitening — per-batch d x d
+        # matmul combine, one scalar shuffle of d^2 partials per block;
+        # eigendecomposition happens on the driver over the d x d result)
+        "embedding_gram": lambda sf: _linalg().gram_matrix(_emb(sf)),
         # --- KG construction pipeline (synthetic interleaved corpus) ---
         # Each query is a deterministic projection of a pipeline table and is
         # hash-compared against PLANTED ground truth parquet the generator
@@ -624,6 +639,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # truncated power iteration as 2*iters scalar shuffles over the
         # aggregated entity graph; ppb integer surrogate for the hash gate
         "kg_pagerank": _kg_pagerank_q,
+        # WCC over the canonical graph (GDS wcc parity,
+        # graph/processing/similar_entity.py) — distributed min-label
+        # propagation with pointer jumping, no driver union-find
+        "kg_components": _kg_components_q,
         "kg_communities": _kg_communities_q,
         "kg_incremental": _kg_incremental_q,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing):
@@ -745,6 +764,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
         """,
+        # quantized Gram sums are integer-exact on both sides (HUGEINT in
+        # SQL, Python-int reduce in Ray) — no float-order sensitivity
+        "embedding_gram": _linalg().gram_matrix_sql(table="embeddings"),
         # --- kg_* planted-truth oracles: the generator writes ground-truth
         # parquet (emission log, independent of the pipeline) to KG_TRUTH_DIR
         # when the matching query runs; DuckDB reads it back here ---
@@ -758,6 +780,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _graphstats().triangle_count_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_pagerank": _graphstats().pagerank_sql(
+            f"{KG_TRUTH_DIR}/kg_edges.parquet"),
+        "kg_components": _graphstats().weakly_connected_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",

@@ -346,3 +346,37 @@ def pagerank_sql(
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT u AS node, CAST(round(r * {scale}.0) AS BIGINT)"
             f" AS pr_ppb FROM pr{iters}")
+
+
+def weakly_connected(edges: "ray.data.Dataset",
+                     n_buckets: int = 32) -> "ray.data.Dataset":
+    """(node, component): weakly-connected components of the canonical
+    entity graph; component id = smallest member node id.
+
+    Reference parity: the GDS WCC pass that precedes entity merging
+    (``graph/processing/similar_entity.py`` runs gds.wcc to group merge
+    candidates). Same distributed min-label propagation with pointer
+    jumping as the dedup-resolution path (functions/components.py) — no
+    driver-side union-find, component count and diameter never touch the
+    driver."""
+    und = _undirected_edges(edges)
+    from ..functions.components import connected_components
+    return connected_components(und, n_buckets=n_buckets)
+
+
+def weakly_connected_sql(edges_path: str) -> str:
+    """DuckDB oracle for :func:`weakly_connected`: recursive-CTE transitive
+    closure (exact at driver test scale; the Ray path is the scale one)."""
+    return f"""
+WITH RECURSIVE und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('{edges_path}') WHERE src <> dst
+), edges AS (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON e.a = reach.node
+)
+SELECT node, MIN(src) AS component FROM reach GROUP BY node
+"""

@@ -183,3 +183,31 @@ class TestPageRank:
         want = (duckdb.connect().execute(pagerank_sql(path)).df()
                 .sort_values("node").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestWeaklyConnected:
+    def test_components_vs_oracle(self, ray_session, tmp_path):
+        import duckdb
+        import numpy as np
+        import pyarrow.parquet as pq
+        from graph_rag_agent_ray.ops.graphstats import (
+            weakly_connected, weakly_connected_sql)
+
+        # two clusters + an isolated edge + noise orientation/dups
+        rows = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+                ("b1", "b2"), ("b2", "b3"),
+                ("c1", "c2"), ("a2", "a1"), ("b3", "b3")]
+        tbl = pa.table({"src": pa.array([r[0] for r in rows]),
+                        "dst": pa.array([r[1] for r in rows]),
+                        "pred": pa.array(["r"] * len(rows)),
+                        "weight": pa.array([1.0] * len(rows))})
+        path = str(tmp_path / "edges.parquet")
+        pq.write_table(tbl, path)
+        import ray.data as rd
+        got = (weakly_connected(rd.from_arrow(tbl)).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        want = (duckdb.connect().execute(weakly_connected_sql(path)).df()
+                .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert dict(zip(got["node"], got["component"]))["a3"] == "a1"
+        assert dict(zip(got["node"], got["component"]))["b3"] == "b1"
