@@ -574,6 +574,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf, "documents", ["doc_id", "n_chars"]), k=50),
         "distinct_per_group": lambda sf: AN.distinct_per_group(
             _events_typed(sf)),
+        # SQL window-function family: per-key windows are one hash shuffle
+        # + vectorized grouped cumsum; the global running sum is the
+        # distributed two-phase prefix scan (O(n_ranges) driver state)
+        "user_windows": lambda sf: AN.user_windows(_events_typed(sf)),
+        "running_total": lambda sf: AN.running_total(_events_typed(sf)),
         # exact per-group quotas (the training-mix recipe primitive):
         # deterministic smallest-(md5,key) draw per language
         "quota_sample": lambda sf: AN.quota_sample(
@@ -808,6 +813,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": AN.sample_exact_k_sql(
             50, key="doc_id", table="documents", columns="doc_id, n_chars"),
         "distinct_per_group": AN.distinct_per_group_sql(),
+        "user_windows": AN.user_windows_sql(),
+        "running_total": AN.running_total_sql(),
         "quota_sample": AN.quota_sample_sql(
             QUOTAS, group_col="lang", columns="doc_id, lang, n_chars",
             default_quota=5),

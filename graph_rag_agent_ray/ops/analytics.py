@@ -55,6 +55,8 @@ __all__ = [
     "stratified_sample",
     "sample_exact_k",
     "distinct_per_group",
+    "user_windows",
+    "running_total",
 ]
 
 
@@ -522,4 +524,135 @@ def distinct_per_group_sql(key: str = "event_type",
     return f"""
 SELECT {key}, COUNT(DISTINCT {distinct_col}) AS n_distinct
 FROM {table} GROUP BY {key}
+"""
+
+
+# --------------------------------------------- partitioned window family ----
+
+def user_windows(events: "ray.data.Dataset",
+                 n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-user event windows — the SQL window-function family
+    ``PARTITION BY user_id ORDER BY ts, event_id``:
+
+      row_num        ROW_NUMBER()
+      running_cents  SUM(cents) OVER (... ROWS UNBOUNDED PRECEDING)
+      prev_cents     LAG(cents), 0 for the first event
+
+    Ray Data has no window operator; the scale shape is ONE hash shuffle on
+    the partition key (all rows of a user land in one bucket, many users per
+    bucket) and a vectorized per-bucket sort + grouped cumsum/shift — no
+    per-key tasks, no driver state. Running sums are computed in integer
+    cents so any partitioning matches DuckDB's sequential window scan
+    bit-for-bit (module exactness note)."""
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"],
+            "cents": np.rint(df["value"].to_numpy() * 100).astype("int64"),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "row_num": g.cumcount().to_numpy() + 1,
+            "running_cents": g["cents"].cumsum().to_numpy(),
+            "prev_cents": g["cents"].shift(fill_value=0).to_numpy(),
+        })
+
+    slimmed = events.map_batches(slim, batch_format="pandas")
+    return hash_partitioned_groupby(
+        slimmed, ["user_id"], per_bucket, n_buckets=n_buckets)
+
+
+def user_windows_sql(table: str = "events") -> str:
+    return f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM {table}
+)
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_num,
+       CAST(SUM(cents) OVER w AS BIGINT) AS running_cents,
+       CAST(COALESCE(LAG(cents) OVER w, 0) AS BIGINT) AS prev_cents
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def running_total(events: "ray.data.Dataset",
+                  n_ranges: int = 64) -> "ray.data.Dataset":
+    """GLOBAL running sum — ``SUM(cents) OVER (ORDER BY ts, event_id)`` with
+    no partition key: the distributed two-phase prefix scan (same shape as
+    relational.prefix_shards).
+
+      1. rows range-partitioned on ts (equal-width over [min, max]; ranges
+         are ORDERED, unlike hash buckets — a prefix needs order, and equal
+         ts values share a range so the event_id tie-break stays local);
+      2. one cents total per range → driver (n_ranges scalars), exclusive
+         prefix → broadcast offsets via ray.put;
+      3. per-range sort + cumsum + range offset, one vectorized pass.
+
+    Driver state is O(n_ranges), never O(rows); skewed timestamps only skew
+    task sizes, never correctness."""
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "ts_us": df["ts"].astype("int64"),
+            "cents": np.rint(df["value"].to_numpy() * 100).astype("int64"),
+        })
+
+    slimmed = events.map_batches(slim, batch_format="pandas").materialize()
+    lo, hi = slimmed.min("ts_us"), slimmed.max("ts_us")
+    if lo is None:
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "running_cents": pa.array([], pa.int64()),
+        }))
+    width = max(1, (int(hi) - int(lo) + n_ranges) // n_ranges)
+
+    def add_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_range"] = ((df["ts_us"].to_numpy() - int(lo)) // width).astype("int64")
+        return df
+
+    ranged = slimmed.map_batches(add_range, batch_format="pandas").materialize()
+    totals = {int(r["_range"]): int(r["sum(cents)"])
+              for r in ranged.groupby("_range").sum("cents").take_all()}
+    offsets, acc = {}, 0
+    for r in sorted(totals):
+        offsets[r] = acc
+        acc += totals[r]
+    offsets_ref = ray.put(offsets)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(offsets_ref)[int(df["_range"].iloc[0])]
+        df = df.sort_values(["ts_us", "event_id"], kind="stable")
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "running_cents": (df["cents"].cumsum() + base).astype("int64"),
+        })
+
+    return ranged.groupby("_range").map_groups(scan, batch_format="pandas")
+
+
+def running_total_sql(table: str = "events") -> str:
+    return f"""
+WITH c AS (
+  SELECT event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM {table}
+)
+SELECT event_id,
+       CAST(SUM(cents) OVER (ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM c
 """

@@ -382,12 +382,14 @@ def communities_and_entities(
     # collect only the light columns once; chunk_ids lists stay distributed
     _t = _time.monotonic()
     edges_pdf = edges.select_columns(["src", "dst", "pred", "weight"]).to_pandas()
+    _t_collect = _time.monotonic() - _t
     driver_local = len(edges_pdf) <= CM.MAX_DRIVER_GRAPH_EDGES
     # content-addressed detection cache: the membership is a pure seeded
     # function of the aggregated edge graph + detection knobs, so a tick
     # that leaves the graph unchanged (the common metadata/text-only edit)
     # reuses the previous membership snapshot instead of re-running Leiden
     graph_fp = _graph_fingerprint(edges_pdf, cfg) if driver_local else None
+    _t_fp = _time.monotonic() - _t - _t_collect
     member_levels = None
     detect_cached = False
     if graph_fp is not None:
@@ -426,6 +428,7 @@ def communities_and_entities(
                     graph_fp)
     lineage.record("louvain", cached=detect_cached,
                    wall_s=_time.monotonic() - _t,
+                   collect_s=round(_t_collect, 3), fp_s=round(_t_fp, 3),
                    components_carried=n_carried,
                    components_detected=n_detected)
     membership_tbl = CM.community_membership_table(member_levels)

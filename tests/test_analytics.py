@@ -384,3 +384,68 @@ class TestTokenBudgetSentinelUnit:
         out = token_budget_sample(ds, {"g": 10}, batch_size=2).to_pandas()
         assert out["doc_id"].tolist() == [a]
         assert out["cum_tokens"].tolist() == [6]
+
+
+class TestWindows:
+    def _pandas_user_windows(self, ev):
+        df = ev.copy()
+        df["cents"] = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "row_num": (g.cumcount() + 1).astype("int64"),
+            "running_cents": g["cents"].cumsum().astype("int64"),
+            "prev_cents": g["cents"].shift(fill_value=0).astype("int64"),
+        }).sort_values("event_id").reset_index(drop=True)
+
+    def test_user_windows_matches_pandas(self):
+        ev = _events()
+        got = (AN.user_windows(rd.from_pandas(ev), n_buckets=8).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        want = self._pandas_user_windows(ev)
+        pd.testing.assert_frame_equal(
+            got[want.columns].astype("int64"), want.astype("int64"))
+
+    def test_user_windows_partitioning_invariant(self):
+        ev = _events(400, seed=11)
+        a = (AN.user_windows(rd.from_pandas(ev).repartition(1), n_buckets=4)
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+        b = (AN.user_windows(rd.from_pandas(ev).repartition(13), n_buckets=32)
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a[b.columns], b)
+
+    def test_running_total_matches_sequential(self):
+        ev = _events(500, seed=3)
+        got = (AN.running_total(rd.from_pandas(ev).repartition(7), n_ranges=9)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        df = ev.copy()
+        df["cents"] = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        want = pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "running_cents": df["cents"].cumsum().astype("int64"),
+        }).sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns].astype("int64"), want)
+        # the final prefix equals the global total regardless of ranges
+        assert got["running_cents"].max() == df["cents"].sum()
+
+    def test_running_total_duplicate_timestamps(self):
+        # equal ts values share a range; event_id breaks the tie locally
+        ev = _events(200, seed=9)
+        ev["ts"] = pd.Timestamp("2024-01-01")  # all identical
+        got = (AN.running_total(rd.from_pandas(ev).repartition(5), n_ranges=8)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        cents = np.rint(ev.sort_values("event_id")["value"].to_numpy() * 100
+                        ).astype("int64")
+        assert (got["running_cents"].to_numpy() == np.cumsum(cents)).all()
+
+    def test_running_total_empty(self):
+        ev = _events(3).iloc[0:0]
+        got = AN.running_total(rd.from_pandas(ev))
+        # Ray drops columns in to_pandas() of an empty dataset; the schema
+        # promise is checked on the dataset itself
+        assert got.count() == 0
+        assert set(f.name for f in got.schema().base_schema) == {
+            "event_id", "running_cents"}
