@@ -342,6 +342,11 @@ def _kg_components_q(sf_dir: str):
     return G.weakly_connected(_kg_tables(sf_dir)["edges"], n_buckets=8)
 
 
+def _kg_kcore_q(sf_dir: str):
+    from graph_rag_agent_ray.ops import graphstats as G
+    return G.kcore(_kg_tables(sf_dir)["edges"], k=3, n_buckets=8)
+
+
 def _kg_communities_q(sf_dir: str):
     """(entity_id, community_number) at the FINAL detection level — compared
     against the generator's planted partition (canonically numbered)."""
@@ -648,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph/processing/similar_entity.py) — distributed min-label
         # propagation with pointer jumping, no driver union-find
         "kg_components": _kg_components_q,
+        "kg_kcore": _kg_kcore_q,
         "kg_communities": _kg_communities_q,
         "kg_incremental": _kg_incremental_q,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing):
@@ -788,6 +794,8 @@ def oracle_sql() -> dict[str, str]:
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_components": _graphstats().weakly_connected_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
+        "kg_kcore": _graphstats().kcore_sql(
+            f"{KG_TRUTH_DIR}/kg_edges.parquet", k=3),
         "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",
         "media_frames": f"SELECT doc_id, media_ref, kind, frame_idx, ts_ms FROM read_parquet('{KG_TRUTH_DIR}/media_frames.parquet')",

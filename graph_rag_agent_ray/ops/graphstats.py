@@ -380,3 +380,137 @@ WITH RECURSIVE und AS (
 )
 SELECT node, MIN(src) AS component FROM reach GROUP BY node
 """
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int = 2,
+    rounds: int = 32,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """(node, core_deg): the k-core of the undirected simple graph — the
+    maximal subgraph where every node has degree >= k — with each member's
+    within-core degree. The classic peeling fixpoint: repeatedly drop nodes
+    of degree < k (and their edges) until none remain.
+
+    Reference parity: degree-thresholded subgraph extraction is the
+    reference's "core entity" notion (community_enhance weights core
+    entities by degree/rank); the k-core is the standard graph-theoretic
+    formalization, alongside degree_distribution/triangle_count/pagerank.
+
+    Scale shape: the edge set IS the iteration state (entity-scale,
+    shrinking monotonically). Each round recomputes degrees with one
+    bucketed groupby and rebuilds the surviving adjacency with two
+    hash_joins (u-side, v-side) — 3 scalar shuffles per round, no
+    driver-side graph; the driver sees one scalar per round (the alive
+    count, which doubles as the fixpoint test: peeling is monotone, so an
+    unchanged count means an unchanged set). Raises if the fixpoint is not
+    reached within ``rounds`` — the SQL oracle unrolls the same rounds, so
+    a converged result is a pure function of the graph (extra rounds are
+    no-ops on both sides).
+    """
+    und = _undirected_edges(edges)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object")})
+        return pd.concat(
+            [df.rename(columns={"a": "u", "b": "v"})[["u", "v"]],
+             df.rename(columns={"a": "v", "b": "u"})[["u", "v"]]],
+            ignore_index=True)
+
+    adj = und.map_batches(both_dirs, batch_format="pandas",
+                          batch_size=65536).materialize()
+
+    def empty_out():
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "core_deg": pa.array([], pa.int64())}))
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "deg": pd.Series(dtype="int64")})
+        return df.groupby("u", sort=False).size().reset_index(name="deg")
+
+    def degrees(a: "ray.data.Dataset") -> "ray.data.Dataset":
+        return hash_partitioned_groupby(
+            a.map_batches(deg_partial, batch_format="pandas"),
+            ["u"],
+            lambda df: df.groupby("u", sort=False)["deg"].sum().reset_index(),
+            n_buckets=n_buckets,
+        )
+
+    def alive_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "deg" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object")})
+        return df.loc[df["deg"] >= k, ["u"]]
+
+    def below_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "deg" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object")})
+        return df.loc[df["deg"] < k, ["u"]]
+
+    prev_alive = None
+    for _ in range(rounds):
+        deg = degrees(adj)
+        alive = deg.map_batches(alive_rows, batch_format="pandas").materialize()
+        n_alive = alive.count()
+        if n_alive == 0:
+            return empty_out()
+        if prev_alive is not None and n_alive == prev_alive:
+            break  # monotone peel + same count => same set => fixpoint
+        prev_alive = n_alive
+        # shrink the adjacency to edges with BOTH endpoints alive
+        keep_u = hash_join(adj, alive, on=["u"], n_buckets=n_buckets,
+                           lcols=["u", "v"], rcols=["u"])
+        alive_v = alive.map_batches(
+            lambda df: df.rename(columns={"u": "v"}), batch_format="pandas")
+        shrunk = hash_join(keep_u, alive_v, on=["v"], n_buckets=n_buckets,
+                           lcols=["u", "v"], rcols=["v"]).materialize()
+        # re-root on block refs: an O(1)-depth plan across iterations
+        adj = ray.data.from_arrow_refs(shrunk.to_arrow_refs())
+    else:
+        # rounds exhausted without two equal consecutive counts
+        deg_final = degrees(adj)
+        if deg_final.map_batches(below_rows, batch_format="pandas").count() > 0:
+            raise ValueError(
+                f"kcore did not converge in {rounds} rounds; raise `rounds` "
+                f"(the SQL oracle must unroll the same count)")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "core_deg": pd.Series(dtype="int64")})
+        return pd.DataFrame({"node": df["u"],
+                             "core_deg": df["deg"].astype("int64")})
+
+    return degrees(adj).map_batches(finalize, batch_format="pandas")
+
+
+def kcore_sql(edges_path: str, k: int = 2, rounds: int = 32) -> str:
+    """DuckDB oracle for :func:`kcore`: the identical peel unrolled as
+    chained CTEs (aggregation is not allowed in a recursive CTE term, so
+    the fixed round count is written out — converged extra rounds are
+    no-ops, matching the Ray side's fixpoint exit)."""
+    # AS MATERIALIZED: each e{i-1} is referenced twice (a{i} and e{i});
+    # without it DuckDB inlines the chain exponentially
+    ctes = [f"""und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('{edges_path}') WHERE src <> dst
+), e0 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+  SELECT u FROM (SELECT u, count(*) AS d FROM e{i - 1} GROUP BY u) WHERE d >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN a{i} x ON e.u = x.u JOIN a{i} y ON e.v = y.u
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg "
+          f"FROM e{rounds} GROUP BY u"
+    )

@@ -211,3 +211,73 @@ class TestWeaklyConnected:
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert dict(zip(got["node"], got["component"]))["a3"] == "a1"
         assert dict(zip(got["node"], got["component"]))["b3"] == "b1"
+
+
+class TestKCore:
+    def _nx_kcore(self, rows, k):
+        """Reference peel in plain python: returns {node: core_degree}."""
+        adj = {}
+        for a, b in rows:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+        return {n: len(nb) for n, nb in adj.items()}
+
+    def test_known_graph(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import kcore
+        # K4 core survives k=3; the tail chain peels away entirely
+        k4 = [(a, b) for i, a in enumerate("wxyz") for b in "wxyz"[i + 1:]]
+        chain = [("w", "p"), ("p", "q"), ("q", "r")]
+        got = kcore(_edges(k4 + chain), k=3).to_pandas()
+        assert dict(zip(got["node"], got["core_deg"])) == {
+            "w": 3, "x": 3, "y": 3, "z": 3}
+
+    def test_empty_core(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import kcore
+        got = kcore(_edges([("a", "b"), ("b", "c")]), k=2).to_pandas()
+        assert len(got) == 0
+
+    def test_matches_reference_peel_random(self, ray_session):
+        import itertools
+        import numpy as np
+        from graph_rag_agent_ray.ops.graphstats import kcore
+        rng = np.random.default_rng(17)
+        nodes = [f"n{i}" for i in range(30)]
+        rows = [(a, b) for a, b in itertools.combinations(nodes, 2)
+                if rng.random() < 0.12]
+        got = kcore(_edges(rows), k=3).to_pandas()
+        want = self._nx_kcore(rows, 3)
+        assert dict(zip(got["node"], got["core_deg"])) == want
+
+    def test_vs_duckdb_oracle(self, ray_session, tmp_path):
+        import duckdb
+        import numpy as np
+        import pyarrow.parquet as pq
+        from graph_rag_agent_ray.ops.graphstats import kcore, kcore_sql
+
+        rng = np.random.default_rng(23)
+        src, dst = [], []
+        for i in range(28):
+            for j in range(i + 1, 28):
+                if rng.random() < 0.15:
+                    src.append(f"e{j}"); dst.append(f"e{i}")
+        tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                        "pred": pa.array(["r"] * len(src)),
+                        "weight": pa.array([1.0] * len(src))})
+        path = str(tmp_path / "edges.parquet")
+        pq.write_table(tbl, path)
+        import ray.data as rd
+        got = (kcore(rd.from_arrow(tbl), k=3).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        want = (duckdb.connect().execute(kcore_sql(path, k=3)).df()
+                .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
