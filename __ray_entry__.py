@@ -634,6 +634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-exact even though the derived estimate is approximate
         "hll_registers": lambda sf: SK.hll_registers(
             _tbl(sf, "events", ["event_type", "user_id"])),
+        # Count-Min frequency sketch: same determinism design — integer
+        # register sums are associative, so the table is hash-exact
+        "cms_registers": lambda sf: SK.cms_registers(
+            _tbl(sf, "events", ["event_type"])),
         "kg_chunks": _kg_chunks_q,
         "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples_q,
@@ -834,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": SP.strip_duplicate_spans_sql(length=20),
         "frequent_ngrams": TS.frequent_ngrams_sql(n=2, min_count=5),
         "hll_registers": SK.hll_registers_sql(),
+        "cms_registers": SK.cms_registers_sql(),
         "bm25_topk": SE.bm25_topk_sql(
             terms=["spark", "vector", "customer"], k=20),
         "training_export": EX.training_export_sql(

@@ -138,3 +138,94 @@ def hll_estimate(registers: pd.DataFrame, key: str = "event_type",
             est = m * math.log(m / zero_registers)
         rows.append((g, est))
     return pd.DataFrame(rows, columns=[key, "estimate"])
+
+
+# ----------------------------------------------------- count-min sketch ----
+
+def cms_registers(
+    ds: "ray.data.Dataset",
+    key: str = "event_type",
+    depth: int = 4,
+    prefix_chars: int = 2,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Count-Min sketch registers (Cormode & Muthukrishnan 2005): the
+    bounded-memory FREQUENCY companion to ``hll_registers``'s cardinality
+    sketch. (row, register, count) with register(row i, value v) =
+    first ``prefix_chars`` hex chars of md5("{i}:{v}") — width m =
+    16^prefix_chars per row; count = total occurrences of all values
+    colliding into the cell. The exact companion is a plain
+    groupby(key).count(); the sketch shuffles at most depth x m register
+    rows regardless of corpus size.
+
+    Sums are integer and associative, so the register table is layout- and
+    order-exact and hash-compares against the DuckDB oracle even though
+    point ESTIMATES (``cms_estimate`` = min over rows) are approximate
+    (one-sided: never under the true count)."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby(key, sort=False).size()
+        rows_, regs, cnts = [], [], []
+        for v, c in counts.items():
+            for i in range(depth):
+                hx = hashlib.md5(f"{i}:{v}".encode("utf-8")).hexdigest()
+                rows_.append(i)
+                regs.append(hx[:prefix_chars])
+                cnts.append(int(c))
+        part = pd.DataFrame({"row": pd.array(rows_, dtype="int64"),
+                             "register": regs,
+                             "count": pd.array(cnts, dtype="int64")})
+        return (part.groupby(["row", "register"], sort=False)["count"]
+                .sum().reset_index())
+
+    parts = ds.map_batches(partials, batch_format="pandas", batch_size=16384)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["row", "register"], sort=False)["count"]
+               .sum().reset_index())
+        out["row"] = out["row"].astype("int64")
+        out["count"] = out["count"].astype("int64")
+        return out
+
+    return hash_partitioned_groupby(parts, ["row", "register"], combine,
+                                    n_buckets=n_buckets)
+
+
+def cms_registers_sql(key: str = "event_type", depth: int = 4,
+                      prefix_chars: int = 2, table: str = "events") -> str:
+    """DuckDB oracle for :func:`cms_registers` — identical md5 register spec
+    over the exact per-value counts."""
+    rows = ", ".join(f"({i})" for i in range(depth))
+    return f"""
+WITH c AS (
+  SELECT CAST({key} AS VARCHAR) AS v, count(*) AS cnt FROM {table} GROUP BY 1
+), d AS (
+  SELECT * FROM (VALUES {rows}) AS t("row")
+), r AS (
+  SELECT d."row" AS "row",
+         substr(md5(CAST(d."row" AS VARCHAR) || ':' || c.v), 1, {prefix_chars})
+           AS register,
+         c.cnt
+  FROM c CROSS JOIN d
+)
+SELECT "row", register, CAST(SUM(cnt) AS BIGINT) AS count
+FROM r GROUP BY "row", register
+"""
+
+
+def cms_estimate(registers: pd.DataFrame, values, depth: int = 4,
+                 prefix_chars: int = 2) -> pd.DataFrame:
+    """(value, estimate): Count-Min point queries over a collected register
+    table — min over the depth rows of each value's cell. One-sided error:
+    estimate >= true count, with overshoot bounded by collisions per cell.
+    The register table is depth x 16^prefix_chars rows at most, so this is
+    a driver-side fold."""
+    cell = {(int(r), reg): int(c) for r, reg, c in
+            zip(registers["row"], registers["register"], registers["count"])}
+    out = []
+    for v in values:
+        est = min(
+            cell.get((i, hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:prefix_chars]), 0)
+            for i in range(depth))
+        out.append((v, est))
+    return pd.DataFrame(out, columns=["value", "estimate"])

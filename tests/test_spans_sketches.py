@@ -247,3 +247,49 @@ class TestSpanProperties:
                sorted(map(tuple, pdf[["doc_id", "span_start", "span_end"]]
                           .to_numpy())))
         assert got == _ref_spans(texts, 3)
+
+
+class TestCountMin:
+    def test_registers_sum_to_total(self, ray_session):
+        # every row of the sketch partitions the full count mass
+        rows = ["a"] * 30 + ["b"] * 12 + ["c"] * 5
+        t = pa.table({"event_type": pa.array(rows)})
+        pdf = SK.cms_registers(rd.from_arrow(t), depth=3).to_pandas()
+        assert set(pdf["row"]) == {0, 1, 2}
+        for _, sub in pdf.groupby("row"):
+            assert sub["count"].sum() == len(rows)
+
+    def test_estimate_one_sided_and_exact_without_collisions(self, ray_session):
+        rows = ["a"] * 30 + ["b"] * 12 + ["c"] * 5
+        t = pa.table({"event_type": pa.array(rows)})
+        regs = SK.cms_registers(rd.from_arrow(t), depth=4).to_pandas()
+        est = SK.cms_estimate(regs, ["a", "b", "c", "zz"], depth=4)
+        truth = {"a": 30, "b": 12, "c": 5, "zz": 0}
+        for v, e in zip(est["value"], est["estimate"]):
+            assert e >= truth[v]          # one-sided always
+        # 3 values in 256 cells x 4 rows: some row has no collision
+        assert dict(zip(est["value"], est["estimate"])) == truth
+
+    def test_sum_combine_order_independent(self, ray_session):
+        rows = [f"v{i % 17}" for i in range(400)]
+        t = pa.table({"event_type": pa.array(rows)})
+        key = ["row", "register"]
+        one = (SK.cms_registers(rd.from_arrow(t)).to_pandas()
+               .sort_values(key).reset_index(drop=True))
+        rev = (SK.cms_registers(
+            rd.from_arrow(t.take(list(reversed(range(len(t)))))))
+            .to_pandas().sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(one, rev)
+
+    def test_oracle_equivalence(self, ray_session, sf_dir):
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type"])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/events.parquet')")
+        key = ["row", "register"]
+        mine = (SK.cms_registers(ev).to_pandas()
+                .sort_values(key).reset_index(drop=True))
+        oracle = (con.execute(SK.cms_registers_sql()).df()
+                  .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
