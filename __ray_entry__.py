@@ -638,6 +638,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # register sums are associative, so the table is hash-exact
         "cms_registers": lambda sf: SK.cms_registers(
             _tbl(sf, "events", ["event_type"])),
+        # fixed-grid histogram sketch (distribution companion): integer-
+        # cents bins over the global [lo, hi] — register table hash-exact
+        "hist_registers": lambda sf: SK.hist_registers(
+            _tbl(sf, "events", ["event_type", "value"])),
         "kg_chunks": _kg_chunks_q,
         "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples_q,
@@ -839,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_ngrams": TS.frequent_ngrams_sql(n=2, min_count=5),
         "hll_registers": SK.hll_registers_sql(),
         "cms_registers": SK.cms_registers_sql(),
+        "hist_registers": SK.hist_registers_sql(),
         "bm25_topk": SE.bm25_topk_sql(
             terms=["spark", "vector", "customer"], k=20),
         "training_export": EX.training_export_sql(

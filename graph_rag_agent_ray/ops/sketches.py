@@ -229,3 +229,101 @@ def cms_estimate(registers: pd.DataFrame, values, depth: int = 4,
             for i in range(depth))
         out.append((v, est))
     return pd.DataFrame(out, columns=["value", "estimate"])
+
+
+# ------------------------------------------------------ histogram sketch ----
+
+def hist_registers(
+    ds: "ray.data.Dataset",
+    key: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 64,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Fixed-grid histogram registers — the DISTRIBUTION companion to the
+    HLL (cardinality) and Count-Min (frequency) sketches, and the mergeable
+    stand-in ``ops/analytics.group_quantiles`` documents for corpus-scale
+    order statistics (exact quantiles must co-locate a key; a histogram
+    shuffles at most groups x n_bins register rows).
+
+    (key, bin, count) with bin = (cents - lo) * n_bins // (hi - lo + 1)
+    over INTEGER CENTS and the global [lo, hi] — integer arithmetic end to
+    end, so the register table is layout-exact and hash-compares against
+    the DuckDB oracle (float bin edges would round differently at the
+    boundaries). The [lo, hi] scan is two scalar aggregates, the same
+    driver state as running_total's range pass."""
+    import numpy as np
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key],
+            "c": np.rint(df[value_col].to_numpy() * 100).astype("int64"),
+        })
+
+    slim = ds.map_batches(cents, batch_format="pandas").materialize()
+    lo, hi = slim.min("c"), slim.max("c")
+    if lo is None:
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table({
+            key: pa.array([], pa.string()),
+            "bin": pa.array([], pa.int64()),
+            "count": pa.array([], pa.int64())}))
+    span = int(hi) - int(lo) + 1
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["c"].to_numpy() - int(lo)) * n_bins // span
+        part = pd.DataFrame({key: df[key],
+                             "bin": pd.array(b, dtype="int64")})
+        return (part.groupby([key, "bin"], sort=False).size()
+                .rename("count").reset_index())
+
+    parts = slim.map_batches(partials, batch_format="pandas",
+                             batch_size=65536)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby([key, "bin"], sort=False)["count"]
+               .sum().reset_index())
+        out["bin"] = out["bin"].astype("int64")
+        out["count"] = out["count"].astype("int64")
+        return out
+
+    return hash_partitioned_groupby(parts, [key, "bin"], combine,
+                                    n_buckets=n_buckets)
+
+
+def hist_registers_sql(key: str = "event_type", value_col: str = "value",
+                       n_bins: int = 64, table: str = "events") -> str:
+    """DuckDB oracle for :func:`hist_registers`: identical integer-cents
+    bin arithmetic over the same global [lo, hi]."""
+    return f"""
+WITH c AS (
+  SELECT {key}, CAST(ROUND({value_col} * 100) AS BIGINT) AS c FROM {table}
+), b AS (
+  SELECT min(c) AS lo, max(c) AS hi FROM c
+), r AS (
+  SELECT c.{key}, (c.c - b.lo) * {n_bins} // (b.hi - b.lo + 1) AS bin
+  FROM c, b
+)
+SELECT {key}, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS count
+FROM r GROUP BY {key}, bin
+"""
+
+
+def hist_quantile(registers: pd.DataFrame, q: float, lo_cents: int,
+                  hi_cents: int, key: str = "event_type",
+                  n_bins: int = 64) -> pd.DataFrame:
+    """(key, estimate): per-group quantile estimates from a collected
+    register table — cumulative counts to the q-crossing bin, estimate =
+    the bin's midpoint in original units. Error is bounded by one bin
+    width; the register table is groups x n_bins rows, a driver-side
+    fold."""
+    span = hi_cents - lo_cents + 1
+    out = []
+    for g, sub in registers.groupby(key, sort=False):
+        sub = sub.sort_values("bin")
+        total = sub["count"].sum()
+        cum = sub["count"].cumsum()
+        b = int(sub.loc[cum >= q * total, "bin"].iloc[0])
+        mid_c = lo_cents + (b + 0.5) * span / n_bins
+        out.append((g, mid_c / 100.0))
+    return pd.DataFrame(out, columns=[key, "estimate"])

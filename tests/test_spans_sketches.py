@@ -293,3 +293,41 @@ class TestCountMin:
         oracle = (con.execute(SK.cms_registers_sql()).df()
                   .sort_values(key).reset_index(drop=True))
         pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+class TestHistogram:
+    def test_counts_partition_mass(self, ray_session):
+        import numpy as np
+        rng = np.random.default_rng(3)
+        t = pa.table({"event_type": pa.array(rng.choice(["x", "y"], 500)),
+                      "value": pa.array(np.round(rng.uniform(0, 50, 500), 2))})
+        pdf = SK.hist_registers(rd.from_arrow(t), n_bins=16).to_pandas()
+        assert pdf["count"].sum() == 500
+        assert pdf["bin"].between(0, 15).all()
+
+    def test_quantile_within_one_bin(self, ray_session):
+        import numpy as np
+        rng = np.random.default_rng(9)
+        vals = np.round(rng.uniform(0, 100, 4000), 2)
+        t = pa.table({"event_type": pa.array(["g"] * 4000),
+                      "value": pa.array(vals)})
+        regs = SK.hist_registers(rd.from_arrow(t), n_bins=64).to_pandas()
+        cents = np.rint(vals * 100).astype("int64")
+        est = SK.hist_quantile(regs, 0.5, int(cents.min()),
+                               int(cents.max()), n_bins=64)
+        true_med = np.quantile(vals, 0.5)
+        bin_width = (cents.max() - cents.min() + 1) / 64 / 100.0
+        assert abs(est["estimate"].iloc[0] - true_med) <= bin_width
+
+    def test_oracle_equivalence(self, ray_session, sf_dir):
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/events.parquet')")
+        key = ["event_type", "bin"]
+        mine = (SK.hist_registers(ev).to_pandas()
+                .sort_values(key).reset_index(drop=True))
+        oracle = (con.execute(SK.hist_registers_sql()).df()
+                  .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
