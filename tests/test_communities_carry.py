@@ -190,3 +190,48 @@ class TestBuildLevelCarry:
             "community_id").reset_index(drop=True)
         import pandas as pd_
         pd_.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestParallelDetection:
+    def _many_components(self, n=24, seed=5):
+        """n disconnected triangle/clique components with varied sizes."""
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        rows = []
+        for c in range(n):
+            size = int(rng.integers(3, 7))
+            nodes = [f"c{c:02d}_n{i}" for i in range(size)]
+            for i in range(size):
+                for j in range(i + 1, size):
+                    if j == i + 1 or rng.random() < 0.5:
+                        rows.append((nodes[i], nodes[j],
+                                     float(rng.integers(1, 4))))
+        return pd.DataFrame(rows, columns=["src", "dst", "weight"])
+
+    def test_parallel_equals_sequential(self, ray_session, monkeypatch):
+        """>= _PARALLEL_DETECT_MIN dirty components take the Ray fan-out
+        path; forcing the threshold above the count takes the sequential
+        path — both must produce identical memberships and parts."""
+        g = self._many_components(24)
+        cfg = KGConfig()
+        par_ml, par_parts, _, n_det_p = CM.detect_communities_partitioned(
+            g, cfg)
+        assert n_det_p == 24
+        monkeypatch.setattr(CM, "_PARALLEL_DETECT_MIN", 10_000)
+        seq_ml, seq_parts, _, n_det_s = CM.detect_communities_partitioned(
+            g, cfg)
+        assert n_det_s == 24
+        assert par_ml == seq_ml
+        pd.testing.assert_frame_equal(
+            par_parts.reset_index(drop=True),
+            seq_parts.reset_index(drop=True))
+
+    def test_parallel_path_with_carry(self, ray_session):
+        g = self._many_components(20, seed=7)
+        cfg = KGConfig()
+        _, parts, _, _ = CM.detect_communities_partitioned(g, cfg)
+        ml2, _, n_car, n_det = CM.detect_communities_partitioned(
+            g, cfg, carry_parts=parts)
+        assert n_car == 20 and n_det == 0
+        ml1, _, _, _ = CM.detect_communities_partitioned(g, cfg)
+        assert ml1 == ml2
