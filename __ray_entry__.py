@@ -337,6 +337,11 @@ def _kg_pagerank_q(sf_dir: str):
     return G.pagerank(_kg_tables(sf_dir)["edges"], n_buckets=8)
 
 
+def _kg_ppr_q(sf_dir: str):
+    from graph_rag_agent_ray.ops import graphstats as G
+    return G.personalized_pagerank(_kg_tables(sf_dir)["edges"], n_buckets=8)
+
+
 def _kg_components_q(sf_dir: str):
     from graph_rag_agent_ray.ops import graphstats as G
     return G.weakly_connected(_kg_tables(sf_dir)["edges"], n_buckets=8)
@@ -657,6 +662,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # truncated power iteration as 2*iters scalar shuffles over the
         # aggregated entity graph; ppb integer surrogate for the hash gate
         "kg_pagerank": _kg_pagerank_q,
+        # personalized PageRank: restart mass on a deterministic seed set —
+        # the closed-form of local_search's "relevance to query entities"
+        # fan-out (search/local_search.py:40-133); same 2*iters scalar
+        # shuffles as pagerank, seeds picked by partial min-k
+        "kg_ppr": _kg_ppr_q,
         # WCC over the canonical graph (GDS wcc parity,
         # graph/processing/similar_entity.py) — distributed min-label
         # propagation with pointer jumping, no driver union-find
@@ -799,6 +809,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _graphstats().triangle_count_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_pagerank": _graphstats().pagerank_sql(
+            f"{KG_TRUTH_DIR}/kg_edges.parquet"),
+        "kg_ppr": _graphstats().personalized_pagerank_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_components": _graphstats().weakly_connected_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),

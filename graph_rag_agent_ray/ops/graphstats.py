@@ -348,6 +348,173 @@ def pagerank_sql(
             f" AS pr_ppb FROM pr{iters}")
 
 
+def personalized_pagerank(
+    edges: "ray.data.Dataset",
+    n_seeds: int = 3,
+    damping: float = 0.85,
+    iters: int = 15,
+    n_buckets: int = 32,
+    scale: int = 10**9,
+) -> "ray.data.Dataset":
+    """(node, ppr_ppb): truncated-power-iteration PERSONALIZED PageRank —
+    restart mass concentrated on a deterministic seed set (the ``n_seeds``
+    lexicographically-smallest node ids) instead of spread uniformly.
+
+    Reference parity: the reference's local search seeds retrieval at
+    query-matched entities and fans out along the graph weighted by
+    closeness to those seeds (``search/local_search.py:40-133``,
+    chain-of-exploration ``search/tool/reasoning/*``); PPR is the standard
+    closed-form of that "relevance to a seed set" measure (Haveliwala 2002,
+    Topic-Sensitive PageRank). Deterministic seeds keep the op a pure
+    function of the graph so the unrolled SQL oracle hash-matches; a query
+    pipeline passes its own entity seeds through the same machinery.
+
+    Scale shape: identical to :func:`pagerank` — 2*iters scalar shuffles
+    over the node-scale state joined onto the edge-scale adjacency; the
+    only extras are a blocks×n_seeds partial-min collect to pick seeds
+    and a tiny frozenset broadcast into the reducer. Contributions sum in
+    sorted order so floats are layout-independent; ppb grid sits far above
+    the residual FP noise.
+    """
+    und = _undirected_edges(edges)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object")})
+        return pd.concat(
+            [df.rename(columns={"a": "u", "b": "v"})[["u", "v"]],
+             df.rename(columns={"a": "v", "b": "u"})[["u", "v"]]],
+            ignore_index=True)
+
+    adj = und.map_batches(both_dirs, batch_format="pandas",
+                          batch_size=65536)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "deg": pd.Series(dtype="int64")})
+        return df.groupby("u", sort=False).size().reset_index(name="deg")
+
+    deg = hash_partitioned_groupby(
+        adj.map_batches(deg_partial, batch_format="pandas"),
+        ["u"],
+        lambda df: df.groupby("u", sort=False)["deg"].sum().reset_index(),
+        n_buckets=n_buckets,
+    ).materialize()
+    if deg.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "ppr_ppb": pa.array([], pa.int64())}))
+
+    # seed pick: per-block partial min-k, blocks×n_seeds rows to the driver
+    def min_k(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object")})
+        return df[["u"]].sort_values("u", kind="stable").head(n_seeds)
+
+    seed_rows = deg.map_batches(min_k, batch_format="pandas").to_pandas()
+    seeds = frozenset(seed_rows["u"].sort_values().head(n_seeds))
+    ns = len(seeds)
+    restart = (1.0 - damping) / ns
+    r0 = 1.0 / ns
+
+    adj_deg = hash_join(adj, deg, on=["u"], n_buckets=n_buckets,
+                        lcols=["u", "v"], rcols=["u", "deg"]).materialize()
+
+    def init_state(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "r": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "u": df["u"],
+            "r": np.where(df["u"].isin(seeds), r0, 0.0)})
+
+    state = deg.map_batches(init_state, batch_format="pandas").materialize()
+
+    def contrib_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "v" not in df.columns:
+            return pd.DataFrame({"v": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "v": df["v"],
+            "c": df["r"].astype("float64") / df["deg"].astype("float64")})
+
+    def sum_reducer(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "v" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "r": pd.Series(dtype="float64")})
+        df = df.sort_values(["v", "c"], kind="stable")
+        s = df.groupby("v", sort=False)["c"].sum()
+        base = np.where(s.index.isin(seeds), restart, 0.0)
+        return pd.DataFrame({"u": s.index, "r": base + damping * s.values})
+
+    for _ in range(iters):
+        joined = hash_join(state, adj_deg, on=["u"], n_buckets=n_buckets,
+                           lcols=["u", "r"], rcols=["u", "v", "deg"])
+        contribs = joined.map_batches(contrib_rows, batch_format="pandas",
+                                      batch_size=65536)
+        new_state = hash_partitioned_groupby(
+            contribs, ["v"], sum_reducer, n_buckets=n_buckets).materialize()
+        state = ray.data.from_arrow_refs(new_state.to_arrow_refs())
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "ppr_ppb": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "node": df["u"],
+            "ppr_ppb": np.rint(df["r"].astype("float64") * scale)
+            .astype("int64")})
+
+    return state.map_batches(finalize, batch_format="pandas")
+
+
+def personalized_pagerank_sql(
+    edges_path: str,
+    n_seeds: int = 3,
+    damping: float = 0.85,
+    iters: int = 15,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB oracle for :func:`personalized_pagerank` — the identical
+    truncated iteration with the restart mass on the same deterministic
+    seed set, unrolled as chained CTEs."""
+    ctes = [f"""und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('{edges_path}') WHERE src <> dst
+), adj AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), deg AS (
+  SELECT u, count(*) AS deg FROM adj GROUP BY u
+), seeds AS (
+  SELECT u FROM deg ORDER BY u LIMIT {n_seeds}
+), ns AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds
+), pr0 AS (
+  SELECT deg.u,
+         CASE WHEN s.u IS NOT NULL THEN 1.0 / (SELECT n FROM ns)
+              ELSE 0.0 END AS r
+  FROM deg LEFT JOIN seeds s ON s.u = deg.u
+)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""pr{k} AS (
+  SELECT t.u,
+         (CASE WHEN s.u IS NOT NULL
+               THEN (1.0 - {damping}) / (SELECT n FROM ns)
+               ELSE 0.0 END) + {damping} * t.acc AS r
+  FROM (SELECT adj.v AS u, sum(p.r / deg.deg) AS acc
+        FROM pr{k - 1} p
+        JOIN adj ON adj.u = p.u
+        JOIN deg ON deg.u = p.u
+        GROUP BY adj.v) t
+  LEFT JOIN seeds s ON s.u = t.u
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT u AS node, CAST(round(r * {scale}.0) AS BIGINT)"
+            f" AS ppr_ppb FROM pr{iters}")
+
+
 def weakly_connected(edges: "ray.data.Dataset",
                      n_buckets: int = 32) -> "ray.data.Dataset":
     """(node, component): weakly-connected components of the canonical

@@ -58,6 +58,9 @@ def main(sf_dir: str) -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:
