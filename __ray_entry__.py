@@ -342,6 +342,11 @@ def _kg_ppr_q(sf_dir: str):
     return G.personalized_pagerank(_kg_tables(sf_dir)["edges"], n_buckets=8)
 
 
+def _kg_harmonic_q(sf_dir: str):
+    from graph_rag_agent_ray.ops import graphstats as G
+    return G.landmark_harmonic(_kg_tables(sf_dir)["edges"], n_buckets=8)
+
+
 def _kg_components_q(sf_dir: str):
     from graph_rag_agent_ray.ops import graphstats as G
     return G.weakly_connected(_kg_tables(sf_dir)["edges"], n_buckets=8)
@@ -634,6 +639,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rounded-score + doc_id total order makes it SQL-exact
         "bm25_topk": lambda sf: SE.bm25_topk(
             _docs(sf), terms=["spark", "vector", "customer"], k=20),
+        # materialized inverted index (token, doc_id, tf, df): the build-
+        # once/serve-many form of the BM25 stats pass; vocabulary-keyed
+        # scalar shuffles only, postings never collect to the driver
+        "inverted_postings": lambda sf: SE.inverted_postings(
+            _docs(sf), min_df=2),
         # HyperLogLog distinct sketch: the register TABLE is deterministic
         # (string registers + integer ranks), so the sketch machinery is
         # hash-exact even though the derived estimate is approximate
@@ -667,6 +677,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fan-out (search/local_search.py:40-133); same 2*iters scalar
         # shuffles as pagerank, seeds picked by partial min-k
         "kg_ppr": _kg_ppr_q,
+        # landmark harmonic centrality: truncated multi-source BFS from
+        # deterministic landmarks; exact-integer 1/LCM(1..iters) units so
+        # the hash gate needs no float grid at all
+        "kg_harmonic": _kg_harmonic_q,
         # WCC over the canonical graph (GDS wcc parity,
         # graph/processing/similar_entity.py) — distributed min-label
         # propagation with pointer jumping, no driver union-find
@@ -812,6 +826,8 @@ def oracle_sql() -> dict[str, str]:
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_ppr": _graphstats().personalized_pagerank_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
+        "kg_harmonic": _graphstats().landmark_harmonic_sql(
+            f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_components": _graphstats().weakly_connected_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet"),
         "kg_kcore": _graphstats().kcore_sql(
@@ -858,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_registers": SK.hist_registers_sql(),
         "bm25_topk": SE.bm25_topk_sql(
             terms=["spark", "vector", "customer"], k=20),
+        "inverted_postings": SE.inverted_postings_sql(min_df=2),
         "training_export": EX.training_export_sql(
             benchmark_ids=range(5), budget=5000, n=3,
             min_words=40, require_terminal=False),

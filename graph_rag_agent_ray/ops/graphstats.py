@@ -681,3 +681,153 @@ def kcore_sql(edges_path: str, k: int = 2, rounds: int = 32) -> str:
         + f"\nSELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg "
           f"FROM e{rounds} GROUP BY u"
     )
+
+
+def _lcm_upto(n: int) -> int:
+    import math
+    out = 1
+    for i in range(2, n + 1):
+        out = out * i // math.gcd(out, i)
+    return out
+
+
+def landmark_harmonic(
+    edges: "ray.data.Dataset",
+    n_landmarks: int = 3,
+    iters: int = 8,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """(node, harm_units): landmark-based HARMONIC centrality — for each
+    node, sum of 1/dist(node, landmark) over a deterministic landmark set
+    (the ``n_landmarks`` lexicographically-smallest node ids), distances
+    truncated at ``iters`` hops (beyond = unreachable = contributes 0).
+
+    Reference parity: closeness-to-anchor ranking is the graph-side form of
+    the reference's evidence-path scoring (search/tool/reasoning/evidence.py
+    ranks by proximity to matched entities); landmark harmonic centrality is
+    the standard scalable estimator (full closeness needs all-pairs BFS).
+
+    Exact-integer output: distances are integers in [1, iters], so the
+    result is emitted in units of 1/LCM(1..iters) — harm_units =
+    sum(LCM // dist), pure int64 arithmetic. No float fold order, no
+    rounding grid; the SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: multi-source BFS as iterative min-distance propagation.
+    State is (node, lm, dist) — at most n_landmarks rows per reached node.
+    Each round: one hash_join of the frontier state onto the adjacency
+    (scalar columns only) + one (node, lm)-keyed min-reduce. 2*iters scalar
+    shuffles total; the driver holds only the landmark ids."""
+    und = _undirected_edges(edges)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        # join-ready orientation: "node" is the propagation source column
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object")})
+        return pd.concat(
+            [df.rename(columns={"a": "node", "b": "v"})[["node", "v"]],
+             df.rename(columns={"a": "v", "b": "node"})[["node", "v"]]],
+            ignore_index=True)
+
+    adj = und.map_batches(both_dirs, batch_format="pandas",
+                          batch_size=65536).materialize()
+
+    # landmark pick: per-block partial min-k over the node set, then the
+    # global min-k of the blocks x k survivors on the driver
+    def node_min_k(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "node" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="object")})
+        return (df[["node"]].drop_duplicates()
+                .sort_values("node", kind="stable").head(n_landmarks))
+
+    lm_rows = adj.map_batches(node_min_k, batch_format="pandas").to_pandas()
+    if lm_rows.empty:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "harm_units": pa.array([], pa.int64())}))
+    landmarks = sorted(lm_rows["node"].drop_duplicates())[:n_landmarks]
+
+    # pandas block to match the shuffle stages' block type (a mixed
+    # arrow/pandas union breaks downstream batching)
+    state = ray.data.from_pandas(pd.DataFrame({
+        "node": pd.array(landmarks, dtype="object"),
+        "lm": pd.array(landmarks, dtype="object"),
+        "dist": pd.array([0] * len(landmarks), dtype="int64")}))
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "v" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "lm": pd.Series(dtype="object"),
+                                 "dist": pd.Series(dtype="int64")})
+        return pd.DataFrame({"node": df["v"], "lm": df["lm"],
+                             "dist": df["dist"].astype("int64") + 1})
+
+    def min_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "node" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "lm": pd.Series(dtype="object"),
+                                 "dist": pd.Series(dtype="int64")})
+        return (df.groupby(["node", "lm"], sort=False)["dist"].min()
+                .reset_index())
+
+    for _ in range(iters):
+        cand = hash_join(state, adj, on=["node"], n_buckets=n_buckets,
+                         lcols=["node", "lm", "dist"],
+                         rcols=["node", "v"]
+                         ).map_batches(relax, batch_format="pandas",
+                                       batch_size=65536)
+        state = hash_partitioned_groupby(
+            state.union(cand), ["node", "lm"], min_reduce,
+            n_buckets=n_buckets).materialize()
+        # break lineage so the plan doesn't grow per round; pandas refs keep
+        # the block type uniform for the next round's union
+        state = ray.data.from_pandas_refs(state.to_pandas_refs())
+
+    unit = _lcm_upto(iters)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "node" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "harm_units": pd.Series(dtype="int64")})
+        d = df["dist"].to_numpy(dtype=np.int64)
+        contrib = np.where(d > 0, unit // np.maximum(d, 1), 0)
+        out = pd.DataFrame({"node": df["node"], "c": contrib})
+        return (out.groupby("node", sort=False)["c"].sum().astype("int64")
+                .rename("harm_units").reset_index())
+
+    # (node, lm) rows for one node share a bucket under a node-keyed hash
+    return hash_partitioned_groupby(state, ["node"], finalize,
+                                    n_buckets=n_buckets)
+
+
+def landmark_harmonic_sql(
+    edges_path: str,
+    n_landmarks: int = 3,
+    iters: int = 8,
+) -> str:
+    """DuckDB oracle for :func:`landmark_harmonic` — the identical truncated
+    multi-source BFS unrolled as chained min-fold CTEs, integer units."""
+    unit = _lcm_upto(iters)
+    ctes = [f"""und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('{edges_path}') WHERE src <> dst
+), adj AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), lms AS (
+  SELECT DISTINCT u FROM adj ORDER BY u LIMIT {n_landmarks}
+), d0 AS (
+  SELECT u AS node, u AS lm, 0 AS dist FROM lms
+)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""d{k} AS (
+  SELECT node, lm, min(dist) AS dist FROM (
+    SELECT node, lm, dist FROM d{k - 1}
+    UNION ALL
+    SELECT adj.v AS node, p.lm, p.dist + 1 AS dist
+    FROM d{k - 1} p JOIN adj ON adj.u = p.node
+  ) GROUP BY node, lm
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(sum(CASE WHEN dist > 0"
+            f" THEN {unit} // dist ELSE 0 END) AS BIGINT) AS harm_units"
+            f" FROM d{iters} GROUP BY node")

@@ -300,3 +300,106 @@ WITH toks AS (
 SELECT doc_id, tok AS token, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def inverted_postings(
+    ds: "ray.data.Dataset", min_df: int = 1, n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """(token, doc_id, tf, df) — the MATERIALIZED inverted index the lexical
+    retrievers consult transiently (:func:`bm25_topk` recomputes these stats
+    per query; the reference's keyword search paths,
+    search/tool/*_search_tool.py, hit Neo4j's fulltext index — this is that
+    index as a first-class Arrow table a 100 TB corpus builds once and
+    serves many queries from).
+
+    Each posting row carries the collection-level document frequency so a
+    reader can compute idf without a second pass; ``min_df`` drops hapax
+    noise (df < min_df) at the source.
+
+    Scale shape: per-doc tf rows are exact within one batch (documents are
+    rows), so the only corpus-wide exchange is the vocabulary-keyed df
+    shuffle + the token-keyed hash_join that attaches df back onto the
+    postings — both scalar-column only; text never shuffles. Postings stay
+    distributed end-to-end (no driver collect)."""
+    from ..functions.shuffle import hash_join, hash_partitioned_groupby
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        toks = _token_lists(batch)
+        ids = batch.column("doc_id").to_pylist()
+        doc_rep, flat = [], []
+        for d, t in zip(ids, toks):
+            doc_rep.extend([d] * len(t))
+            flat.extend(t)
+        if not flat:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64")})
+        df = pd.DataFrame({"doc_id": doc_rep, "token": flat})
+        return (df.groupby(["doc_id", "token"], sort=False)
+                .size().rename("tf").reset_index())
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow",
+                        batch_size=4096).materialize()
+
+    def df_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "token" not in df.columns:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64")})
+        return (df.groupby("token", sort=False).size()
+                .rename("df").reset_index())
+
+    dfreq = hash_partitioned_groupby(
+        tf.map_batches(df_partials, batch_format="pandas",
+                       batch_size=16384),
+        ["token"],
+        lambda d: d.groupby("token", sort=False)["df"].sum().reset_index(),
+        n_buckets=n_buckets,
+    )
+    if min_df > 1:
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater_equal(batch.column("df"), pa.scalar(min_df)))
+        dfreq = dfreq.map_batches(keep, batch_format="pyarrow")
+
+    joined = hash_join(tf, dfreq.materialize(), on=["token"],
+                       n_buckets=n_buckets,
+                       lcols=["doc_id", "token", "tf"],
+                       rcols=["token", "df"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "token" not in df.columns:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "df": pd.Series(dtype="int64")})
+        out = df[["token", "doc_id", "tf", "df"]].copy()
+        out["tf"] = out["tf"].astype("int64")
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return joined.map_batches(project, batch_format="pandas",
+                              batch_size=65536)
+
+
+def inverted_postings_sql(min_df: int = 1, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`inverted_postings` — unnest + two GROUP BYs,
+    df recomputed independently."""
+    ws = r"'\s+'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' \t\n\r') = '' THEN []
+              ELSE regexp_split_to_array(trim(text, ' \t\n\r'), {ws}) END AS t
+  FROM {table}
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+)
+SELECT tf.tok AS token, tf.doc_id, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfreq.df AS BIGINT) AS df
+FROM tf JOIN dfreq USING (tok)
+WHERE dfreq.df >= {min_df}
+"""

@@ -356,3 +356,90 @@ class TestPersonalizedPageRank:
             personalized_pagerank_sql(path)).df()
             .sort_values("node").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestLandmarkHarmonic:
+    def _bfs_truth(self, rows, n_landmarks, iters):
+        """Dense BFS reference with the identical truncation + units."""
+        from graph_rag_agent_ray.ops.graphstats import _lcm_upto
+        from collections import deque
+        adj = {}
+        for a, b in rows:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        landmarks = sorted(adj)[:n_landmarks]
+        unit = _lcm_upto(iters)
+        harm = {}
+        for lm in landmarks:
+            dist = {lm: 0}
+            q = deque([lm])
+            while q:
+                u = q.popleft()
+                if dist[u] >= iters:
+                    continue
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            for v, d in dist.items():
+                harm[v] = harm.get(v, 0) + (unit // d if d > 0 else 0)
+        return harm
+
+    def test_matches_bfs(self, ray_session):
+        import numpy as np
+        from graph_rag_agent_ray.ops.graphstats import landmark_harmonic
+
+        rng = np.random.default_rng(29)
+        n = 26
+        rows = [(f"n{i:02d}", f"n{j:02d}") for i in range(n)
+                for j in range(i + 1, n) if rng.random() < 0.12]
+        got = landmark_harmonic(_edges(rows), n_landmarks=3,
+                                iters=8).to_pandas()
+        want = self._bfs_truth(rows, 3, 8)
+        assert dict(zip(got["node"], got["harm_units"])) == want
+
+    def test_truncation_cuts_far_nodes(self, ray_session):
+        """A 6-hop path with iters=3: nodes beyond 3 hops from the single
+        landmark get harm_units 0 contribution (absent or zero)."""
+        from graph_rag_agent_ray.ops.graphstats import (
+            landmark_harmonic, _lcm_upto)
+
+        rows = [(f"p{i}", f"p{i+1}") for i in range(6)]
+        got = landmark_harmonic(_edges(rows), n_landmarks=1,
+                                iters=3).to_pandas()
+        score = dict(zip(got["node"], got["harm_units"]))
+        unit = _lcm_upto(3)
+        # landmark p0: p1 at 1, p2 at 2, p3 at 3; p4..p6 unreached
+        assert score["p1"] == unit
+        assert score["p2"] == unit // 2
+        assert score["p3"] == unit // 3
+        for far in ("p4", "p5", "p6"):
+            assert score.get(far, 0) == 0
+
+    def test_vs_duckdb_oracle(self, ray_session, tmp_path):
+        import duckdb
+        import numpy as np
+        import pyarrow.parquet as pq
+        from graph_rag_agent_ray.ops.graphstats import (
+            landmark_harmonic, landmark_harmonic_sql)
+
+        rng = np.random.default_rng(31)
+        src, dst = [], []
+        for i in range(30):
+            for j in range(i + 1, 30):
+                if rng.random() < 0.1:
+                    src.append(f"e{j:02d}"); dst.append(f"e{i:02d}")
+        tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                        "pred": pa.array(["r"] * len(src)),
+                        "weight": pa.array([1.0] * len(src))})
+        path = str(tmp_path / "edges.parquet")
+        pq.write_table(tbl, path)
+        import ray.data as rd
+        got = (landmark_harmonic(rd.from_arrow(tbl)).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        want = (duckdb.connect().execute(
+            landmark_harmonic_sql(path)).df()
+            .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

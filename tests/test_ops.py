@@ -851,3 +851,49 @@ class TestTfidfKeywords:
         assert row0["token"] == "zebra" and row0["rank"] == 1
         # doc-frequency-N terms have idf 0: every doc still ranks k terms
         assert set(out["doc_id"]) == {0, 1, 2}
+
+
+class TestInvertedPostings:
+    def test_oracle_and_layout_independence(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.search import (
+            inverted_postings,
+            inverted_postings_sql,
+        )
+
+        path = f"{sf_dir}/documents.parquet"
+        docs = rd.read_parquet(path, columns=["doc_id", "text"])
+        key = ["token", "doc_id"]
+        a = (inverted_postings(docs, min_df=2).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+        b = (inverted_postings(docs.repartition(9), min_df=2).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        oracle = (con.execute(inverted_postings_sql(min_df=2)).df()
+                  .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, oracle, check_dtype=False)
+
+    def test_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.search import inverted_postings
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a b", "a c", "   "]),
+        })
+        out = inverted_postings(rd.from_arrow(t), min_df=1).to_pandas()
+        rows = {(r.token, r.doc_id): (r.tf, r.df)
+                for r in out.itertuples(index=False)}
+        assert rows[("a", 0)] == (2, 2)   # tf 2 in doc 0, df 2 overall
+        assert rows[("a", 1)] == (1, 2)
+        assert rows[("b", 0)] == (1, 1)
+        assert rows[("c", 1)] == (1, 1)
+        assert len(rows) == 4             # empty doc contributes nothing
+        # min_df=2 keeps only the shared token
+        out2 = inverted_postings(rd.from_arrow(t), min_df=2).to_pandas()
+        assert set(out2["token"]) == {"a"} and len(out2) == 2
