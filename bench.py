@@ -225,6 +225,14 @@ def run_bench() -> dict:
         docs_flat(), terms=["spark", "vector", "customer"], k=20).count())
     timed("hll_registers", lambda: SKETCH.hll_registers(rd.read_parquet(
         f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"])).count())
+    timed("inverted_postings", lambda: SRCH.inverted_postings(
+        docs_flat(), min_df=2).count())
+    from graph_rag_agent_ray.ops import graphstats as GS
+    timed("kg_pagerank", lambda: GS.pagerank(tables["edges"]).count())
+    timed("kg_ppr", lambda: GS.personalized_pagerank(
+        tables["edges"]).count())
+    timed("kg_harmonic", lambda: GS.landmark_harmonic(
+        tables["edges"]).count())
     # ---- third headline: incremental update with 1% dirty docs — the
     # delta-scoped path: per-doc stages (chunk/extract/embed/parse) carry
     # rows over for unchanged docs, and the graph-side aggregates (exact

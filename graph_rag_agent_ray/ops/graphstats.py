@@ -355,19 +355,20 @@ def personalized_pagerank(
     iters: int = 15,
     n_buckets: int = 32,
     scale: int = 10**9,
+    seeds: "list[str] | None" = None,
 ) -> "ray.data.Dataset":
     """(node, ppr_ppb): truncated-power-iteration PERSONALIZED PageRank —
-    restart mass concentrated on a deterministic seed set (the ``n_seeds``
-    lexicographically-smallest node ids) instead of spread uniformly.
+    restart mass concentrated on a seed set instead of spread uniformly.
+    Default seeds are the ``n_seeds`` lexicographically-smallest node ids
+    (deterministic, so the SQL oracle hash-matches); pass ``seeds``
+    explicitly to personalize to query-matched entities.
 
     Reference parity: the reference's local search seeds retrieval at
     query-matched entities and fans out along the graph weighted by
     closeness to those seeds (``search/local_search.py:40-133``,
     chain-of-exploration ``search/tool/reasoning/*``); PPR is the standard
     closed-form of that "relevance to a seed set" measure (Haveliwala 2002,
-    Topic-Sensitive PageRank). Deterministic seeds keep the op a pure
-    function of the graph so the unrolled SQL oracle hash-matches; a query
-    pipeline passes its own entity seeds through the same machinery.
+    Topic-Sensitive PageRank).
 
     Scale shape: identical to :func:`pagerank` — 2*iters scalar shuffles
     over the node-scale state joined onto the edge-scale adjacency; the
@@ -407,14 +408,19 @@ def personalized_pagerank(
             "node": pa.array([], pa.string()),
             "ppr_ppb": pa.array([], pa.int64())}))
 
-    # seed pick: per-block partial min-k, blocks×n_seeds rows to the driver
-    def min_k(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "u" not in df.columns:
-            return pd.DataFrame({"u": pd.Series(dtype="object")})
-        return df[["u"]].sort_values("u", kind="stable").head(n_seeds)
+    if seeds is None:
+        # seed pick: per-block partial min-k, blocks×n_seeds to the driver
+        def min_k(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "u" not in df.columns:
+                return pd.DataFrame({"u": pd.Series(dtype="object")})
+            return df[["u"]].sort_values("u", kind="stable").head(n_seeds)
 
-    seed_rows = deg.map_batches(min_k, batch_format="pandas").to_pandas()
-    seeds = frozenset(seed_rows["u"].sort_values().head(n_seeds))
+        seed_rows = deg.map_batches(min_k, batch_format="pandas").to_pandas()
+        seeds = frozenset(seed_rows["u"].sort_values().head(n_seeds))
+    else:
+        seeds = frozenset(seeds)
+        if not seeds:
+            raise ValueError("personalized_pagerank: empty seed list")
     ns = len(seeds)
     restart = (1.0 - damping) / ns
     r0 = 1.0 / ns
@@ -770,8 +776,19 @@ def landmark_harmonic(
         return (df.groupby(["node", "lm"], sort=False)["dist"].min()
                 .reset_index())
 
-    for _ in range(iters):
-        cand = hash_join(state, adj, on=["node"], n_buckets=n_buckets,
+    for r in range(1, iters + 1):
+        # FRONTIER scoping: with unit edge weights a (node, lm) pair's dist
+        # is final the round it is first reached, so only rows discovered
+        # LAST round (dist == r-1) can relax anything new — the join input
+        # shrinks from state-size to frontier-size, and a saturated BFS
+        # (diameter < iters) stops paying edge-scale joins entirely.
+        frontier = state.map_batches(
+            lambda df, _r=r: df[df["dist"] == _r - 1]
+            if not df.empty and "dist" in df.columns else df,
+            batch_format="pandas").materialize()
+        if frontier.count() == 0:
+            break  # no new reachability — remaining rounds are identity
+        cand = hash_join(frontier, adj, on=["node"], n_buckets=n_buckets,
                          lcols=["node", "lm", "dist"],
                          rcols=["node", "v"]
                          ).map_batches(relax, batch_format="pandas",

@@ -443,3 +443,27 @@ class TestLandmarkHarmonic:
             landmark_harmonic_sql(path)).df()
             .sort_values("node").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestPprExplicitSeeds:
+    def test_explicit_seeds_shift_mass(self, ray_session):
+        """Seeding clique B (instead of the default smallest-id clique A)
+        must flip the ranking on a barbell graph — the query-personalized
+        path local search uses."""
+        from graph_rag_agent_ray.ops.graphstats import personalized_pagerank
+        import itertools
+
+        a = [f"a{i}" for i in range(5)]
+        b = [f"b{i}" for i in range(5)]
+        rows = (list(itertools.combinations(a, 2))
+                + list(itertools.combinations(b, 2))
+                + [("a0", "b0")])
+        out = personalized_pagerank(
+            _edges(rows), iters=40, seeds=["b1", "b2", "b3"]).to_pandas()
+        score = dict(zip(out["node"], out["ppr_ppb"]))
+        assert min(score[x] for x in b) > max(score[x] for x in a[1:])
+
+    def test_empty_seed_list_raises(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import personalized_pagerank
+        with pytest.raises(ValueError):
+            personalized_pagerank(_edges([("x", "y")]), seeds=[])
