@@ -644,6 +644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar shuffles only, postings never collect to the driver
         "inverted_postings": lambda sf: SE.inverted_postings(
             _docs(sf), min_df=2),
+        # one-pass corpus profile (long form): totals + language mix +
+        # EXACT token-length quantiles folded from a distinct-length
+        # histogram — the pre-flight stats report for a 100 TB pass
+        "corpus_profile": lambda sf: TS.corpus_profile(_docs(sf)),
         # HyperLogLog distinct sketch: the register TABLE is deterministic
         # (string registers + integer ranks), so the sketch machinery is
         # hash-exact even though the derived estimate is approximate
@@ -875,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SE.bm25_topk_sql(
             terms=["spark", "vector", "customer"], k=20),
         "inverted_postings": SE.inverted_postings_sql(min_df=2),
+        "corpus_profile": TS.corpus_profile_sql(),
         "training_export": EX.training_export_sql(
             benchmark_ids=range(5), budget=5000, n=3,
             min_words=40, require_terminal=False),

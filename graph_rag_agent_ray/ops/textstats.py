@@ -513,3 +513,129 @@ SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
        CAST(SUM(tf.tf * cnt.cnt) AS BIGINT) AS sum_cnt
 FROM tf JOIN cnt USING (tok) GROUP BY tf.doc_id
 """
+
+
+def corpus_profile(
+    ds: "ray.data.Dataset",
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """(stat, value) — ONE-PASS corpus summary in long form: doc counts,
+    token/char totals, language mix, and EXACT token-length quantiles.
+
+    The profile every pipeline run wants before committing a 100 TB pass
+    (the reference prints per-stage corpus stats during indexing,
+    ``build/*`` progress reporting); long form keeps the schema stable as
+    stats are added.
+
+    Stats: n_docs, n_empty_docs, sum_tokens, sum_chars, n_en_like,
+    min_tokens, max_tokens, p<q>_tokens for each requested quantile
+    (discrete: sorted[ceil(q*n)-1], exact — not an approximation).
+
+    Scale shape: one corpus pass emits per-batch partials as (stat, value)
+    rows PLUS a token-length histogram ((tok=k, count) rows — bounded by
+    the number of DISTINCT lengths, aggregate-scale); one scalar-keyed
+    shuffle folds both; the driver folds only the tiny histogram into
+    quantiles. Text shuffles nowhere; no sort."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.shuffle import hash_partitioned_groupby
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        text = batch.column("text")
+        toks = _token_count_arr(text).cast(pa.int64())
+        chars = pc.utf8_length(text).cast(pa.int64())
+        n_the = pc.count_substring(text, " the ").cast(pa.int64())
+        en = pc.greater(pc.multiply(n_the, pa.scalar(200, pa.int64())), chars)
+        t = toks.to_numpy(zero_copy_only=False)
+        stats = {
+            "n_docs": len(t),
+            "n_empty_docs": int((t == 0).sum()),
+            "sum_tokens": int(t.sum()),
+            "sum_chars": int(pc.sum(chars).as_py() or 0),
+            "n_en_like": int(pc.sum(pc.cast(en, pa.int64())).as_py() or 0),
+        }
+        vals, counts = np.unique(t, return_counts=True)
+        return pd.DataFrame({
+            "stat": (list(stats.keys())
+                     + [f"__hist_{v}" for v in vals]),
+            "value": (list(stats.values()) + counts.tolist()),
+        })
+
+    folded = hash_partitioned_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192),
+        ["stat"],
+        lambda df: df.groupby("stat", sort=False)["value"].sum().reset_index(),
+        n_buckets=n_buckets,
+    ).to_pandas()  # aggregate-scale: n_stats + distinct token lengths
+
+    hist = folded[folded["stat"].str.startswith("__hist_")].copy()
+    plain = folded[~folded["stat"].str.startswith("__hist_")]
+    out_rows = dict(zip(plain["stat"], plain["value"].astype("int64")))
+    if hist.empty:
+        lengths = np.array([], dtype=np.int64)
+        counts = np.array([], dtype=np.int64)
+    else:
+        hist["tok"] = hist["stat"].str.removeprefix("__hist_").astype("int64")
+        hist = hist.sort_values("tok")
+        lengths = hist["tok"].to_numpy()
+        counts = hist["value"].to_numpy(dtype=np.int64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    out_rows["min_tokens"] = int(lengths[0]) if n else 0
+    out_rows["max_tokens"] = int(lengths[-1]) if n else 0
+    for q in quantiles:
+        rank = max(1, int(np.ceil(q * n))) if n else 0
+        idx = int(np.searchsorted(cum, rank)) if n else -1
+        out_rows[f"p{int(q * 100)}_tokens"] = (
+            int(lengths[idx]) if n else 0)
+
+    res = pd.DataFrame({
+        "stat": sorted(out_rows),
+        "value": pd.array([out_rows[k] for k in sorted(out_rows)],
+                          dtype="int64"),
+    })
+    return ray.data.from_pandas(res)
+
+
+def corpus_profile_sql(quantiles: tuple = (0.5, 0.9, 0.99),
+                       table: str = "documents") -> str:
+    """DuckDB oracle for :func:`corpus_profile` — aggregates + explicit
+    row_number discrete quantiles (no quantile_disc interpolation
+    ambiguity), long form, same stat names."""
+    ws = r"'\s+'"
+    n_tokens = (
+        "CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 "
+        f"ELSE array_length(regexp_split_to_array(trim(text, ' \t\n\r'), {ws})) END"
+    )
+    qsel = "\nUNION ALL\n".join(
+        f"SELECT 'p{int(q * 100)}_tokens' AS stat, CAST(tok AS BIGINT) AS value "
+        f"FROM ranked WHERE rn = GREATEST(1, CAST(CEIL({q} * n) AS BIGINT))"
+        for q in quantiles)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {n_tokens} AS tok, length(text) AS chars,
+         (length(text) - length(replace(text, ' the ', ''))) // 5 AS n_the
+  FROM {table}
+), ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY tok) AS rn,
+         count(*) OVER () AS n
+  FROM t
+)
+SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM t
+UNION ALL
+SELECT 'n_empty_docs', CAST(sum(CASE WHEN tok = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM t
+UNION ALL
+SELECT 'sum_tokens', CAST(sum(tok) AS BIGINT) FROM t
+UNION ALL
+SELECT 'sum_chars', CAST(sum(chars) AS BIGINT) FROM t
+UNION ALL
+SELECT 'n_en_like', CAST(sum(CASE WHEN n_the * 200 > chars THEN 1 ELSE 0 END) AS BIGINT) FROM t
+UNION ALL
+SELECT 'min_tokens', CAST(COALESCE(min(tok), 0) AS BIGINT) FROM t
+UNION ALL
+SELECT 'max_tokens', CAST(COALESCE(max(tok), 0) AS BIGINT) FROM t
+UNION ALL
+{qsel}
+"""

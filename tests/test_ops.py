@@ -897,3 +897,47 @@ class TestInvertedPostings:
         # min_df=2 keeps only the shared token
         out2 = inverted_postings(rd.from_arrow(t), min_df=2).to_pandas()
         assert set(out2["token"]) == {"a"} and len(out2) == 2
+
+
+class TestCorpusProfile:
+    def test_oracle_and_layout_independence(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.textstats import (
+            corpus_profile,
+            corpus_profile_sql,
+        )
+
+        path = f"{sf_dir}/documents.parquet"
+        docs = rd.read_parquet(path, columns=["doc_id", "text"])
+        a = (corpus_profile(docs).to_pandas()
+             .sort_values("stat").reset_index(drop=True))
+        b = (corpus_profile(docs.repartition(9)).to_pandas()
+             .sort_values("stat").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        oracle = (con.execute(corpus_profile_sql()).df()
+                  .sort_values("stat").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, oracle, check_dtype=False)
+
+    def test_known_values(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.textstats import corpus_profile
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["one two three", "one", "   ",
+                              "a b c d e f g h i j"]),
+        })
+        out = corpus_profile(rd.from_arrow(t)).to_pandas()
+        s = dict(zip(out["stat"], out["value"]))
+        assert s["n_docs"] == 4 and s["n_empty_docs"] == 1
+        assert s["sum_tokens"] == 3 + 1 + 0 + 10
+        assert s["min_tokens"] == 0 and s["max_tokens"] == 10
+        # sorted token counts: [0, 1, 3, 10]; p50 = ceil(0.5*4)=rank 2 -> 1
+        assert s["p50_tokens"] == 1
+        # p90: rank ceil(.9*4)=4 -> 10 ; p99 same
+        assert s["p90_tokens"] == 10 and s["p99_tokens"] == 10
