@@ -648,6 +648,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXACT token-length quantiles folded from a distinct-length
         # histogram — the pre-flight stats report for a 100 TB pass
         "corpus_profile": lambda sf: TS.corpus_profile(_docs(sf)),
+        # row-expanding sentence segmentation (flat_map class): shuffle-
+        # free, the base table for sentence-level dedup/decontamination
+        "split_sentences": lambda sf: TS.split_sentences(_docs(sf)),
         # HyperLogLog distinct sketch: the register TABLE is deterministic
         # (string registers + integer ranks), so the sketch machinery is
         # hash-exact even though the derived estimate is approximate
@@ -880,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
             terms=["spark", "vector", "customer"], k=20),
         "inverted_postings": SE.inverted_postings_sql(min_df=2),
         "corpus_profile": TS.corpus_profile_sql(),
+        "split_sentences": TS.split_sentences_sql(),
         "training_export": EX.training_export_sql(
             benchmark_ids=range(5), budget=5000, n=3,
             min_words=40, require_terminal=False),

@@ -227,12 +227,14 @@ def run_bench() -> dict:
         f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"])).count())
     timed("inverted_postings", lambda: SRCH.inverted_postings(
         docs_flat(), min_df=2).count())
+    # graph ops read the edge snapshot back from disk — the in-memory build
+    # tables were dropped above to release their object-store blocks
     from graph_rag_agent_ray.ops import graphstats as GS
-    timed("kg_pagerank", lambda: GS.pagerank(tables["edges"]).count())
-    timed("kg_ppr", lambda: GS.personalized_pagerank(
-        tables["edges"]).count())
-    timed("kg_harmonic", lambda: GS.landmark_harmonic(
-        tables["edges"]).count())
+    kg_edges = lambda: rd.read_parquet(  # noqa: E731
+        f"{out_dir}/edges", columns=["src", "dst"])
+    timed("kg_pagerank", lambda: GS.pagerank(kg_edges()).count())
+    timed("kg_ppr", lambda: GS.personalized_pagerank(kg_edges()).count())
+    timed("kg_harmonic", lambda: GS.landmark_harmonic(kg_edges()).count())
     # ---- third headline: incremental update with 1% dirty docs — the
     # delta-scoped path: per-doc stages (chunk/extract/embed/parse) carry
     # rows over for unchanged docs, and the graph-side aggregates (exact

@@ -639,3 +639,62 @@ SELECT 'max_tokens', CAST(COALESCE(max(tok), 0) AS BIGINT) FROM t
 UNION ALL
 {qsel}
 """
+
+
+def split_sentences(
+    ds: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """(doc_id, sent_idx, sentence) — row-EXPANDING sentence segmentation,
+    the building block for sentence-level dedup / decontamination /
+    sampling (and the flat table the reference's chunker consumes doc-wise,
+    processor/text_chunker.py sentence snapping).
+
+    Split spec (shared verbatim with the SQL oracle — RE2 on both sides, so
+    no lookbehind): split on runs of terminal punctuation ``[.!?。！？]+``
+    plus trailing whitespace; sentences are trimmed, empties dropped,
+    ``sent_idx`` is the 0-based position among KEPT sentences.
+
+    Scale shape: embarrassingly parallel — one vectorized map_batches
+    (pyarrow regex split + pandas explode), no shuffle; output rows stay in
+    their input block, so downstream per-sentence ops stream."""
+    import pandas as pd
+
+    pattern = r"[.!?。！？]+\s*"
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        parts = pc.split_pattern_regex(batch.column("text"), pattern=pattern)
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_pandas(),
+            "sentence": parts.to_pandas(),
+        })
+        df = df.explode("sentence", ignore_index=True)
+        # explicit char set pins trim semantics to the SQL oracle's
+        # trim(' \t\n\r') — pandas' default strip() eats ALL unicode ws
+        df["sentence"] = df["sentence"].fillna("").str.strip(" \t\n\r")
+        df = df[df["sentence"] != ""]
+        df["sent_idx"] = df.groupby("doc_id", sort=False).cumcount()
+        df["sent_idx"] = df["sent_idx"].astype("int64")
+        return df[["doc_id", "sent_idx", "sentence"]]
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def split_sentences_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`split_sentences` — same RE2 split, index by
+    original list position then renumbered over kept sentences."""
+    pattern = r"[.!?。！？]+\s*"
+    return f"""
+WITH parts AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, '{pattern}') AS sents
+  FROM {table}
+), pos AS (
+  SELECT doc_id, i, trim(list_extract(sents, i), ' \t\n\r') AS sentence
+  FROM parts, UNNEST(range(1, len(sents) + 1)) AS u(i)
+), kept AS (
+  SELECT doc_id, sentence,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sent_idx
+  FROM pos WHERE sentence <> ''
+)
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence FROM kept
+"""

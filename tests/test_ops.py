@@ -941,3 +941,63 @@ class TestCorpusProfile:
         assert s["p50_tokens"] == 1
         # p90: rank ceil(.9*4)=4 -> 10 ; p99 same
         assert s["p90_tokens"] == 10 and s["p99_tokens"] == 10
+
+
+class TestSplitSentences:
+    def test_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.textstats import split_sentences
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "First one. Second two!  Third three?",
+                "你好。再见！结束",
+                "No terminal punctuation here",
+                "...",
+            ]),
+        })
+        out = split_sentences(rd.from_arrow(t)).to_pandas()
+        got = {(r.doc_id, r.sent_idx): r.sentence
+               for r in out.itertuples(index=False)}
+        assert got[(0, 0)] == "First one"
+        assert got[(0, 1)] == "Second two"
+        assert got[(0, 2)] == "Third three"
+        assert got[(1, 0)] == "你好" and got[(1, 1)] == "再见"
+        assert got[(1, 2)] == "结束"
+        assert got[(2, 0)] == "No terminal punctuation here"
+        assert 3 not in {k[0] for k in got}  # punctuation-only doc drops
+        assert len(got) == 7
+
+    def test_vs_duckdb_on_punctuated_text(self, ray_session, tmp_path):
+        """The driver corpus has no punctuation (degenerate 1-sentence
+        docs), so pin the non-degenerate path against DuckDB here."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.textstats import (
+            split_sentences, split_sentences_sql)
+
+        rng = np.random.default_rng(41)
+        words = ["alpha", "beta", "gamma", "delta", "eps"]
+        texts = []
+        for _ in range(200):
+            sents = [" ".join(rng.choice(words, size=rng.integers(1, 6)))
+                     for _ in range(rng.integers(0, 5))]
+            texts.append(". ".join(sents)
+                         + str(rng.choice([".", "!", "?", "", "。 "])))
+        tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                        "text": pa.array(texts)})
+        path = str(tmp_path / "docs.parquet")
+        pq.write_table(tbl, path)
+        got = (split_sentences(rd.from_arrow(tbl)).to_pandas()
+               .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        want = (con.execute(split_sentences_sql()).df()
+                .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
