@@ -202,6 +202,7 @@ def pagerank(
     iters: int = 20,
     n_buckets: int = 32,
     scale: int = 10**9,
+    local_guard_edges: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """(node, pr_ppb): truncated-power-iteration PageRank over the
     undirected simple graph, as a parts-per-billion integer surrogate.
@@ -225,8 +226,20 @@ def pagerank(
     order so the floats are a pure function of the graph, not of block
     arrival order; the ppb grid (1e-9) sits ~6 orders above the residual
     FP noise, so the integer surrogate is hash-stable vs the SQL oracle.
+
+    Below ``local_guard_edges`` deduped edges the iteration runs DRIVER-
+    LOCAL (one guarded edge-scale collect + vectorized numpy loop — the
+    communities stage's guard pattern; a 2·iters-shuffle loop pays ~1 s
+    fixed exchange cost per shuffle, which dwarfs the compute on an
+    entity-scale graph). Above it, the distributed loop runs; both are
+    pure functions of the graph (tests assert equality).
     """
-    und = _undirected_edges(edges)
+    und = _undirected_edges(edges).materialize()
+    n_edges = und.count()
+    if 0 < n_edges <= local_guard_edges:
+        res = _power_iteration_local(
+            und.to_pandas(), damping, iters, scale, "pr_ppb")
+        return ray.data.from_pandas(res)
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "a" not in df.columns:
@@ -312,6 +325,54 @@ def pagerank(
     return state.map_batches(finalize, batch_format="pandas")
 
 
+def _power_iteration_local(
+    pairs: pd.DataFrame,
+    damping: float,
+    iters: int,
+    scale: int,
+    out_col: str,
+    seeds=None,
+) -> pd.DataFrame:
+    """Driver-local truncated power iteration over deduped undirected
+    (a, b) pairs — the guarded small-graph fast path shared by
+    :func:`pagerank` and :func:`personalized_pagerank` (the communities
+    stage's driver-local-behind-a-size-guard pattern: a 2·iters-shuffle
+    distributed loop on an entity-scale graph pays ~1 s of fixed exchange
+    cost per shuffle; below the guard one vectorized numpy loop is
+    equivalent and ~20× faster). Edge arrays are lexsorted so the float
+    fold order — and hence the ppb output — is a pure function of the
+    graph, independent of collection order."""
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    u = np.concatenate([ai, bi])
+    v = np.concatenate([bi, ai])
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    n = len(nodes)
+    deg = np.bincount(u, minlength=n).astype(np.float64)
+    if seeds is None:
+        base = np.full(n, (1.0 - damping) / n)
+        r = np.full(n, 1.0 / n)
+    else:
+        s = np.zeros(n)
+        present = [sd for sd in seeds if
+                   nodes[min(np.searchsorted(nodes, sd), n - 1)] == sd]
+        for sd in present:
+            s[np.searchsorted(nodes, sd)] = 1.0 / len(seeds)
+        base = (1.0 - damping) * s
+        r = s.copy()
+    for _ in range(iters):
+        contrib = r[u] / deg[u]
+        acc = np.bincount(v, weights=contrib, minlength=n)
+        r = base + damping * acc
+    return pd.DataFrame({
+        "node": nodes,
+        out_col: np.rint(r * scale).astype("int64")})
+
+
 def pagerank_sql(
     edges_path: str,
     damping: float = 0.85,
@@ -356,6 +417,7 @@ def personalized_pagerank(
     n_buckets: int = 32,
     scale: int = 10**9,
     seeds: "list[str] | None" = None,
+    local_guard_edges: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """(node, ppr_ppb): truncated-power-iteration PERSONALIZED PageRank —
     restart mass concentrated on a seed set instead of spread uniformly.
@@ -375,9 +437,24 @@ def personalized_pagerank(
     only extras are a blocks×n_seeds partial-min collect to pick seeds
     and a tiny frozenset broadcast into the reducer. Contributions sum in
     sorted order so floats are layout-independent; ppb grid sits far above
-    the residual FP noise.
+    the residual FP noise. Below ``local_guard_edges`` deduped edges the
+    iteration runs driver-local (see :func:`pagerank`).
     """
-    und = _undirected_edges(edges)
+    if seeds is not None and not list(seeds):
+        raise ValueError("personalized_pagerank: empty seed list")
+    und = _undirected_edges(edges).materialize()
+    n_edges = und.count()
+    if 0 < n_edges <= local_guard_edges:
+        pairs = und.to_pandas()
+        if seeds is None:
+            all_nodes = np.unique(np.concatenate(
+                [pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+            seeds_l = list(all_nodes[:n_seeds])
+        else:
+            seeds_l = sorted(set(seeds))
+        res = _power_iteration_local(
+            pairs, damping, iters, scale, "ppr_ppb", seeds=seeds_l)
+        return ray.data.from_pandas(res)
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "a" not in df.columns:

@@ -66,9 +66,18 @@ def local_search(
     tables: Dict[str, "ray.data.Dataset"], query: str,
     k_entities: int = 10, k_chunks: int = 3, k_communities: int = 3,
     k_edges: int = 10, cfg: KGConfig | None = None,
+    ppr_expand: bool = False, ppr_iters: int = 10,
 ) -> Dict[str, pd.DataFrame]:
     """Entity-vector top-k → fan out (local_search.py:40-133 parity):
-    chunks by mention frequency, communities by rank, edges by weight."""
+    chunks by mention frequency, communities by rank, edges by weight.
+
+    ``ppr_expand``: additionally rank the whole graph by PERSONALIZED
+    PageRank seeded at the vector-matched entities and widen the entity
+    set to the PPR top-k — multi-hop relevance the pure vector seed
+    misses (the reference fans out along SIMILAR/relationship edges for
+    the same reason). Batch-context cost: 2·ppr_iters scalar shuffles
+    over the edge table per query — the offline context-builder path,
+    not the interactive one (there you precompute PPR per hub seed)."""
     cfg = cfg or KGConfig()
     qv = embed_texts([normalize_surface(query)], dim=cfg.embed_dim)[0].astype(np.float64)
 
@@ -77,6 +86,49 @@ def local_search(
             ["entity_id", "embedding", "entity_type", "description", "degree"]),
         qv, k_entities, "entity_id")
     eset = set(top_ents["entity_id"])
+    if ppr_expand and eset:
+        from ..ops.graphstats import personalized_pagerank
+        ppr = personalized_pagerank(
+            tables["edges"], seeds=sorted(eset), iters=ppr_iters)
+
+        # partial top-k per batch — blocks × k rows to the driver, never
+        # the node-scale score table (the _distributed_topk shape). Seeds
+        # hold most restart mass, so over-fetch k + |seeds| per block and
+        # pick the top k NON-seed nodes at the merge.
+        fetch = k_entities + len(eset)
+
+        def _ppr_part(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "node" not in df.columns:
+                return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                     "ppr_ppb": pd.Series(dtype="int64")})
+            return df.sort_values(["ppr_ppb", "node"],
+                                  ascending=[False, True]).head(fetch)
+
+        ppr_merged = (ppr.map_batches(_ppr_part, batch_format="pandas")
+                      .to_pandas()
+                      .sort_values(["ppr_ppb", "node"],
+                                   ascending=[False, True]))
+        ppr_top = ppr_merged[~ppr_merged["node"].isin(eset)].head(k_entities)
+        added = list(ppr_top["node"])
+        eset |= set(added)
+        if added:
+            aref = ray.put(set(added))
+
+            def keep_added(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                keep = pa.array(sorted(ray.get(aref)), pa.string())
+                return batch.filter(
+                    pc.is_in(batch.column("entity_id"), value_set=keep))
+
+            added_meta = (tables["entities"].select_columns(
+                ["entity_id", "embedding", "entity_type", "description",
+                 "degree"]).map_batches(keep_added, batch_format="pyarrow")
+                .to_pandas())
+            rank = {n: i for i, n in enumerate(ppr_top["node"])}
+            added_meta = (added_meta.assign(score=np.nan)
+                          .sort_values("entity_id", key=lambda s: s.map(rank))
+                          .reset_index(drop=True))
+            top_ents = pd.concat([top_ents, added_meta], ignore_index=True)
     eref = ray.put(eset)
 
     def touching(batch, cols):

@@ -467,3 +467,44 @@ class TestPprExplicitSeeds:
         from graph_rag_agent_ray.ops.graphstats import personalized_pagerank
         with pytest.raises(ValueError):
             personalized_pagerank(_edges([("x", "y")]), seeds=[])
+
+
+class TestLocalGuardEquivalence:
+    """The driver-local fast path (below local_guard_edges) must be
+    value-identical to the distributed loop — same truncation, same ppb."""
+
+    def _graph(self, seed, n=30, p=0.15):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        return [(f"g{i:02d}", f"g{j:02d}") for i in range(n)
+                for j in range(i + 1, n) if rng.random() < p]
+
+    def test_pagerank_paths_agree(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import pagerank
+        rows = self._graph(43)
+        local = (pagerank(_edges(rows), iters=20).to_pandas()
+                 .sort_values("node").reset_index(drop=True))
+        dist = (pagerank(_edges(rows), iters=20, local_guard_edges=0)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+    def test_ppr_paths_agree(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import personalized_pagerank
+        rows = self._graph(47)
+        local = (personalized_pagerank(_edges(rows), iters=15).to_pandas()
+                 .sort_values("node").reset_index(drop=True))
+        dist = (personalized_pagerank(_edges(rows), iters=15,
+                                      local_guard_edges=0)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+    def test_ppr_explicit_seed_paths_agree(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import personalized_pagerank
+        rows = self._graph(53)
+        seeds = ["g05", "g11", "not-in-graph"]
+        local = (personalized_pagerank(_edges(rows), iters=15, seeds=seeds)
+                 .to_pandas().sort_values("node").reset_index(drop=True))
+        dist = (personalized_pagerank(_edges(rows), iters=15, seeds=seeds,
+                                      local_guard_edges=0)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(local, dist, check_dtype=False)

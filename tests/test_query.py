@@ -114,3 +114,20 @@ class TestYamlReader:
         # mapping without text field serialized back to yaml text
         other = docs[~docs["doc_id"].isin({"y1", "y2"})].iloc[0]
         assert "title" in other["spans"][0]["text"]
+
+
+class TestLocalSearchPprExpand:
+    def test_ppr_widens_entity_set_multi_hop(self, built):
+        """ppr_expand must keep the vector seeds and add graph-proximate
+        entities (multi-hop neighbours the pure vector seed can miss)."""
+        corpus, tables = built
+        target = corpus.alias_groups.column("canonical_id")[0].as_py()
+        base = local_search(tables, target, k_entities=3)
+        exp = local_search(tables, target, k_entities=3, ppr_expand=True)
+        base_ids = set(base["entities"]["entity_id"])
+        exp_ids = set(exp["entities"]["entity_id"])
+        assert base_ids <= exp_ids          # seeds survive
+        assert len(exp_ids) > len(base_ids)  # expansion added someone
+        # determinism of the expanded path
+        exp2 = local_search(tables, target, k_entities=3, ppr_expand=True)
+        assert exp_ids == set(exp2["entities"]["entity_id"])
