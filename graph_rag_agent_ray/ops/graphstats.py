@@ -774,11 +774,69 @@ def _lcm_upto(n: int) -> int:
     return out
 
 
+def _bfs_harmonic_local(
+    pairs: pd.DataFrame,
+    n_landmarks: int,
+    iters: int,
+) -> pd.DataFrame:
+    """Driver-local truncated multi-source BFS — the guarded small-graph
+    fast path of :func:`landmark_harmonic` (same guard rationale as
+    :func:`_power_iteration_local`). CSR adjacency via lexsort +
+    searchsorted; one boolean-frontier sweep per landmark per round."""
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    n = len(nodes)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    u = np.concatenate([ai, bi])
+    v = np.concatenate([bi, ai])
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    indptr = np.searchsorted(u, np.arange(n + 1))
+    unit = _lcm_upto(iters)
+    harm = np.zeros(n, dtype=np.int64)
+    for lm in range(min(n_landmarks, n)):
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[lm] = 0
+        frontier = np.array([lm], dtype=np.int64)
+        for d in range(1, iters + 1):
+            if frontier.size == 0:
+                break
+            starts = indptr[frontier]
+            cnt = indptr[frontier + 1] - starts
+            total = int(cnt.sum())
+            if total == 0:
+                break
+            # vectorized ragged gather: concat of v[starts[i]:starts[i]+cnt[i]]
+            cum = np.cumsum(cnt) - cnt
+            idx = np.repeat(starts - cum, cnt) + np.arange(total)
+            neigh = np.unique(v[idx])
+            new = neigh[dist[neigh] < 0]
+            dist[new] = d
+            frontier = new
+        reached = dist > 0
+        harm[reached] += unit // dist[reached]
+        # landmarks themselves stay present (dist 0 contributes 0)
+        harm[lm] += 0
+    # output support: every node reached by >= 1 landmark (incl. landmarks)
+    present = np.zeros(n, dtype=bool)
+    for lm in range(min(n_landmarks, n)):
+        present[lm] = True
+    present |= harm > 0
+    # nodes reached at dist>iters contribute nothing and may be absent in
+    # the distributed output too; but a node reached within iters with
+    # harm 0 cannot exist (dist>0 => contribution>0), so `present` is exact
+    return pd.DataFrame({"node": nodes[present],
+                         "harm_units": harm[present]})
+
+
 def landmark_harmonic(
     edges: "ray.data.Dataset",
     n_landmarks: int = 3,
     iters: int = 8,
     n_buckets: int = 32,
+    local_guard_edges: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """(node, harm_units): landmark-based HARMONIC centrality — for each
     node, sum of 1/dist(node, landmark) over a deterministic landmark set
@@ -799,8 +857,14 @@ def landmark_harmonic(
     State is (node, lm, dist) — at most n_landmarks rows per reached node.
     Each round: one hash_join of the frontier state onto the adjacency
     (scalar columns only) + one (node, lm)-keyed min-reduce. 2*iters scalar
-    shuffles total; the driver holds only the landmark ids."""
-    und = _undirected_edges(edges)
+    shuffles total; the driver holds only the landmark ids. Below
+    ``local_guard_edges`` deduped edges the BFS runs driver-local (see
+    :func:`pagerank`; equality pinned by tests)."""
+    und = _undirected_edges(edges).materialize()
+    n_edges = und.count()
+    if 0 < n_edges <= local_guard_edges:
+        return ray.data.from_pandas(_bfs_harmonic_local(
+            und.to_pandas(), n_landmarks, iters))
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         # join-ready orientation: "node" is the propagation source column

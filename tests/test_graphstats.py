@@ -508,3 +508,30 @@ class TestLocalGuardEquivalence:
                                       local_guard_edges=0)
                 .to_pandas().sort_values("node").reset_index(drop=True))
         pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+
+class TestHarmonicLocalGuard:
+    def test_paths_agree(self, ray_session):
+        import numpy as np
+        from graph_rag_agent_ray.ops.graphstats import landmark_harmonic
+        rng = np.random.default_rng(59)
+        rows = [(f"h{i:02d}", f"h{j:02d}") for i in range(28)
+                for j in range(i + 1, 28) if rng.random() < 0.1]
+        local = (landmark_harmonic(_edges(rows), iters=8).to_pandas()
+                 .sort_values("node").reset_index(drop=True))
+        dist = (landmark_harmonic(_edges(rows), iters=8,
+                                  local_guard_edges=0)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+    def test_paths_agree_with_truncation(self, ray_session):
+        """A long path graph exercises the truncated/unreached support
+        semantics on both paths."""
+        from graph_rag_agent_ray.ops.graphstats import landmark_harmonic
+        rows = [(f"q{i:02d}", f"q{i+1:02d}") for i in range(12)]
+        local = (landmark_harmonic(_edges(rows), n_landmarks=2, iters=4)
+                 .to_pandas().sort_values("node").reset_index(drop=True))
+        dist = (landmark_harmonic(_edges(rows), n_landmarks=2, iters=4,
+                                  local_guard_edges=0)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(local, dist, check_dtype=False)
