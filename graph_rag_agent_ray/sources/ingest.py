@@ -130,7 +130,8 @@ def read_pdf_documents(paths) -> "ray.data.Dataset":
     )
 
 
-SUPPORTED_DISPATCH_EXTS = (".txt", ".md", ".csv", ".json", ".yaml", ".yml")
+SUPPORTED_DISPATCH_EXTS = (".txt", ".md", ".csv", ".json", ".jsonl",
+                           ".yaml", ".yml")
 GATED_DISPATCH_EXTS = (".pdf", ".docx", ".doc")  # codec libs absent here
 
 
@@ -219,6 +220,11 @@ def read_directory(directory, file_extensions=None,
                 elif ext == ".json":
                     text = _json.dumps(_json.loads(text),
                                        ensure_ascii=False, indent=2)
+                elif ext == ".jsonl":
+                    # one object per line — pretty-print each, keep order
+                    text = "\n".join(
+                        _json.dumps(_json.loads(ln), ensure_ascii=False)
+                        for ln in text.splitlines() if ln.strip())
                 elif ext in (".yaml", ".yml"):
                     import yaml as _yaml
                     text = _yaml.dump(_yaml.safe_load(text),

@@ -63,11 +63,15 @@ class TestIngest:
         (tmp_path / "d.json").write_text('{"k": "v"}')
         (tmp_path / "bad.json").write_text("{not json")
         (tmp_path / "y.yaml").write_text("k: v\n")
+        (tmp_path / "l.jsonl").write_text(
+            '{"a": 1}\n\n{"b": "文"}\n')
         (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake")   # gated -> skipped
         ds = read_directory(str(tmp_path))
         rows = {r["doc_id"]: r["spans"][0]["text"] for r in ds.take_all()}
         assert set(rows) == {"a.txt", os.path.join("sub", "a.txt"),
-                             "t.csv", "d.json", "bad.json", "y.yaml"}
+                             "t.csv", "d.json", "bad.json", "y.yaml",
+                             "l.jsonl"}
+        assert rows["l.jsonl"] == '{"a": 1}\n{"b": "文"}'
         assert rows["a.txt"] == "plain text。"
         assert rows[os.path.join("sub", "a.txt")] == "中文。"
         assert rows["t.csv"] == "h1,h2\nv1,v2"

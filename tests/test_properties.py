@@ -192,3 +192,78 @@ class TestSpanIndexVectorizedProperties:
                 want.append((f"d{i}", s["span_idx"], s["kind"], s["media_ref"],
                              s["offset"], s["char_start"], s["char_end"]))
         assert got == sorted(want)
+
+
+class TestLocalGraphKernelProperties:
+    """Pure-python properties of the driver-local graph kernels (the
+    guarded fast paths of pagerank / personalized_pagerank /
+    landmark_harmonic) against independent dense references."""
+
+    EDGES = st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1, max_size=60,
+    ).map(lambda es: [(f"n{a:02d}", f"n{b:02d}") for a, b in es if a != b]
+          ).filter(bool)
+
+    @given(EDGES)
+    @settings(max_examples=60, deadline=None)
+    def test_power_iteration_matches_dense(self, rows):
+        import numpy as np
+        import pandas as pd
+        from graph_rag_agent_ray.ops.graphstats import _power_iteration_local
+
+        und = sorted({(min(a, b), max(a, b)) for a, b in rows})
+        pairs = pd.DataFrame({"a": [r[0] for r in und],
+                              "b": [r[1] for r in und]})
+        out = _power_iteration_local(pairs, 0.85, 12, 10**9, "pr_ppb")
+
+        nodes = sorted({x for r in und for x in r})
+        idx = {v: i for i, v in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b in und:
+            A[idx[a], idx[b]] = 1.0
+            A[idx[b], idx[a]] = 1.0
+        deg = A.sum(axis=1)
+        r = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(12):
+            r = (1 - 0.85) / len(nodes) + 0.85 * (A.T @ (r / deg))
+        want = {v: int(np.rint(r[i] * 1e9)) for v, i in idx.items()}
+        assert dict(zip(out["node"], out["pr_ppb"])) == want
+        # total mass conservation at the grid: sums to ~1e9
+        assert abs(out["pr_ppb"].sum() - 10**9) <= len(nodes)
+
+    @given(EDGES, st.integers(1, 4), st.integers(1, 6))
+    @settings(max_examples=60, deadline=None)
+    def test_bfs_harmonic_matches_dict_bfs(self, rows, n_landmarks, iters):
+        import pandas as pd
+        from collections import deque
+        from graph_rag_agent_ray.ops.graphstats import (
+            _bfs_harmonic_local, _lcm_upto)
+
+        und = sorted({(min(a, b), max(a, b)) for a, b in rows})
+        pairs = pd.DataFrame({"a": [r[0] for r in und],
+                              "b": [r[1] for r in und]})
+        out = _bfs_harmonic_local(pairs, n_landmarks, iters)
+
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        landmarks = sorted(adj)[:n_landmarks]
+        unit = _lcm_upto(iters)
+        harm = {lm: 0 for lm in landmarks}
+        for lm in landmarks:
+            dist = {lm: 0}
+            q = deque([lm])
+            while q:
+                u = q.popleft()
+                if dist[u] >= iters:
+                    continue
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            for v, d in dist.items():
+                if d > 0:
+                    harm[v] = harm.get(v, 0) + unit // d
+        assert dict(zip(out["node"], out["harm_units"])) == harm
