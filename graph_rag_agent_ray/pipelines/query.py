@@ -277,13 +277,36 @@ def hybrid_search(
 
     chunks = tables["chunks"].map_batches(chunk_keep, batch_format="pyarrow").to_pandas()
 
-    # high-level: community summaries containing any keyword member, by rank
-    comm = tables["communities"].to_pandas()
-    high = comm[comm["members"].map(
-        lambda ms: any(any(k in m for k in keywords) for m in ms))]
+    # high-level: community summaries containing any keyword member, by
+    # rank — DISTRIBUTED member filter + per-batch partial top-k (at
+    # corpus scale the communities table is itself large; only
+    # blocks × k_high rows reach the driver). Keyword misses fall back to
+    # the global rank top-k through the same partial/merge shape.
+    kw_ref = ray.put(sorted(keywords))
+
+    def _comm_part(hit_only: bool):
+        def part(batch: "pa.Table") -> pd.DataFrame:
+            pdf = batch.to_pandas()
+            if pdf.empty:
+                return pdf
+            if hit_only:
+                kws = ray.get(kw_ref)
+                mask = pdf["members"].map(
+                    lambda ms: any(any(k in m for k in kws) for m in ms))
+                pdf = pdf[mask]
+            return (pdf.sort_values(["rank", "community_id"],
+                                    ascending=[False, True]).head(k_high))
+        return part
+
+    high = (tables["communities"]
+            .map_batches(_comm_part(True), batch_format="pyarrow")
+            .to_pandas())
     if high.empty:
-        high = comm
-    high = high.sort_values(["rank", "community_id"], ascending=[False, True]).head(k_high)
+        high = (tables["communities"]
+                .map_batches(_comm_part(False), batch_format="pyarrow")
+                .to_pandas())
+    high = (high.sort_values(["rank", "community_id"],
+                             ascending=[False, True]).head(k_high))
 
     return {
         "low_entities": low.drop(columns=["embedding"]),
