@@ -8,8 +8,12 @@ relationships; GlobalSearch maps over every level-N community summary;
 NaiveSearch is chunk-vector top-k. Here each is a read over the Lance/Parquet
 tables: brute-force cosine against the embedding columns (ops/similarity.py
 provides the same as a scaled Dataset op) plus broadcast-filtered fan-outs.
-The LLM answer-synthesis step is out of scope — these return the retrieval
-context tables the reference feeds its prompts.
+The retrieval functions return the context tables the reference feeds its
+prompts; :func:`global_search_mapreduce` additionally runs the reference's
+full Map-Reduce answer chain through the injectable chat-client seam
+(actor-pool map over community summaries, one driver reduce call) — the
+production client is env-gated, the offline GlobalPointsClient replays it
+deterministically.
 """
 
 from __future__ import annotations
@@ -416,3 +420,111 @@ def chain_of_exploration(
                     if evidence else pd.DataFrame(
                         columns=["src", "dst", "pred", "weight", "hop"]))
     return {"visited": sorted(visited), "hops": hops, "evidence": evidence_pdf}
+
+
+class GlobalMapStage:
+    """Map phase of GraphRAG global search as an actor-pool stage —
+    reference ``search/global_search.py:56-92``: every level-N community's
+    ``full_content`` is sent to the chat model with the MAP prompt contract
+    (``config/prompt.py:230-265``: answer ONLY from the provided data
+    table, emit a points list, say 不知道 when the table lacks the answer)
+    and yields an intermediate points text per community.
+
+    Callable-class pattern (OpenAIExtractor/ModelSummarizer analog): the
+    chat client builds once per actor in ``__init__``; batches of
+    communities map concurrently in ``__call__`` — the Ray-native
+    replacement for the reference's sequential tqdm loop. Retry ladder via
+    ``call_with_retry``; exhaustion yields the empty-string sentinel row
+    (the reduce phase drops it) instead of failing the job."""
+
+    SYSTEM_PROMPT = (
+        "---角色--- 你是一位有用的助手，可以回答有关所提供表格中数据的问题。"
+        "---任务描述--- 生成一个回答用户问题所需的要点列表，总结输入数据表格中"
+        "的所有相关信息。严格根据提供的数据表格回答；信息不足时回答：不知道。"
+    )
+
+    def __init__(self, query: str, client=None, client_factory=None,
+                 retries: int = 3, backoff_s: float = 0.0):
+        from ..stages.llm import OpenAIChatClient
+        if client is not None:
+            self._client = client
+        elif client_factory is not None:
+            self._client = client_factory()
+        else:
+            self._client = OpenAIChatClient()  # raises in sealed sandboxes
+        self._query = query
+        self._retries = retries
+        self._backoff = backoff_s
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        from ..stages.llm import call_with_retry
+        pdf = batch.to_pandas()
+        if pdf.empty:
+            return pd.DataFrame({"community_id": pd.Series(dtype="object"),
+                                 "points": pd.Series(dtype="object")})
+        outs = []
+        for fc in pdf["full_content"]:
+            msgs = [
+                {"role": "system", "content": self.SYSTEM_PROMPT},
+                {"role": "user", "content":
+                    f"---数据表格---\n{fc}\n\n用户的问题是：\n{self._query}"},
+            ]
+            outs.append(call_with_retry(
+                self._client, msgs, retries=self._retries,
+                backoff_s=self._backoff))
+        return pd.DataFrame({"community_id": pdf["community_id"],
+                             "points": outs})
+
+
+def global_search_mapreduce(
+    tables: Dict[str, "ray.data.Dataset"], query: str, level: int = 0,
+    client=None, client_factory=None, concurrency=(1, 8),
+    retries: int = 3,
+) -> Dict[str, object]:
+    """Full Map-Reduce global search (``search/global_search.py:126-146``):
+    map every level-N community summary against the query (actor pool,
+    distributed), then one driver-side REDUCE call folds the intermediate
+    points lists into the final answer (``REDUCE_SYSTEM_PROMPT``,
+    ``config/prompt.py:267-…``: synthesize strictly from the points lists).
+
+    The map output is intermediate-points-sized (one short text per
+    community); the reduce input concatenates them in community_id order so
+    the answer is a pure function of the table + query + client."""
+    from ..stages.llm import call_with_retry
+
+    def level_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.equal(batch.column("level"), level))
+
+    comm = tables["communities"].map_batches(level_only,
+                                             batch_format="pyarrow")
+    stage = GlobalMapStage  # actor-pool callable class
+    inter = comm.select_columns(["community_id", "full_content"]).map_batches(
+        stage,
+        fn_constructor_kwargs={"query": query, "client": client,
+                               "client_factory": client_factory,
+                               "retries": retries},
+        batch_format="pyarrow", batch_size=16,
+        concurrency=concurrency,
+    ).to_pandas()  # intermediate-points-sized
+    inter = inter.sort_values("community_id").reset_index(drop=True)
+    kept = inter[inter["points"].astype(str).str.len() > 0]
+
+    reduce_client = client if client is not None else (
+        client_factory() if client_factory is not None else None)
+    if reduce_client is None:
+        from ..stages.llm import OpenAIChatClient
+        reduce_client = OpenAIChatClient()
+    report = "\n\n".join(
+        f"[{cid}] {pts}" for cid, pts in
+        zip(kept["community_id"], kept["points"]))
+    msgs = [
+        {"role": "system", "content":
+            "---角色--- 你是一个有用的助手，请综合上下文中多个要点列表的数据来"
+            "回答问题。严格根据要点列表的内容回答；列表无相关内容时回答：不知道。"},
+        {"role": "user", "content":
+            f"---分析报告---\n{report}\n\n用户的问题是：\n{query}"},
+    ]
+    answer = call_with_retry(reduce_client, msgs, retries=retries,
+                             backoff_s=0.0)
+    return {"answer": answer, "intermediate": inter}

@@ -185,3 +185,27 @@ class OpenAIChatClient:
             model=self._model, messages=messages,
             temperature=self._temperature)
         return resp.choices[0].message.content or ""
+
+
+class GlobalPointsClient:
+    """Offline 'model' for the global-search map-reduce path
+    (pipelines/query.global_search_mapreduce): map calls yield a
+    deterministic points digest of the community data table; the reduce
+    call (recognized by the 分析报告 header) folds the tagged points rows.
+    Optional ``fail_first`` raises one TransientAPIError on the first call
+    to exercise the retry ladder. Lives in the package (not test modules)
+    so Ray actor workers can unpickle it by reference."""
+
+    def __init__(self, fail_first: bool = False):
+        self._fail_first = fail_first
+        self._failed = False
+
+    def complete(self, messages: List[Message]) -> str:
+        if self._fail_first and not self._failed:
+            self._failed = True
+            raise TransientAPIError("scripted transient failure")
+        body = messages[-1]["content"]
+        if body.startswith("---分析报告---"):
+            return f"FINAL({body.count('[')})"
+        h = hashlib.sha1(body.encode()).hexdigest()[:8]
+        return f"POINT-{h}"

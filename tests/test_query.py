@@ -1,5 +1,6 @@
 """Query-side reads over the built tables."""
 
+import pandas as pd
 import pytest
 import ray.data as rd
 
@@ -131,3 +132,31 @@ class TestLocalSearchPprExpand:
         # determinism of the expanded path
         exp2 = local_search(tables, target, k_entities=3, ppr_expand=True)
         assert exp_ids == set(exp2["entities"]["entity_id"])
+
+
+class TestGlobalSearchMapReduce:
+    def test_mapreduce_shape_and_determinism(self, built):
+        from graph_rag_agent_ray.pipelines.query import (
+            global_search_mapreduce)
+        from graph_rag_agent_ray.stages.llm import GlobalPointsClient
+        corpus, tables = built
+        n_comm = len(tables["communities"].to_pandas().query("level == 0"))
+        out = global_search_mapreduce(
+            tables, "什么是社区?", client_factory=GlobalPointsClient)
+        assert len(out["intermediate"]) == n_comm
+        assert out["answer"] == f"FINAL({n_comm})"
+        out2 = global_search_mapreduce(
+            tables, "什么是社区?", client_factory=GlobalPointsClient)
+        pd.testing.assert_frame_equal(out["intermediate"],
+                                      out2["intermediate"])
+
+    def test_retry_ladder_recovers(self, built):
+        from graph_rag_agent_ray.pipelines.query import (
+            global_search_mapreduce)
+        from graph_rag_agent_ray.stages.llm import GlobalPointsClient
+        corpus, tables = built
+        out = global_search_mapreduce(
+            tables, "query", concurrency=1,
+            client_factory=lambda: GlobalPointsClient(fail_first=True))
+        # the scripted first-call failure is retried, not surfaced
+        assert (out["intermediate"]["points"].str.startswith("POINT-")).all()
