@@ -5,6 +5,8 @@
     python -m graph_rag_agent_ray update --input <docs> --out <new> --prev <old>
     python -m graph_rag_agent_ray validate --out <kg dir>
     python -m graph_rag_agent_ray synth --out <dir> --docs 1000
+    python -m graph_rag_agent_ray query --out <kg dir> --q "<question>" \
+        [--mode local|global|naive|hybrid|chain] [--k 5] [--ppr]
 
 Replaces the reference's ``python build/main.py`` / ``build/incremental_update.py``
 drivers (/root/reference/build/main.py:19-45). On a cluster:
@@ -41,6 +43,16 @@ def main(argv=None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--docs", type=int, default=1000)
     s.add_argument("--seed", type=int, default=42)
+
+    q = sub.add_parser("query")
+    q.add_argument("--out", required=True, help="built KG snapshot dir")
+    q.add_argument("--q", required=True, help="the question / query text")
+    q.add_argument("--mode", default="local",
+                   choices=("local", "global", "naive", "hybrid", "chain"))
+    q.add_argument("--k", type=int, default=5)
+    q.add_argument("--ppr", action="store_true",
+                   help="local mode: widen the entity context by "
+                        "personalized PageRank from the vector seeds")
 
     args = ap.parse_args(argv)
 
@@ -94,6 +106,41 @@ def main(argv=None) -> int:
             docs, args.out, args.prev, input_token=args.token or default_token(args.input))
         print(json.dumps({"delta": counts,
                           "edges": tables["edges"].count()}))
+    elif args.cmd == "query":
+        from .pipelines import query as Q
+        from .state.snapshots import SnapshotStore
+        store = SnapshotStore(args.out)
+        names = ("entities", "edges", "chunks", "mentions_canon",
+                 "communities", "chunk_embeddings")
+        tables = {n: store.read(n) for n in names}
+        if args.mode == "local":
+            res = Q.local_search(tables, args.q, k_entities=args.k,
+                                 ppr_expand=args.ppr)
+            print(json.dumps({k: v.drop(
+                columns=[c for c in ("embedding",) if c in v.columns])
+                .to_dict("records") for k, v in res.items()},
+                ensure_ascii=False, default=str))
+        elif args.mode == "global":
+            res = Q.global_search(tables, limit=args.k)
+            print(json.dumps(res.to_dict("records"), ensure_ascii=False,
+                             default=str))
+        elif args.mode == "naive":
+            res = Q.naive_search(tables, args.q, k=args.k)
+            print(json.dumps(res.to_dict("records"), ensure_ascii=False,
+                             default=str))
+        elif args.mode == "hybrid":
+            res = Q.hybrid_search(tables, args.q, k_low=args.k)
+            print(json.dumps({k: v.drop(
+                columns=[c for c in ("embedding",) if c in v.columns])
+                .to_dict("records") for k, v in res.items()},
+                ensure_ascii=False, default=str))
+        elif args.mode == "chain":
+            res = Q.chain_of_exploration(tables, args.q,
+                                         beam_width=args.k)
+            print(json.dumps({
+                "visited": res["visited"], "hops": res["hops"],
+                "evidence": res["evidence"].to_dict("records")},
+                ensure_ascii=False, default=str))
     elif args.cmd == "validate":
         from .pipelines.build import build_kg  # noqa: F401
         from .stages.validate import validate_graph

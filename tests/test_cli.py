@@ -75,3 +75,30 @@ def test_build_from_raw_file_directory(tmp_path):
     chunks = pq.read_table(str(out / "chunks"))
     assert chunks.num_rows == 2
     assert set(chunks.column("doc_id").to_pylist()) == {"a.txt", "b.md"}
+
+
+def test_query_modes(tmp_path):
+    """query subcommand over a freshly built KG: every mode returns
+    non-empty JSON with the expected shape."""
+    corpus = str(tmp_path / "c")
+    kg = str(tmp_path / "k")
+    _run(["synth", "--out", corpus, "--docs", "40"])
+    _run(["build", "--input", f"{corpus}/documents.parquet", "--out", kg])
+
+    local = _run(["query", "--out", kg, "--q", "test query", "--mode",
+                  "local", "--k", "3", "--ppr"])
+    assert set(local) == {"entities", "edges", "chunks", "communities"}
+    assert len(local["entities"]) > 0
+
+    glob = _run(["query", "--out", kg, "--q", "x", "--mode", "global"])
+    assert glob and "summary" in glob[0]
+
+    naive = _run(["query", "--out", kg, "--q", "test", "--mode", "naive"])
+    assert naive and "chunk_id" in naive[0]
+
+    hyb = _run(["query", "--out", kg, "--q", "test", "--mode", "hybrid"])
+    assert set(hyb) == {"low_entities", "low_edges", "low_chunks",
+                        "high_communities"}
+
+    chain = _run(["query", "--out", kg, "--q", "test", "--mode", "chain"])
+    assert "visited" in chain and len(chain["visited"]) > 0
