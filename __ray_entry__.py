@@ -472,6 +472,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_echo": _span_echo,
         "chunk_roundtrip": _chunk_roundtrip,
         "token_count": lambda sf: TS.token_count(_docs(sf)),
+        # BPE-ish piece count (GPT-2-style pre-tokenizer, RE2-safe):
+        # the token-budget estimator a token-priced pipeline runs
+        # before the real tokenizer; one vectorized regex scan
+        "bpe_token_count": lambda sf: TS.bpe_token_count(_docs(sf)),
         "text_quality": lambda sf: TS.text_quality(_docs(sf)),
         "lang_feature": lambda sf: TS.lang_feature(_docs(sf)),
         "lang_id": lambda sf: TS.lang_id(_docs(sf)),
@@ -737,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "span_echo": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "chunk_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "token_count": f"SELECT doc_id, CAST({n_tokens} AS BIGINT) AS n_tokens FROM documents",
+        "bpe_token_count": TS.bpe_token_count_sql(),
         "text_quality": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

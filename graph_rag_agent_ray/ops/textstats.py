@@ -698,3 +698,45 @@ WITH parts AS (
 )
 SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence FROM kept
 """
+
+
+# BPE-ish pre-tokenizer spec (GPT-2 style, RE2-safe — no lookarounds, so
+# pyarrow and DuckDB count the SAME matches): common English contractions,
+# then space-prefixed letter runs, digit runs, and punctuation runs, then
+# bare whitespace runs (which do NOT count as tokens).
+_BPE_PIECE = (r"'(?:s|t|re|ve|m|ll|d)"
+              r"| ?[A-Za-z\p{Han}]+"
+              r"| ?[0-9]+"
+              r"| ?[^\sA-Za-z0-9]+")
+
+
+def bpe_token_count(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_bpe_tokens) — BPE-ish token counting: the number of
+    GPT-2-style pre-tokenizer pieces (contractions / letter runs / digit
+    runs / punctuation runs, each optionally space-prefixed). The piece
+    count upper-bounds a real BPE vocab's token count much more tightly
+    than whitespace words (a real tokenizer only ever SPLITS pieces), so
+    it is the budget estimator a token-priced pipeline wants before the
+    expensive real tokenizer runs.
+
+    Vectorized ``pc.count_substring_regex`` — one RE2 scan per batch, no
+    shuffle; the identical pattern runs in the DuckDB oracle."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pc.count_substring_regex(
+                batch.column("text"), _BPE_PIECE).cast(pa.int64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def bpe_token_count_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`bpe_token_count` — same RE2 pattern via
+    regexp_extract_all + len."""
+    pat = _BPE_PIECE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+       AS n_bpe_tokens
+FROM {table}
+"""

@@ -1001,3 +1001,31 @@ class TestSplitSentences:
         want = (con.execute(split_sentences_sql()).df()
                 .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestBpeTokenCount:
+    def test_oracle_and_semantics(self, ray_session, sf_dir):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_rag_agent_ray.ops.textstats import (
+            bpe_token_count, bpe_token_count_sql)
+
+        path = f"{sf_dir}/documents.parquet"
+        docs = rd.read_parquet(path, columns=["doc_id", "text"])
+        a = (bpe_token_count(docs).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        oracle = (con.execute(bpe_token_count_sql()).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, oracle, check_dtype=False)
+
+        # piece semantics: contractions split, digit/punct runs count once
+        t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array(["I'll go", "3.14!", "   "])})
+        out = bpe_token_count(rd.from_arrow(t)).to_pandas()
+        got = dict(zip(out["doc_id"], out["n_bpe_tokens"]))
+        # "I" + "'ll" + " go" = 3 ; "3" + "." + "14" + "!" = 4 ; ws-only = 0
+        assert got == {0: 3, 1: 4, 2: 0}
