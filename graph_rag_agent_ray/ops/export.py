@@ -164,3 +164,69 @@ SELECT doc_id, n_tokens,
             AS BIGINT) AS shard
 FROM winners
 """
+
+
+def export_neo4j_csv(tables, out_dir: str) -> dict:
+    """Write the canonical graph as Neo4j BULK-IMPORT CSVs — the migration
+    sink for a reference user whose serving graph lives in Neo4j
+    (the reference materializes exactly these node/relationship shapes via
+    Cypher MERGE, ``processor/graph_writer.py`` /
+    ``graph/structure_builder.py``; ``neo4j-admin database import`` is the
+    documented bulk path for graphs this size).
+
+    Layout (the split-header convention, so data files stay SHARDED and a
+    failed export resumes per shard):
+
+    - ``entities-header.csv`` + ``entities/part-*.csv`` — columns
+      ``entity_id:ID,entity_type,description,n_mentions:long``
+    - ``relationships-header.csv`` + ``relationships/part-*.csv`` —
+      ``src:START_ID,dst:END_ID,pred:TYPE,weight:double,n_sources:long``
+
+    Import with::
+
+        neo4j-admin database import full \
+          --nodes=entities-header.csv,entities/.* \
+          --relationships=relationships-header.csv,relationships/.*
+
+    Scale shape: two streaming ``write_csv`` sinks (headerless data files,
+    one tiny header file each) — no shuffle, no driver collect; CSV
+    escaping is Arrow's writer."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def headerless():
+        # constructed inside the fn: pyarrow WriteOptions doesn't pickle
+        from pyarrow import csv as _csv
+        return {"write_options": _csv.WriteOptions(include_header=False)}
+
+    ent_cols = [("entity_id", "entity_id:ID"),
+                ("entity_type", "entity_type"),
+                ("description", "description"),
+                ("n_mentions", "n_mentions:long")]
+    rel_cols = [("src", "src:START_ID"), ("dst", "dst:END_ID"),
+                ("pred", "pred:TYPE"), ("weight", "weight:double"),
+                ("n_sources", "n_sources:long")]
+
+    def project(cols):
+        names = [c for c, _ in cols]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select([n for n in names if n in batch.column_names])
+        return fn
+
+    with open(os.path.join(out_dir, "entities-header.csv"), "w") as f:
+        f.write(",".join(h for _, h in ent_cols) + "\n")
+    tables["entities"].map_batches(
+        project(ent_cols), batch_format="pyarrow").write_csv(
+        os.path.join(out_dir, "entities"), arrow_csv_args_fn=headerless)
+
+    with open(os.path.join(out_dir, "relationships-header.csv"), "w") as f:
+        f.write(",".join(h for _, h in rel_cols) + "\n")
+    tables["edges"].map_batches(
+        project(rel_cols), batch_format="pyarrow").write_csv(
+        os.path.join(out_dir, "relationships"), arrow_csv_args_fn=headerless)
+
+    return {"out_dir": out_dir,
+            "entities": tables["entities"].count(),
+            "relationships": tables["edges"].count()}

@@ -197,3 +197,48 @@ class TestCommunitySummarizePaths:
         am = {r.community_id: list(r.members) for r in local.itertuples()}
         bm = {r.community_id: list(r.members) for r in dist.itertuples()}
         assert am == bm
+
+
+class TestNeo4jExport:
+    def test_bulk_import_csv_roundtrip(self, built, tmp_path):
+        """The neo4j-admin bulk-import layout: split header files +
+        headerless sharded data files; a header+parts read reassembles the
+        exact entity/edge tables."""
+        import glob
+
+        import duckdb
+
+        from graph_rag_agent_ray.ops.export import export_neo4j_csv
+
+        corpus, tables, out_dir = built
+        exp = str(tmp_path / "neo4j")
+        res = export_neo4j_csv(tables, exp)
+        assert res["entities"] == tables["entities"].count()
+        assert res["relationships"] == tables["edges"].count()
+
+        hdr = open(f"{exp}/entities-header.csv").read().strip().split(",")
+        assert hdr[0] == "entity_id:ID" and "n_mentions:long" in hdr
+        parts = sorted(glob.glob(f"{exp}/entities/*"))
+        assert parts
+        con = duckdb.connect()
+        ents = con.execute(
+            f"SELECT * FROM read_csv_auto({parts!r}, header=false, "
+            f"names={[h.split(':')[0] for h in hdr]!r})").df()
+        want = tables["entities"].to_pandas()
+        assert len(ents) == len(want)
+        assert set(ents["entity_id"]) == set(want["entity_id"])
+        pd.testing.assert_frame_equal(
+            ents.sort_values("entity_id")[["entity_id", "n_mentions"]]
+            .reset_index(drop=True),
+            want.sort_values("entity_id")[["entity_id", "n_mentions"]]
+            .reset_index(drop=True), check_dtype=False)
+
+        rhdr = open(f"{exp}/relationships-header.csv").read().strip().split(",")
+        rparts = sorted(glob.glob(f"{exp}/relationships/*"))
+        rels = con.execute(
+            f"SELECT * FROM read_csv_auto({rparts!r}, header=false, "
+            f"names={[h.split(':')[0] for h in rhdr]!r})").df()
+        wedges = tables["edges"].to_pandas()
+        assert len(rels) == len(wedges)
+        assert (set(zip(rels["src"], rels["pred"], rels["dst"]))
+                == set(zip(wedges["src"], wedges["pred"], wedges["dst"])))
