@@ -227,6 +227,9 @@ def run_bench() -> dict:
         f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"])).count())
     timed("inverted_postings", lambda: SRCH.inverted_postings(
         docs_flat(), min_df=2).count())
+    timed("bpe_token_count", lambda: TS.bpe_token_count(docs_flat()).count())
+    timed("corpus_profile", lambda: TS.corpus_profile(docs_flat()).count())
+    timed("split_sentences", lambda: TS.split_sentences(docs_flat()).count())
     # graph ops read the edge snapshot back from disk — the in-memory build
     # tables were dropped above to release their object-store blocks
     from graph_rag_agent_ray.ops import graphstats as GS
