@@ -88,10 +88,19 @@ def degree_distribution(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-def triangle_count(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+def triangle_count(edges: "ray.data.Dataset",
+                   local_guard_edges: int = 1_000_000) -> "ray.data.Dataset":
     """One row (n_triangles,) — exact count over the undirected simple
-    graph. Degree orientation bounds wedge fan-out on skewed graphs."""
+    graph. Degree orientation bounds wedge fan-out on skewed graphs.
+    Below ``local_guard_edges`` deduped edges the count runs driver-local
+    (guard is tighter than the iterative ops' 5M because the wedge set —
+    the same volume both paths enumerate — is super-linear in edges)."""
     und = _undirected_edges(edges).materialize()
+    n_edges = und.count()
+    if 0 < n_edges <= local_guard_edges:
+        n = _triangles_local(und.to_pandas())
+        return ray.data.from_arrow(pa.table({
+            "n_triangles": pa.array([n], pa.int64())}))
 
     # degrees (for the orientation order) — same shuffle shape as above
     def node_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -599,7 +608,9 @@ def personalized_pagerank_sql(
 
 
 def weakly_connected(edges: "ray.data.Dataset",
-                     n_buckets: int = 32) -> "ray.data.Dataset":
+                     n_buckets: int = 32,
+                     local_guard_edges: int = 2_000_000
+                     ) -> "ray.data.Dataset":
     """(node, component): weakly-connected components of the canonical
     entity graph; component id = smallest member node id.
 
@@ -608,8 +619,15 @@ def weakly_connected(edges: "ray.data.Dataset",
     candidates). Same distributed min-label propagation with pointer
     jumping as the dedup-resolution path (functions/components.py) — no
     driver-side union-find, component count and diameter never touch the
-    driver."""
-    und = _undirected_edges(edges)
+    driver. Below ``local_guard_edges`` deduped edges a driver-local
+    union-find runs instead (the propagation loop pays multiple fixed-cost
+    shuffles per round on an entity-scale graph); the dedup-resolution
+    path in functions/components.py stays distributed-only (its input is
+    corpus-scale)."""
+    und = _undirected_edges(edges).materialize()
+    n_edges = und.count()
+    if 0 < n_edges <= local_guard_edges:
+        return ray.data.from_pandas(_wcc_local(und.to_pandas()))
     from ..functions.components import connected_components
     return connected_components(und, n_buckets=n_buckets)
 
@@ -637,6 +655,7 @@ def kcore(
     k: int = 2,
     rounds: int = 32,
     n_buckets: int = 32,
+    local_guard_edges: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """(node, core_deg): the k-core of the undirected simple graph — the
     maximal subgraph where every node has degree >= k — with each member's
@@ -657,9 +676,14 @@ def kcore(
     unchanged count means an unchanged set). Raises if the fixpoint is not
     reached within ``rounds`` — the SQL oracle unrolls the same rounds, so
     a converged result is a pure function of the graph (extra rounds are
-    no-ops on both sides).
+    no-ops on both sides). Below ``local_guard_edges`` deduped edges the
+    peel runs driver-local (numpy edge-mask fixpoint — see
+    :func:`pagerank`'s guard rationale).
     """
-    und = _undirected_edges(edges)
+    und = _undirected_edges(edges).materialize()
+    n_edges_total = und.count()
+    if 0 < n_edges_total <= local_guard_edges:
+        return ray.data.from_pandas(_kcore_local(und.to_pandas(), k))
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "a" not in df.columns:
@@ -989,3 +1013,96 @@ def landmark_harmonic_sql(
             + f"\nSELECT node, CAST(sum(CASE WHEN dist > 0"
             f" THEN {unit} // dist ELSE 0 END) AS BIGINT) AS harm_units"
             f" FROM d{iters} GROUP BY node")
+
+
+def _triangles_local(pairs: pd.DataFrame) -> int:
+    """Driver-local exact triangle count — the guarded small-graph fast
+    path of :func:`triangle_count`, same degree-oriented algorithm
+    (orient low→high degree, enumerate wedges at the low-degree centre,
+    close against the edge set) as one pandas self-merge."""
+    # integer node codes; pure-numpy wedge enumeration + sorted-key
+    # closure (a pandas self-merge materializes the wedge set as a
+    # DataFrame — 3-4× slower and 3× the memory at tens of millions of
+    # wedges)
+    a_s = pairs["a"].to_numpy()
+    b_s = pairs["b"].to_numpy()
+    nodes = np.unique(np.concatenate([a_s, b_s]))
+    a = np.searchsorted(nodes, a_s)
+    b = np.searchsorted(nodes, b_s)
+    n = len(nodes)
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    # acyclic (deg, code) orientation: every triangle has exactly one
+    # wedge centre, so each is counted once regardless of id ordering
+    a_first = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    lo = np.where(a_first, a, b)
+    hi = np.where(a_first, b, a)
+    order = np.lexsort((hi, lo))
+    lo_s, hi_s = lo[order], hi[order]
+    m = len(lo_s)
+    grp_start = np.flatnonzero(np.r_[True, lo_s[1:] != lo_s[:-1]])
+    cnt = np.diff(np.r_[grp_start, m])
+    # per-EDGE fan-out: element at local index i pairs with the c-1-i
+    # later neighbours of the same centre
+    loc = np.arange(m) - np.repeat(grp_start, cnt)
+    fan = np.repeat(cnt, cnt) - 1 - loc
+    ekey = np.sort(np.minimum(a, b).astype(np.int64) * n
+                   + np.maximum(a, b))
+    total = 0
+    # chunk by edge ranges so the materialized wedge slice stays ~16M rows
+    bounds = np.searchsorted(np.cumsum(fan),
+                             np.arange(0, fan.sum() + 16_000_000,
+                                       16_000_000))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if s >= e:
+            continue
+        f = fan[s:e]
+        w = int(f.sum())
+        if w == 0:
+            continue
+        first = np.repeat(np.arange(s, e), f)
+        run_start = np.cumsum(f) - f
+        off = np.arange(w) - np.repeat(run_start, f)
+        second = first + 1 + off
+        xk = hi_s[first].astype(np.int64) * n + hi_s[second]
+        idx = np.searchsorted(ekey, xk)
+        idx_c = np.minimum(idx, len(ekey) - 1)
+        total += int(((idx < len(ekey)) & (ekey[idx_c] == xk)).sum())
+    return total
+
+
+def _wcc_local(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver-local WCC via union-find — guarded fast path of
+    :func:`weakly_connected` (component id = smallest member, matching the
+    distributed min-label propagation)."""
+    from ..functions.unionfind import components_from_pairs
+    amap = components_from_pairs(
+        zip(pairs["a"].tolist(), pairs["b"].tolist()))
+    nodes = sorted(amap)
+    return pd.DataFrame({"node": nodes,
+                         "component": [amap[n] for n in nodes]})
+
+
+def _kcore_local(pairs: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver-local k-core peel — guarded fast path of :func:`kcore`.
+    Edge-mask fixpoint: drop every edge with an endpoint currently under
+    degree k until none change (the same monotone fixpoint as the
+    distributed shrinking-adjacency peel)."""
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    alive = np.ones(len(ai), dtype=bool)
+    n = len(nodes)
+    while True:
+        deg = np.bincount(np.concatenate([ai[alive], bi[alive]]),
+                          minlength=n)
+        bad = deg < k
+        drop = alive & (bad[ai] | bad[bi])
+        if not drop.any():
+            break
+        alive &= ~drop
+    deg = np.bincount(np.concatenate([ai[alive], bi[alive]]), minlength=n)
+    keep = deg >= max(k, 1)
+    return pd.DataFrame({"node": nodes[keep],
+                         "core_deg": deg[keep].astype("int64")})

@@ -535,3 +535,59 @@ class TestHarmonicLocalGuard:
                                   local_guard_edges=0)
                 .to_pandas().sort_values("node").reset_index(drop=True))
         pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+
+class TestLocalGuardsTriWccKcore:
+    """Driver-local fast paths for the remaining graph ops must equal the
+    distributed loops exactly."""
+
+    def _graph(self, seed, n=32, p=0.13):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        return [(f"v{i:02d}", f"v{j:02d}") for i in range(n)
+                for j in range(i + 1, n) if rng.random() < p]
+
+    def test_triangles_paths_agree(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import triangle_count
+        rows = self._graph(61)
+        local = triangle_count(_edges(rows)).to_pandas()
+        dist = triangle_count(_edges(rows),
+                              local_guard_edges=0).to_pandas()
+        assert local["n_triangles"].iloc[0] == dist["n_triangles"].iloc[0]
+
+    def test_wcc_paths_agree(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import weakly_connected
+        # two clusters + isolated edge + dup/reversed/self-loop noise
+        rows = (self._graph(67, n=14, p=0.3)
+                + [("z1", "z2"), ("z2", "z1"), ("z3", "z3"), ("y1", "y2")])
+        local = (weakly_connected(_edges(rows)).to_pandas()
+                 .sort_values("node").reset_index(drop=True))
+        dist = (weakly_connected(_edges(rows), local_guard_edges=0)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+    def test_kcore_paths_agree(self, ray_session):
+        from graph_rag_agent_ray.ops.graphstats import kcore
+        for seed, k in ((71, 2), (73, 3), (79, 4)):
+            rows = self._graph(seed)
+            local = kcore(_edges(rows), k=k).to_pandas()
+            dist = kcore(_edges(rows), k=k,
+                         local_guard_edges=0).to_pandas()
+            if local.empty or dist.empty:
+                # a fully peeled graph yields an empty (column-less)
+                # frame on both paths — emptiness equality is the check
+                assert local.empty and dist.empty
+                continue
+            pd.testing.assert_frame_equal(
+                local.sort_values("node").reset_index(drop=True),
+                dist.sort_values("node").reset_index(drop=True),
+                check_dtype=False)
+
+    def test_kcore_local_peels_pendants(self, ray_session):
+        """Triangle + pendant chain: 2-core is exactly the triangle."""
+        from graph_rag_agent_ray.ops.graphstats import kcore
+        rows = [("a", "b"), ("b", "c"), ("a", "c"),
+                ("c", "d"), ("d", "e")]
+        out = kcore(_edges(rows), k=2).to_pandas()
+        assert set(out["node"]) == {"a", "b", "c"}
+        assert (out["core_deg"] == 2).all()
