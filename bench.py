@@ -238,6 +238,9 @@ def run_bench() -> dict:
     timed("kg_pagerank", lambda: GS.pagerank(kg_edges()).count())
     timed("kg_ppr", lambda: GS.personalized_pagerank(kg_edges()).count())
     timed("kg_harmonic", lambda: GS.landmark_harmonic(kg_edges()).count())
+    timed("kg_components", lambda: GS.weakly_connected(kg_edges()).count())
+    timed("kg_kcore", lambda: GS.kcore(kg_edges(), k=3).count())
+    timed("kg_triangles", lambda: GS.triangle_count(kg_edges()).count())
     # ---- third headline: incremental update with 1% dirty docs — the
     # delta-scoped path: per-doc stages (chunk/extract/embed/parse) carry
     # rows over for unchanged docs, and the graph-side aggregates (exact
