@@ -76,6 +76,14 @@ class KGConfig:
     # build/incremental_graph_builder.py:520-560). Costs extra async
     # snapshot writes off the critical path; disable for one-shot builds.
     incremental_snapshots: bool = True
+    # dense-vocabulary bypass: when a tick's touched-surface set covers at
+    # least this fraction of the previous vocabulary (and at least the min),
+    # the per-key carry-over machinery for the entity/edge aggregates costs
+    # more than it saves (the filter scans touch every row only to keep
+    # ~everything) — re-aggregate those two stages in full instead, exactly
+    # as a fresh build would. Per-doc stages stay delta-scoped either way.
+    incremental_dense_fraction: float = 0.5
+    incremental_dense_min: int = 256
 
     # ---- misc ----
     seed: int = 42

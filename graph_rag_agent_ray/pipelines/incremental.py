@@ -76,23 +76,47 @@ MAX_TOUCHED_KEYS = 20_000_000  # driver guard for the touched-key collects
 
 
 def document_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(doc_id, content_hash) — hash of the full ordered span sequence."""
+    """(doc_id, content_hash) — hash of the full offset-ordered span sequence.
+
+    Vectorized: per-span strings come from one Arrow join kernel over the
+    flattened struct fields; the only per-row Python work is the final join +
+    sha256 (the hash itself is inherently per-row)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
         ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        hashes = []
-        for spans in spans_col:
-            h = hashlib.sha256()
-            for s in sorted(spans or [], key=lambda s: s["offset"]):
-                h.update(repr((s["kind"], s["text"], s["media_ref"], s["offset"])).encode())
-            hashes.append(h.hexdigest())
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        n = pc.fill_null(pc.list_value_length(spans), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        off = flat.field("offset")
+        span_str = pc.binary_join_element_wise(
+            pc.cast(flat.field("kind"), pa.string()),
+            pc.cast(flat.field("text"), pa.string()),
+            pc.cast(flat.field("media_ref"), pa.string()),
+            pc.cast(off, pa.string()),
+            "\x1e", null_handling="replace", null_replacement="\x00")
+        svals = np.asarray(span_str.to_pylist(), dtype=object)
+        if len(svals):
+            # offset-order within each row (storage order already is, for
+            # every source in this repo — the lexsort makes it a guarantee)
+            parent = np.repeat(np.arange(len(n)), n)
+            order = np.lexsort((off.to_numpy(zero_copy_only=False), parent))
+            svals = svals[order]
+        bounds = np.concatenate(([0], np.cumsum(n)))
+        hashes = [
+            hashlib.sha256("\x1f".join(svals[bounds[i]:bounds[i + 1]])
+                           .encode()).hexdigest()
+            for i in range(len(ids))
+        ]
         return pa.table({
             "doc_id": pa.array(ids, pa.string()),
             "content_hash": pa.array(hashes, pa.string()),
         })
 
-    return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
 def compute_delta(
@@ -321,29 +345,54 @@ def _delta_graph_build(
 
     # ---- touched surfaces: mention multiset changed for exactly the
     # surfaces seen in fresh mentions or in removed docs' prior mentions ----
+    # (two independent delta-sized collects — overlap them; each Dataset
+    # execution carries ~1 s of fixed scheduler cost)
     t0 = time.monotonic()
     prev_mentions_removed = _filter_by_docs(
         prev.read("mentions", columns=["doc_id", "entity_surface"]), removed_ref)
-    touched = _distinct_norm_surfaces(mentions_fresh, "entity_surface")
-    touched |= _distinct_norm_surfaces(prev_mentions_removed, "entity_surface")
+    with ThreadPoolExecutor(max_workers=2) as scans:
+        f_fresh = scans.submit(
+            _distinct_norm_surfaces, mentions_fresh, "entity_surface")
+        f_removed = scans.submit(
+            _distinct_norm_surfaces, prev_mentions_removed, "entity_surface")
+        touched = f_fresh.result() | f_removed.result()
     touched_ref = ray.put(pa.array(sorted(touched), pa.string()))
-    _record("touched_surfaces", t0, n_touched=len(touched))
+    # dense-vocabulary decision: when the touched set covers most of the
+    # previous vocabulary (low-cardinality corpora — every doc reuses the
+    # same few hundred surfaces), the carry-over filters scan every row only
+    # to keep ~nothing, and the per-key bookkeeping costs MORE than a plain
+    # full re-aggregate. Bypass to fresh-build semantics for the entity and
+    # edge aggregates (identical output — they are pure functions of the
+    # merged inputs); per-doc stages above stay delta-scoped regardless.
+    prev_vocab = prev.read("entities_embedded", columns=["norm_surface"]).count()
+    dense = len(touched) >= max(
+        cfg.incremental_dense_min,
+        int(prev_vocab * cfg.incremental_dense_fraction))
+    _record("touched_surfaces", t0, n_touched=len(touched),
+            prev_vocab=int(prev_vocab), dense_bypass=dense)
 
-    # ---- exact dedup + entity embedding, touched surfaces only ----
-    # per-surface aggregation is independent across surfaces, so
+    # ---- exact dedup + entity embedding ----
+    # sparse: per-surface aggregation is independent across surfaces, so
     # re-aggregating exactly the touched groups from the merged mentions
-    # reproduces the fresh-build rows; untouched rows carry over embedded
+    # reproduces the fresh-build rows; untouched rows carry over embedded.
+    # dense: aggregate the full merged mentions directly (one normalize pass,
+    # no filter scans) — same rows, fresh-build cost.
     t0 = time.monotonic()
-    exact_touched = C.aggregate_exact(
-        _filter_surface_in(mentions, touched_ref, "entity_surface"), cfg)
-    embedded_touched = C.embed_entities(exact_touched, cfg)
-    embedded_kept = _filter_col_in(
-        prev.read("entities_embedded"), touched_ref, "norm_surface", invert=True)
-    embedded = embedded_touched.union(embedded_kept).materialize()
+    if dense:
+        embedded = C.embed_entities(C.aggregate_exact(mentions, cfg),
+                                    cfg).materialize()
+    else:
+        exact_touched = C.aggregate_exact(
+            _filter_surface_in(mentions, touched_ref, "entity_surface"), cfg)
+        embedded_touched = C.embed_entities(exact_touched, cfg)
+        embedded_kept = _filter_col_in(
+            prev.read("entities_embedded"), touched_ref, "norm_surface",
+            invert=True)
+        embedded = embedded_touched.union(embedded_kept).materialize()
     pending.append(writes.submit(
         store.write, "entities_embedded", embedded,
         fingerprint(base_fp, "entities_embedded", extractor_cls.__name__)))
-    _record("entities_embedded", t0)
+    _record("entities_embedded", t0, dense_bypass=dense)
 
     # ---- blocking → pairs → alias map (DIRTY-BLOCK scoped) ----
     # Pair membership is a pure function of each block's member surface SET:
@@ -497,7 +546,9 @@ def _delta_graph_build(
             ))
         return batch.filter(mask)
 
-    prev_tc = prev.read("triples_canon").materialize()  # one read, two scans
+    prev_tc = prev.read("triples_canon")
+    if not dense:
+        prev_tc = prev_tc.materialize()  # one read, two scans (carried + invalidated)
     tc_carried = prev_tc.map_batches(
         _carried_tc, batch_format="pyarrow", batch_size=None)
 
@@ -535,32 +586,42 @@ def _delta_graph_build(
     _record("triples_canon", t0, n_affected_ids=len(affected))
 
     # ---- edges: re-dedupe only the (s,p,o) groups that lost or gained a
-    # row; every other edge's input multiset is unchanged ----
+    # row; every other edge's input multiset is unchanged. Dense regime: the
+    # touched-key set approaches the whole edge table (every surface's groups
+    # churned), so skip the key bookkeeping and dedupe the merged
+    # triples_canon in full — the fresh-build aggregate, same output. ----
     t0 = time.monotonic()
+    if dense:
+        edges = C.dedupe_edges(triples_canon, cfg).materialize()
+        pending.append(writes.submit(store.write, "edges", edges,
+                                     fingerprint(alias_fp, "edges")))
+        _record("edges", t0, dense_bypass=True)
+    else:
+        def _invalidated_tc(b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b.column("doc_id"), value_set=ray.get(notkept_ref))
+            if has_affected:
+                aff = ray.get(affected_ref)
+                mask = pc.or_(mask, pc.or_(
+                    pc.is_in(b.column("subj"), value_set=aff),
+                    pc.is_in(b.column("obj"), value_set=aff),
+                ))
+            return b.filter(mask)
 
-    def _invalidated_tc(b: pa.Table) -> pa.Table:
-        mask = pc.is_in(b.column("doc_id"), value_set=ray.get(notkept_ref))
-        if has_affected:
-            aff = ray.get(affected_ref)
-            mask = pc.or_(mask, pc.or_(
-                pc.is_in(b.column("subj"), value_set=aff),
-                pc.is_in(b.column("obj"), value_set=aff),
-            ))
-        return b.filter(mask)
-
-    invalidated_prev = prev_tc.map_batches(
-        _invalidated_tc, batch_format="pyarrow", batch_size=None)
-    touched_keys = _distinct_edge_keys(invalidated_prev, ("subj", "pred", "obj"))
-    touched_keys |= _distinct_edge_keys(tc_redo, ("subj", "pred", "obj"))
-    tkeys_ref = ray.put(pa.array(sorted(touched_keys), pa.string()))
-    edges_touched = C.dedupe_edges(
-        _filter_edge_keys(triples_canon, tkeys_ref, ("subj", "pred", "obj")), cfg)
-    edges_kept = _filter_edge_keys(
-        prev.read("edges"), tkeys_ref, ("src", "pred", "dst"), invert=True)
-    edges = edges_touched.union(edges_kept).materialize()
-    pending.append(writes.submit(store.write, "edges", edges,
-                                 fingerprint(alias_fp, "edges")))
-    _record("edges", t0, n_touched_keys=len(touched_keys))
+        invalidated_prev = prev_tc.map_batches(
+            _invalidated_tc, batch_format="pyarrow", batch_size=None)
+        touched_keys = _distinct_edge_keys(
+            invalidated_prev, ("subj", "pred", "obj"))
+        touched_keys |= _distinct_edge_keys(tc_redo, ("subj", "pred", "obj"))
+        tkeys_ref = ray.put(pa.array(sorted(touched_keys), pa.string()))
+        edges_touched = C.dedupe_edges(
+            _filter_edge_keys(triples_canon, tkeys_ref,
+                              ("subj", "pred", "obj")), cfg)
+        edges_kept = _filter_edge_keys(
+            prev.read("edges"), tkeys_ref, ("src", "pred", "dst"), invert=True)
+        edges = edges_touched.union(edges_kept).materialize()
+        pending.append(writes.submit(store.write, "edges", edges,
+                                     fingerprint(alias_fp, "edges")))
+        _record("edges", t0, n_touched_keys=len(touched_keys))
 
     # ---- mentions_canon: same carried/redo split as triples_canon ----
     t0 = time.monotonic()

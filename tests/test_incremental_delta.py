@@ -173,6 +173,38 @@ class TestDeltaScopedEquivalence:
                           input_token="s1f")
         _assert_tables_equal(t_inc, t_full, ALL_TABLES)
 
+    def test_dense_vocab_bypass_exact(self, ray_session, tmp_path):
+        """When the touched-surface set covers most of the vocabulary (forced
+        here with dense_fraction=0), the entity/edge aggregates bypass the
+        carry-over machinery and re-aggregate in full — every output table
+        must still match a fresh build value-exactly, and the lineage must
+        show the bypass actually fired."""
+        from graph_rag_agent_ray.config import KGConfig
+        cfg = KGConfig(incremental_dense_fraction=0.0,
+                       incremental_dense_min=0)
+        corpus = generate(n_docs=25, seed=7)
+        docs_v1 = rd.from_arrow(corpus.documents)
+        d1 = str(tmp_path / "dv1")
+        build_kg(docs_v1, d1, cfg=cfg, input_token="dv1")
+        write_registry(docs_v1, d1, cfg=cfg, input_token="dv1")
+
+        v2_tbl = _mutated_corpus(corpus.documents)
+        d2 = str(tmp_path / "dv2")
+        t_inc, counts = incremental_build_kg(
+            rd.from_arrow(v2_tbl), d2, d1, cfg=cfg, input_token="dv2")
+        assert counts["modified"] == 2
+
+        with open(f"{d2}/_lineage.jsonl") as f:
+            stages = [json.loads(l) for l in f if l.strip()]
+        by_stage = {r["stage"]: r for r in stages}
+        assert by_stage["touched_surfaces"]["dense_bypass"] is True
+        assert by_stage["entities_embedded"]["dense_bypass"] is True
+        assert by_stage["edges"]["dense_bypass"] is True
+
+        t_full = build_kg(rd.from_arrow(v2_tbl), str(tmp_path / "dvf"),
+                          cfg=cfg, input_token="dv2f")
+        _assert_tables_equal(t_inc, t_full, ALL_TABLES)
+
     def test_single_doc_tick_scoped_blocking(self, ray_session, tmp_path):
         """A single-doc modification that ADDS vocabulary (two new aliased
         surfaces the grammar extracts) must take the DIRTY-BLOCK scoped pair
