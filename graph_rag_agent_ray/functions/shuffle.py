@@ -51,6 +51,13 @@ def hash_partitioned_groupby(
     pass would move every byte once more."""
     keys = list(keys)
 
+    # NOTE (measured, round 4): an Arrow-native add_bucket (append the bucket
+    # column to the pyarrow block, hash only the key columns) was tried and
+    # REVERTED — the pandas-block semantics downstream reducers rely on are
+    # load-bearing: routing blocks through Arrow re-types int columns holding
+    # NA to float64 (hash_join's tag columns) and re-materializes list
+    # columns as ndarray cells that Ray's pandas block builder rejects.
+    # Reducers here are pandas by contract, so the map side stays pandas.
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         combined = df[keys[0]].astype(str)
         for k in keys[1:]:

@@ -538,9 +538,8 @@ def embedding_neardup_pairs(
 
     def scan(batch: pa.Table) -> pa.Table:
         all_ids, all_mat, all_norms = ray.get(mat_ref)
-        rows_a, rows_b = [], []
-        b_ids = batch.column("vec_id").to_pylist()
-        if not b_ids:
+        b_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(b_ids):
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
         b_mat = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
@@ -548,14 +547,13 @@ def embedding_neardup_pairs(
         b_norms[b_norms == 0] = 1.0
         sims = (b_mat @ all_mat.T) / np.outer(b_norms, all_norms)
         sims = np.round(sims, round_digits)
-        for i, vid in enumerate(b_ids):
-            hits = np.where((sims[i] >= threshold) & (all_ids > vid))[0]
-            for j in hits:
-                rows_a.append(int(vid))
-                rows_b.append(int(all_ids[j]))
+        # one 2-D mask + nonzero instead of a per-row Python append loop;
+        # row-major nonzero preserves the (i asc, j asc) emission order
+        mask = (sims >= threshold) & (all_ids[None, :] > b_ids[:, None])
+        ii, jj = np.nonzero(mask)
         return pa.table({
-            "a": pa.array(rows_a, pa.int64()),
-            "b": pa.array(rows_b, pa.int64()),
+            "a": pa.array(b_ids[ii], pa.int64()),
+            "b": pa.array(all_ids[jj].astype(np.int64), pa.int64()),
         })
 
     return emb.select_columns(["vec_id", "embedding"]).map_batches(

@@ -16,6 +16,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -24,12 +25,12 @@ from ..functions.embed import list_column_to_matrix, lsh_bucket
 
 
 def _query_matrix(emb: "ray.data.Dataset", query_ids: Sequence[int]):
-    qset = set(int(q) for q in query_ids)
-    q_ref = ray.put(qset)
+    q_ref = ray.put(pa.array(sorted(int(q) for q in query_ids), pa.int64()))
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = ray.get(q_ref)
-        mask = pa.array([v in ids for v in batch.column("vec_id").to_pylist()])
+        value_set = ray.get(q_ref)
+        mask = pc.is_in(pc.cast(batch.column("vec_id"), pa.int64()),
+                        value_set=value_set)
         return batch.filter(mask)
 
     q_pdf = emb.select_columns(["vec_id", "embedding"]).map_batches(

@@ -151,12 +151,15 @@ def build_kg(
 
     # ---- decision chain: blocking → alias → edges → communities ----
     _t = _time.monotonic()
-    blocking_bits = C.auto_blocking_bits(embedded.count(), cfg)
-    pairs = C.candidate_pairs(embedded, cfg,
-                              keep_block_key=cfg.incremental_snapshots,
-                              bits=blocking_bits)
-    pairs_pdf = pairs.to_pandas()  # judged merge decisions — small by construction
-    lineage.record("canon_blocking", cached=False, wall_s=_time.monotonic() - _t)
+    n_entities = embedded.count()
+    blocking_bits = C.auto_blocking_bits(n_entities, cfg)
+    # judged merge decisions — small by construction; driver-local blocking
+    # below the surface guard, distributed shuffle above it
+    pairs_pdf = C.candidate_pairs_pdf(
+        embedded, cfg, keep_block_key=cfg.incremental_snapshots,
+        bits=blocking_bits, n_entities=n_entities)
+    lineage.record("canon_blocking", cached=False, wall_s=_time.monotonic() - _t,
+                   n_entities=int(n_entities))
     # mention counts ride on the pair rows (canonicalize._pairs_in_block), so
     # the alias map needs no second scan over the entity table — one driver
     # collect total in the serial decision section
@@ -492,9 +495,12 @@ def communities_and_entities(
 
     def attach(batch: pa.Table) -> pa.Table:
         degrees, levels = ray.get(attach_ref)
-        ids = batch.column("entity_id").to_pylist()
-        degree = pa.array([int(degrees.get(i, 0)) for i in ids], pa.int64())
-        comm = pa.array([levels.get(i, []) for i in ids], pa.list_(pa.int32()))
+        ids = batch.column("entity_id").to_pandas()
+        degree = pa.array(
+            ids.map(degrees).fillna(0).astype("int64").to_numpy(), pa.int64())
+        lv = ids.map(levels)  # vectorized dict lookup; miss → NaN
+        comm = pa.array([v if isinstance(v, list) else [] for v in lv],
+                        pa.list_(pa.int32()))
         return batch.append_column("degree", degree).append_column("community", comm)
 
     entities_final = store.run_stage(

@@ -448,10 +448,10 @@ def _delta_graph_build(
                                           bits=bits)
         if dirty_keys:
             dirty_ref = ray.put(pa.array(sorted(dirty_keys), pa.string()))
-            fresh_pairs = C.candidate_pairs(
-                embedded, cfg, keep_block_key=True, only_keys_ref=dirty_ref,
+            fresh_pairs = C.candidate_pairs_pdf(
+                embedded, cfg, keep_block_key=True, only_keys=dirty_keys,
                 bits=bits,
-            ).to_pandas()
+            )
             carried_pairs = _filter_col_in(
                 prev.read("canon_pairs"), dirty_ref, "block_key", invert=True,
             ).to_pandas()
@@ -472,8 +472,8 @@ def _delta_graph_build(
         frames = [f[pair_cols] for f in (fresh_pairs, carried_pairs) if len(f)]
     else:
         dirty_keys = ()
-        fresh_pairs = C.candidate_pairs(
-            embedded, cfg, keep_block_key=True, bits=bits).to_pandas()
+        fresh_pairs = C.candidate_pairs_pdf(
+            embedded, cfg, keep_block_key=True, bits=bits)
         frames = [fresh_pairs[pair_cols]] if len(fresh_pairs) else []
     pairs_pdf = (pd.concat(frames, ignore_index=True) if frames
                  else pd.DataFrame({c: [] for c in pair_cols}))
@@ -668,20 +668,23 @@ def _delta_graph_build(
     writes.shutdown()
     _record("writes_wait", t0)
 
-    # per-doc tables read back from the just-written delta snapshots (lazy;
-    # prev files are hardlinked so the read is as cheap as a fresh snapshot)
+    # corpus-sized tables read back from the just-written delta snapshots
+    # (lazy; prev files are hardlinked so the read is as cheap as a fresh
+    # snapshot) — returning the in-memory lazy unions instead would make any
+    # consumer count()/scan re-execute the carry-over filter over the whole
+    # previous corpus
     return {
         "chunks": store.read("chunks"),
         "span_index": store.read("span_index"),
         "extractions": store.read("extractions"),
         "chunk_embeddings": store.read("chunk_embeddings"),
-        "mentions": mentions,
-        "triples": triples_fresh.union(triples_kept),
-        "triples_canon": triples_canon,
+        "mentions": store.read("mentions"),
+        "triples": store.read("triples"),
+        "triples_canon": store.read("triples_canon"),
         "entities": entities_final,
         "edges": edges,
         "communities": communities,
-        "mentions_canon": mentions_canon,
+        "mentions_canon": store.read("mentions_canon"),
     }
 
 

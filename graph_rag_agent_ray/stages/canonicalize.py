@@ -480,6 +480,96 @@ def candidate_pairs(
                                     n_buckets=64, pre_split=True)
 
 
+# vocabularies at or below this size run blocking + judge on the driver —
+# the distributed path's explode + repartition + sort + 64 reducers cost
+# seconds of fixed scheduling for sub-second real work at entity scale
+# (communities-stage guard pattern); above it the distributed path runs
+MAX_DRIVER_BLOCKING_SURFACES = 20_000
+
+
+def candidate_pairs_pdf(
+    embedded: "ray.data.Dataset",
+    cfg: KGConfig | None = None,
+    *,
+    keep_block_key: bool = False,
+    only_keys=None,
+    bits: int | None = None,
+    n_entities: int | None = None,
+) -> pd.DataFrame:
+    """Judged merge pairs as a driver frame (they are the decision set — tiny
+    by construction; every caller collects them anyway). Small vocabularies
+    run the whole blocking → judge chain locally with the SAME kernels
+    (:func:`_blocking_keys`, :func:`_pairs_in_block`), producing the same
+    pair set as the distributed shuffle without its fixed scheduling cost;
+    big vocabularies fall through to :func:`candidate_pairs`.
+
+    ``only_keys``: optional set of block keys to restrict pairing to (the
+    incremental dirty-block scope)."""
+    cfg = cfg or KGConfig()
+    if n_entities is None:
+        n_entities = embedded.count()
+    if bits is None:
+        bits = auto_blocking_bits(n_entities, cfg)
+    if n_entities > MAX_DRIVER_BLOCKING_SURFACES:
+        ref = (ray.put(pa.array(sorted(only_keys), pa.string()))
+               if only_keys is not None else None)
+        return candidate_pairs(
+            embedded, cfg, keep_block_key=keep_block_key,
+            only_keys_ref=ref, bits=bits).to_pandas()
+
+    frames = []
+    for tbl in ray.get(embedded.to_arrow_refs()):
+        if tbl.num_rows:
+            frames.append(_blocking_keys(
+                tbl.select(["norm_surface", "n_mentions", "embedding"]),
+                cfg, bits).to_pandas())
+    cols = {"a": [], "b": [], "n_a": [], "n_b": []}
+    if keep_block_key:
+        cols["block_key"] = []
+    empty = pd.DataFrame(cols)
+    if not frames:
+        return empty
+    df = pd.concat(frames, ignore_index=True)
+    if only_keys is not None:
+        df = df[df["block_key"].isin(set(only_keys))]
+    counts = df["block_key"].value_counts()
+    df = df[df["block_key"].map(counts) >= 2]
+    if not len(df):
+        return empty
+    # fan the per-block judge out as plain Ray tasks over block-hash slices —
+    # the compute parallelism of the distributed path without its
+    # explode/repartition/sort Dataset machinery (thousands of small blocks
+    # at ~1 ms each would otherwise serialize on the driver)
+    nparts = max(1, min(32, int(ray.cluster_resources().get("CPU", 8))))
+    h = pd.util.hash_pandas_object(df["block_key"], index=False) % nparts
+    futures = [
+        _pairs_in_blocks_task.remote(df[h == i], cfg, keep_block_key)
+        for i in range(nparts) if (h == i).any()
+    ]
+    out_frames = [f for f in ray.get(futures) if len(f)]
+    if not out_frames:
+        return empty
+    out = pd.concat(out_frames, ignore_index=True)
+    return out if keep_block_key else out.drop_duplicates()
+
+
+@ray.remote
+def _pairs_in_blocks_task(df: pd.DataFrame, cfg: KGConfig,
+                          keep_block_key: bool) -> pd.DataFrame:
+    """One hash-slice of complete blocks → judged pairs (driver-local
+    blocking's worker half; same kernel as the distributed per_bucket)."""
+    frames = []
+    for key, g in df.groupby("block_key", sort=False):
+        f = _pairs_in_block(g, cfg)
+        if len(f):
+            if keep_block_key:
+                f = f.assign(block_key=key)
+            frames.append(f)
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
 # --------------------------------------------------------------------------
 # 3-4. union-find → alias map
 # --------------------------------------------------------------------------

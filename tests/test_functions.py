@@ -228,3 +228,34 @@ class TestAutoBlockingBits:
         assert auto_blocking_bits(10**12, cfg) == 16           # clamp
         ns = [auto_blocking_bits(n, cfg) for n in (10**4, 10**5, 10**6)]
         assert ns == sorted(ns)
+
+
+class TestLocalBlockingParity:
+    def test_local_equals_distributed_pair_set(self, ray_session):
+        """candidate_pairs_pdf below the driver guard must produce the SAME
+        judged pair set as the distributed shuffle path — crossing
+        MAX_DRIVER_BLOCKING_SURFACES must never change merge decisions."""
+        import ray.data as rd
+        from graph_rag_agent_ray.config import KGConfig
+        from graph_rag_agent_ray.stages import canonicalize as C
+        from graph_rag_agent_ray.synth import generate
+        from graph_rag_agent_ray.stages.chunker import chunk_documents
+        from graph_rag_agent_ray.stages.extract import extract_chunks
+        from graph_rag_agent_ray.stages.parse import parse_mentions
+
+        cfg = KGConfig()
+        corpus = generate(n_docs=40, seed=3)
+        mentions = parse_mentions(
+            extract_chunks(chunk_documents(
+                rd.from_arrow(corpus.documents), cfg), cfg), cfg)
+        embedded = C.embed_entities(
+            C.aggregate_exact(mentions, cfg), cfg).materialize()
+        n = embedded.count()
+        assert 0 < n <= C.MAX_DRIVER_BLOCKING_SURFACES
+
+        local = C.candidate_pairs_pdf(embedded, cfg, keep_block_key=True)
+        dist = C.candidate_pairs(embedded, cfg, keep_block_key=True).to_pandas()
+        key = lambda df: set(zip(df["block_key"], df["a"], df["b"],
+                                 df["n_a"], df["n_b"]))
+        assert key(local) == key(dist)
+        assert len(local) > 0
