@@ -136,6 +136,95 @@ def drop_duplicate_keys(
     )
 
 
+def arrow_left_attach(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    value_type,
+    lschema: "dict",
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """LEFT-attach ONE value column from a unique-keyed ``right`` side, Arrow
+    end-to-end: both sides bucket by ``hash(key)``, each bucket appends the
+    value via ``pc.index_in`` + ``take`` (null where the key is absent).
+
+    Exists because the pandas ``hash_join`` cannot carry fixed-width list
+    payloads (e.g. embeddings): Arrow→pandas materializes them as
+    tensor-extension columns, and Ray's batcher cannot concatenate a tensor
+    block with the other side's all-null object block. Here list columns
+    never leave Arrow. ``lschema`` maps left column name → pa type (needed to
+    null-fill the right side without touching the left's lazy schema)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lcols = list(lschema)
+
+    def bucket_of(batch: "pa.Table") -> "pa.Array":
+        kdf = batch.select([key]).to_pandas()
+        h = pd.util.hash_pandas_object(kdf[key].astype(str), index=False)
+        return pa.array((h % n_buckets).to_numpy(), pa.int64())
+
+    def conform(col, want):
+        # uniform ndarray cells arrive as Ray tensor-extension columns;
+        # rebuild them as the plain declared type so both sides concat
+        import numpy as np
+        import pyarrow.compute as _pc
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.type.equals(want):
+            return col
+        try:
+            return _pc.cast(col, want)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+            arr = np.asarray(col.to_numpy(zero_copy_only=False))
+            if arr.ndim == 2:
+                d = arr.shape[1]
+                offsets = pa.array(
+                    np.arange(0, (len(arr) + 1) * d, d, dtype=np.int32))
+                return pa.ListArray.from_arrays(
+                    offsets, pa.array(arr.ravel(), want.value_type))
+            return pa.array(col.to_pylist(), want)
+
+    def tag_l(batch: "pa.Table") -> "pa.Table":
+        out = pa.table({c: conform(batch.column(c), lschema[c]) for c in lcols})
+        out = out.append_column(value_col, pa.nulls(len(out), value_type))
+        out = out.append_column("_side", pa.array(["l"] * len(out), pa.string()))
+        return out.append_column(BUCKET_COL, bucket_of(batch))
+
+    def tag_r(batch: "pa.Table") -> "pa.Table":
+        arrays = []
+        for c in lcols:
+            if c == key:
+                arrays.append(pc.cast(batch.column(key), lschema[key]))
+            else:
+                arrays.append(pa.nulls(len(batch), lschema[c]))
+        out = pa.table(dict(zip(lcols, arrays)))
+        out = out.append_column(
+            value_col, pc.cast(batch.column(value_col), value_type))
+        out = out.append_column("_side", pa.array(["r"] * len(batch), pa.string()))
+        return out.append_column(BUCKET_COL, bucket_of(batch))
+
+    both = left.map_batches(tag_l, batch_format="pyarrow").union(
+        right.map_batches(tag_r, batch_format="pyarrow")
+    )
+
+    def join_bucket(tbl: "pa.Table") -> "pa.Table":
+        side = tbl.column("_side")
+        l = tbl.filter(pc.equal(side, "l")).select(lcols)
+        r = tbl.filter(pc.equal(side, "r"))
+        if len(l) == 0:
+            return l.append_column(value_col, pa.nulls(0, value_type))
+        if len(r) == 0:
+            return l.append_column(value_col, pa.nulls(len(l), value_type))
+        pos = pc.index_in(l.column(key), value_set=r.column(key).combine_chunks())
+        vals = r.column(value_col).combine_chunks().take(pos)
+        return l.append_column(value_col, vals)
+
+    return both.groupby(BUCKET_COL).map_groups(
+        join_bucket, batch_format="pyarrow")
+
+
 def hash_anti_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -403,6 +403,7 @@ def communities_and_entities(
                 detect_cached = True
                 break
     n_carried = n_detected = 0
+    membership_ds = None
     if member_levels is None:
         if driver_local:
             # tier 2: per-component carry-over — components whose subgraph
@@ -422,7 +423,11 @@ def communities_and_entities(
                             ray.data.from_arrow(_parts_table(parts_pdf)),
                             graph_fp)
         else:
-            member_levels = CM.detect_communities_distributed(edges, cfg)
+            # scale path: memberships stay a Dataset end-to-end — the only
+            # driver-side community structure is the community-count-sized
+            # renumber map inside detect_communities_distributed_ds
+            membership_ds = CM.detect_communities_distributed_ds(
+                edges, cfg).materialize()
     elif (prev is not None and prev.manifest("membership_parts")
           and not store.manifest("membership_parts")):
         # tier-1 (whole-graph) hit: forward the per-component parts so the
@@ -434,13 +439,17 @@ def communities_and_entities(
                    collect_s=round(_t_collect, 3), fp_s=round(_t_fp, 3),
                    components_carried=n_carried,
                    components_detected=n_detected)
-    membership_tbl = CM.community_membership_table(member_levels)
-    if graph_fp is not None and not store.is_complete("membership", graph_fp):
-        store.write("membership", ray.data.from_arrow(membership_tbl), graph_fp)
-    membership_pdf = membership_tbl.to_pandas()
-    # one distributed aggregate over the big mentions side; everything else
-    # in the community chain is community-count-sized
-    ranks = CM.community_ranks(membership_pdf, mentions_canon)
+    if membership_ds is None:
+        membership_tbl = CM.community_membership_table(member_levels)
+        if graph_fp is not None and not store.is_complete("membership", graph_fp):
+            store.write("membership", ray.data.from_arrow(membership_tbl),
+                        graph_fp)
+        membership_pdf = membership_tbl.to_pandas()
+        # one distributed aggregate over the big mentions side; everything
+        # else in the community chain is community-count-sized
+        ranks = CM.community_ranks(membership_pdf, mentions_canon)
+    else:
+        ranks = CM.community_ranks_distributed(membership_ds, mentions_canon)
     # summarizer identity is part of the stage fingerprint — switching
     # mock ↔ model invalidates the cached communities snapshot
     sumr_tag = ("mock" if summarizer_factory is None else
@@ -472,11 +481,10 @@ def communities_and_entities(
             lambda: ray.data.from_arrow(comm_arrow), lineage,
         )
     else:
-        membership = ray.data.from_pandas(membership_pdf)
         communities = store.run_stage(
             "communities", comm_fp,
             lambda: CM.summarize_communities(
-                membership, edges_pdf, ranks, cfg,
+                membership_ds, edges_pdf, ranks, cfg,
                 summarizer_factory=summarizer_factory,
                 summary_cache=sum_cache),
             lineage,
@@ -484,28 +492,83 @@ def communities_and_entities(
     if summarizer_factory is not None:
         _write_summary_cache(store, communities, sc_fp, sum_cache, lineage)
 
-    # ---- final entities: attach degree + community levels (broadcast maps) ----
+    # ---- final entities: attach degree + community levels ----
     if len(edges_pdf) and "src" in edges_pdf.columns:
         deg = pd.concat([
             edges_pdf.groupby("src").size(), edges_pdf.groupby("dst").size()
         ]).groupby(level=0).sum().to_dict()
     else:
         deg = {}
-    attach_ref = ray.put((deg, member_levels))
 
-    def attach(batch: pa.Table) -> pa.Table:
-        degrees, levels = ray.get(attach_ref)
-        ids = batch.column("entity_id").to_pandas()
-        degree = pa.array(
-            ids.map(degrees).fillna(0).astype("int64").to_numpy(), pa.int64())
-        lv = ids.map(levels)  # vectorized dict lookup; miss → NaN
-        comm = pa.array([v if isinstance(v, list) else [] for v in lv],
-                        pa.list_(pa.int32()))
-        return batch.append_column("degree", degree).append_column("community", comm)
+    if membership_ds is None:
+        attach_ref = ray.put((deg, member_levels))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            degrees, levels = ray.get(attach_ref)
+            ids = batch.column("entity_id").to_pandas()
+            degree = pa.array(
+                ids.map(degrees).fillna(0).astype("int64").to_numpy(),
+                pa.int64())
+            lv = ids.map(levels)  # vectorized dict lookup; miss → NaN
+            comm = pa.array([v if isinstance(v, list) else [] for v in lv],
+                            pa.list_(pa.int32()))
+            return (batch.append_column("degree", degree)
+                    .append_column("community", comm))
+
+        def entities_compute():
+            return entities0.map_batches(attach, batch_format="pyarrow",
+                                         batch_size=8192)
+    else:
+        # scale path: community levels arrive via a distributed hash join
+        # against the membership Dataset (no entity-sized driver dict); only
+        # the degree map (aggregated-edge-sized) broadcasts. Levels ride as a
+        # delimited STRING and the attach itself is Arrow end-to-end — the
+        # entities' embedding payload must not round-trip through pandas
+        # tensor-extension blocks (see arrow_left_attach)
+        from ..functions.shuffle import arrow_left_attach, hash_partitioned_groupby
+
+        deg_ref = ray.put(deg)
+        ent_schema = {
+            "entity_id": pa.string(),
+            "surface_forms": pa.list_(pa.string()),
+            "entity_type": pa.string(),
+            "description": pa.string(),
+            "embedding": pa.list_(pa.float32()),
+            "n_mentions": pa.int64(),
+        }
+        comm_lists = hash_partitioned_groupby(
+            membership_ds.select_columns(
+                ["entity_id", "level", "community_number"]),
+            ["entity_id"],
+            lambda df: (df.sort_values(["entity_id", "level"], kind="stable")
+                        .astype({"community_number": str})
+                        .groupby("entity_id", sort=False)["community_number"]
+                        .agg(",".join).reset_index(name="community")),
+            n_buckets=32)
+        joined = arrow_left_attach(
+            entities0, comm_lists, key="entity_id", value_col="community",
+            value_type=pa.string(), lschema=ent_schema)
+
+        def finish(batch: pa.Table) -> pa.Table:
+            degrees = ray.get(deg_ref)
+            ids = batch.column("entity_id").to_pandas()
+            degree = pa.array(
+                ids.map(degrees).fillna(0).astype("int64").to_numpy(),
+                pa.int64())
+            comm_str = batch.column("community").to_pylist()
+            comm = pa.array(
+                [[int(x) for x in s.split(",")] if s else [] for s in comm_str],
+                pa.list_(pa.int32()))
+            return (batch.drop_columns(["community"])
+                    .append_column("degree", degree)
+                    .append_column("community", comm))
+
+        def entities_compute():
+            return joined.map_batches(finish, batch_format="pyarrow")
 
     entities_final = store.run_stage(
         "entities", fingerprint(alias_fp, "entities"),
-        lambda: entities0.map_batches(attach, batch_format="pyarrow", batch_size=8192),
+        entities_compute,
         lineage,
     )
     return entities_final, communities

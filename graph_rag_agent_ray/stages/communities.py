@@ -129,53 +129,62 @@ def detect_communities(
     return member_levels
 
 
-def detect_communities_distributed(
-    edges: "ray.data.Dataset", cfg: KGConfig | None = None
-) -> Dict[str, List[int]]:
-    """Scale path: modularity communities never span disconnected components,
-    so detection parallelizes across components — connected components
-    (functions/components.py), then seeded Louvain per component in
-    hash-bucket tasks, then a deterministic global renumbering (communities
-    ordered by smallest member per level). Deterministic across runs and
-    parallelism levels; groupings can differ from the driver-local path only
-    where Louvain itself is order-sensitive (its node permutation differs
-    between a whole-graph and a per-component run)."""
+def _component_memberships(
+    edges: "ray.data.Dataset", cfg: KGConfig
+) -> "ray.data.Dataset":
+    """(entity_id, component, levels list<int>) — connected components
+    (functions/components.py), then seeded detection per component in
+    hash-bucket tasks. The edge→component attach broadcasts the node map
+    below ``cfg.broadcast_alias_limit`` entities and hash-joins above it, so
+    no step holds an entity-sized driver structure on the scale path."""
     import pyarrow as pa_
 
     from ..functions.components import connected_components
-    from ..functions.shuffle import hash_partitioned_groupby
+    from ..functions.shuffle import hash_join, hash_partitioned_groupby
 
-    cfg = cfg or KGConfig()
     pairs = edges.map_batches(
         lambda b: pa_.table({"a": b.column("src"), "b": b.column("dst")}),
         batch_format="pyarrow",
     )
-    comp = connected_components(pairs)  # (node, component)
+    comp = connected_components(pairs).materialize()  # (node, component)
 
-    # attach each edge to its src's component (endpoints share components)
-    comp_map_ref = None
     import ray as _ray
-    comp_pdf = comp.to_pandas()  # node -> component; size = |entities| ≪ corpus.
-    # (At extreme entity counts this collect becomes hash_join(edges, comp);
-    # entities are the aggregated side so the broadcast holds far longer.)
-    comp_map_ref = _ray.put(dict(zip(comp_pdf["node"], comp_pdf["component"])))
+    if comp.count() <= cfg.broadcast_alias_limit:
+        comp_pdf = comp.to_pandas()  # node -> component; aggregated-side size
+        comp_map_ref = _ray.put(dict(zip(comp_pdf["node"], comp_pdf["component"])))
 
-    def tag_component(df: pd.DataFrame) -> pd.DataFrame:
-        cmap = _ray.get(comp_map_ref)
-        df = df.copy()
-        df["component"] = df["src"].map(cmap)
-        return df
+        def tag_component(df: pd.DataFrame) -> pd.DataFrame:
+            cmap = _ray.get(comp_map_ref)
+            df = df.copy()
+            df["component"] = df["src"].map(cmap)
+            return df
 
-    tagged = edges.select_columns(["src", "dst", "weight"]).map_batches(
-        tag_component, batch_format="pandas")
+        tagged = edges.select_columns(["src", "dst", "weight"]).map_batches(
+            tag_component, batch_format="pandas")
+    else:
+        # extreme entity counts: distributed hash join on src (endpoints
+        # share components, so the src side suffices)
+        tagged = hash_join(
+            edges.select_columns(["src", "dst", "weight"]),
+            comp.map_batches(
+                lambda df: df.rename(columns={"node": "src"}),
+                batch_format="pandas"),
+            on=["src"],
+            lcols=["src", "dst", "weight"], rcols=["src", "component"])
 
     def detect_bucket(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for comp_id, g in df.groupby("component", sort=False):
+            # deterministic edge order into the seeded detector — group row
+            # order depends on shuffle block arrival otherwise
+            g = g.sort_values(["src", "dst", "weight"], kind="stable")
             local = detect_communities(g, cfg)
             rows = []
             for ent, levels in local.items():
-                rows.append((ent, comp_id, levels))
+                # levels ride as a delimited string: variable-length NUMERIC
+                # list cells trip Ray's tensor-column conversion when blocks
+                # cross pandas/Arrow boundaries downstream
+                rows.append((ent, comp_id, ",".join(map(str, levels))))
             frames.append(pd.DataFrame(rows, columns=["entity_id", "component", "levels"]))
         if not frames:
             return pd.DataFrame({"entity_id": pd.Series(dtype=object),
@@ -183,9 +192,103 @@ def detect_communities_distributed(
                                  "levels": pd.Series(dtype=object)})
         return pd.concat(frames, ignore_index=True)
 
-    membership = hash_partitioned_groupby(tagged, ["component"], detect_bucket,
-                                          n_buckets=32).to_pandas()
+    return hash_partitioned_groupby(tagged, ["component"], detect_bucket,
+                                    n_buckets=32)
+
+
+def detect_communities_distributed(
+    edges: "ray.data.Dataset", cfg: KGConfig | None = None
+) -> Dict[str, List[int]]:
+    """Scale path: modularity communities never span disconnected components,
+    so detection parallelizes across components — then a deterministic global
+    renumbering (communities ordered by smallest member per level).
+    Deterministic across runs and parallelism levels. Returns the driver
+    dict; prefer :func:`detect_communities_distributed_ds` above the guard
+    (no entity-sized driver structure)."""
+    cfg = cfg or KGConfig()
+    membership = _component_memberships(edges, cfg).to_pandas()
+    if len(membership):
+        membership = membership.assign(
+            levels=membership["levels"].map(
+                lambda s: [int(x) for x in s.split(",")]))
     return _renumber_global(membership)
+
+
+def detect_communities_distributed_ds(
+    edges: "ray.data.Dataset", cfg: KGConfig | None = None
+) -> "ray.data.Dataset":
+    """Dataset variant of :func:`detect_communities_distributed`:
+    (entity_id, level, community_number, community_id) rows with the SAME
+    canonical numbering (per level, communities ordered by smallest member).
+    The only driver-side structure is the community-key → number map
+    (community-count-sized); memberships never collect to the driver."""
+    import numpy as np
+
+    from ..functions.shuffle import hash_partitioned_groupby
+
+    cfg = cfg or KGConfig()
+    membership = _component_memberships(edges, cfg).materialize()
+
+    # global level count: components with fewer levels repeat their last
+    lens = membership.map_batches(
+        lambda df: pd.DataFrame(
+            {"n": [int((df["levels"].str.count(",") + 1).max())]
+             if len(df) else []}),
+        batch_format="pandas")
+    lens_pdf = lens.to_pandas()
+    max_levels = int(lens_pdf["n"].max()) if len(lens_pdf) else 0
+    empty = pa.table({
+        "entity_id": pa.array([], pa.string()),
+        "level": pa.array([], pa.int32()),
+        "community_number": pa.array([], pa.int32()),
+        "community_id": pa.array([], pa.string()),
+    })
+    if max_levels == 0:
+        return ray.data.from_arrow(empty)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        lists = df["levels"].str.split(",")
+        out = []
+        for level in range(max_levels):
+            ln = lists.map(lambda L, lv=level: int(L[min(lv, len(L) - 1)]))
+            out.append(pd.DataFrame({
+                "entity_id": df["entity_id"], "component": df["component"],
+                "level": level, "local": ln}))
+        return pd.concat(out, ignore_index=True)
+
+    exploded = membership.map_batches(
+        explode, batch_format="pandas").materialize()
+
+    # per (level, component, local) smallest member — two-phase aggregate;
+    # the result is community-count-sized, the one driver-side decision
+    def batch_min(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["level", "component", "local"], sort=False)
+                ["entity_id"].min().reset_index(name="min_member"))
+
+    partial = exploded.map_batches(batch_min, batch_format="pandas")
+    mins = hash_partitioned_groupby(
+        partial, ["level", "component", "local"],
+        lambda df: (df.groupby(["level", "component", "local"], sort=False)
+                    ["min_member"].min().reset_index()),
+        n_buckets=16,
+    ).to_pandas()
+    if not len(mins):
+        return ray.data.from_arrow(empty)
+    mins = mins.sort_values(["level", "min_member"], kind="stable")
+    mins["community_number"] = mins.groupby("level").cumcount().astype(np.int32)
+    num_ref = ray.put(
+        mins[["level", "component", "local", "community_number"]])
+
+    def attach_num(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(num_ref)
+        out = df.merge(m, on=["level", "component", "local"])
+        out["community_id"] = (out["level"].astype(str) + "-"
+                               + out["community_number"].astype(str))
+        return out[["entity_id", "level", "community_number",
+                    "community_id"]].astype(
+            {"level": "int32", "community_number": "int32"})
+
+    return exploded.map_batches(attach_num, batch_format="pandas")
 
 
 def _renumber_global(membership: pd.DataFrame) -> Dict[str, List[int]]:
@@ -418,6 +521,35 @@ def community_ranks(
     from ..functions.shuffle import hash_partitioned_groupby
     return hash_partitioned_groupby(
         pairs, ["community_id"],
+        lambda df: df.drop_duplicates()
+        .groupby("community_id")["chunk_id"].nunique().reset_index(name="rank")
+        .astype({"rank": "int64"}),
+        n_buckets=16,
+    )
+
+
+def community_ranks_distributed(
+    membership_ds: "ray.data.Dataset", mentions_canon: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Same rank aggregate as :func:`community_ranks`, but the membership
+    stays a Dataset: the entity→community attach is a distributed hash join
+    (never an entity-sized driver collect/broadcast) — the scale-path pairing
+    of :func:`detect_communities_distributed_ds`."""
+    from ..functions.shuffle import hash_join, hash_partitioned_groupby
+
+    pairs = mentions_canon.map_batches(
+        lambda b: pa.Table.to_pandas(b)[["entity_id", "chunk_id"]]
+        .drop_duplicates(),
+        batch_format="pyarrow", batch_size=16384)
+    joined = hash_join(
+        pairs, membership_ds.select_columns(["entity_id", "community_id"]),
+        on=["entity_id"],
+        lcols=["entity_id", "chunk_id"], rcols=["entity_id", "community_id"])
+    tagged = joined.map_batches(
+        lambda df: df[["community_id", "chunk_id"]].drop_duplicates(),
+        batch_format="pandas")
+    return hash_partitioned_groupby(
+        tagged, ["community_id"],
         lambda df: df.drop_duplicates()
         .groupby("community_id")["chunk_id"].nunique().reset_index(name="rank")
         .astype({"rank": "int64"}),

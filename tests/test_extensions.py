@@ -313,3 +313,28 @@ class TestDistributedAliasRemap:
         b = sorted(map(tuple, joined[key].to_numpy().tolist()))
         assert a == b
         assert ("SONY", "located_in", "TOKYO", "c2") in b  # both endpoints remapped/normalized
+
+
+class TestDistributedMembershipEndToEnd:
+    def test_guard_zero_build_matches_driver_local(self, ray_session, tmp_path,
+                                                   monkeypatch):
+        """Force the distributed community path (guard = 0 edges) through a
+        FULL build: memberships stay a Dataset (detect_communities_distributed_ds
+        + hash-join attach) and every output table must match the driver-local
+        build value-exactly — crossing MAX_DRIVER_GRAPH_EDGES must never
+        change labels (smallest-member renumbering parity)."""
+        import ray.data as rd
+        from graph_rag_agent_ray import build_kg
+        from graph_rag_agent_ray.stages import communities as CM
+        from graph_rag_agent_ray.synth import generate
+        from tests.test_incremental_delta import _assert_tables_equal
+
+        corpus = generate(n_docs=30, seed=5)
+        docs = rd.from_arrow(corpus.documents)
+        t_local = build_kg(docs, str(tmp_path / "loc"), input_token="gl")
+
+        monkeypatch.setattr(CM, "MAX_DRIVER_GRAPH_EDGES", 0)
+        t_dist = build_kg(docs, str(tmp_path / "dist"), input_token="gd")
+        _assert_tables_equal(
+            t_dist, t_local,
+            ("entities", "edges", "communities", "triples_canon"))
