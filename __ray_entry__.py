@@ -377,6 +377,38 @@ def _kg_communities_q(sf_dir: str):
     return ents.map_batches(final_level, batch_format="pyarrow", batch_size=8192)
 
 
+def _kg_coverage_q(sf_dir: str):
+    """Per-type entity coverage of the BUILT entities table against the
+    planted golden entity set (reference EntityCoverageMetric semantics,
+    evaluator/metrics/graph_metrics.py:1009-1062, as exact id+type matching
+    over the build output instead of question-keyword lookup). A dropped or
+    mis-typed entity shows up as n_built/n_matched diverging from n_truth."""
+    import pandas as pd
+
+    from graph_rag_agent_ray.evaluate import entity_coverage_stats
+
+    ents = (_kg_tables(sf_dir)["entities"]
+            .select_columns(["entity_id", "entity_type"]).to_pandas())
+    truth = pd.read_parquet(f"{KG_TRUTH_DIR}/kg_entities.parquet")
+    return entity_coverage_stats(ents, truth[["entity_id", "entity_type"]])
+
+
+def _kg_subgraph_quality_q(sf_dir: str):
+    """Per-community density inputs over the BUILT graph (reference
+    SubgraphQualityMetric's density half, evaluator/metrics/graph_metrics.py:
+    242-330, over build output): members, intra-community edges, possible
+    pairs — exact integers, so the SQL oracle reproduces them from the
+    planted clusters + golden edges."""
+    import pandas as pd
+
+    from graph_rag_agent_ray.evaluate import subgraph_quality_stats
+
+    membership = _kg_communities_q(sf_dir).to_pandas()
+    edges = (_kg_tables(sf_dir)["edges"]
+             .select_columns(["src", "pred", "dst"]).to_pandas())
+    return subgraph_quality_stats(membership, edges)
+
+
 _INC_CACHE: Dict[str, "rd.Dataset"] = {}
 
 
@@ -698,6 +730,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _kg_components_q,
         "kg_kcore": _kg_kcore_q,
         "kg_communities": _kg_communities_q,
+        # graph-quality metrics (reference evaluator parity, build-side):
+        # per-type entity coverage of the built KG vs the planted golden
+        # entity set, and per-community density inputs — integer counts so
+        # both verify hash-exact against SQL over the truth tables
+        "kg_coverage_stats": _kg_coverage_q,
+        "kg_subgraph_quality": _kg_subgraph_quality_q,
         "kg_incremental": _kg_incremental_q,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing):
         # inventory projection (which media spans were found + the decode
@@ -845,6 +883,35 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _graphstats().kcore_sql(
             f"{KG_TRUTH_DIR}/kg_edges.parquet", k=3),
         "kg_communities": f"SELECT entity_id, community_number FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')",
+        # coverage of a correct build: built == matched == truth per type
+        "kg_coverage_stats": f"""
+            SELECT entity_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_truth,
+                   CAST(COUNT(*) AS BIGINT) AS n_built,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched
+            FROM read_parquet('{KG_TRUTH_DIR}/kg_entities.parquet')
+            GROUP BY entity_type
+        """,
+        "kg_subgraph_quality": f"""
+            WITH m AS (SELECT entity_id, community_number
+                       FROM read_parquet('{KG_TRUTH_DIR}/kg_communities.parquet')),
+                 e AS (SELECT DISTINCT src, pred, dst
+                       FROM read_parquet('{KG_TRUTH_DIR}/kg_edges.parquet')),
+                 mem AS (SELECT community_number, COUNT(*) AS n_members
+                         FROM m GROUP BY community_number),
+                 intra AS (
+                   SELECT ms.community_number, COUNT(*) AS n_intra_edges
+                   FROM e
+                   JOIN m ms ON e.src = ms.entity_id
+                   JOIN m md ON e.dst = md.entity_id
+                   WHERE ms.community_number = md.community_number
+                   GROUP BY ms.community_number)
+            SELECT mem.community_number,
+                   CAST(mem.n_members AS BIGINT) AS n_members,
+                   CAST(COALESCE(intra.n_intra_edges, 0) AS BIGINT) AS n_intra_edges,
+                   CAST(mem.n_members * (mem.n_members - 1) // 2 AS BIGINT) AS n_possible_pairs
+            FROM mem LEFT JOIN intra USING (community_number)
+        """,
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",
         "media_frames": f"SELECT doc_id, media_ref, kind, frame_idx, ts_ms FROM read_parquet('{KG_TRUTH_DIR}/media_frames.parquet')",
         "kg_incremental": f"SELECT doc_id, subj, pred, obj FROM read_parquet('{KG_TRUTH_DIR}/kg_incremental.parquet')",

@@ -259,3 +259,42 @@ class TestLocalBlockingParity:
                                  df["n_a"], df["n_b"]))
         assert key(local) == key(dist)
         assert len(local) > 0
+
+
+class TestGraphQualityMetrics:
+    def test_entity_coverage_detects_drop_and_mistype(self):
+        import pandas as pd
+        from graph_rag_agent_ray.evaluate import entity_coverage_stats
+        truth = pd.DataFrame({"entity_id": ["A", "B", "C"],
+                              "entity_type": ["ORG", "ORG", "PER"]})
+        built = pd.DataFrame({"entity_id": ["A", "B", "X"],
+                              "entity_type": ["ORG", "PER", "ORG"]})  # B mistyped, C dropped, X spurious
+        out = entity_coverage_stats(built, truth).set_index("entity_type")
+        assert out.loc["ORG", "n_truth"] == 2
+        assert out.loc["ORG", "n_built"] == 2     # A + spurious X
+        assert out.loc["ORG", "n_matched"] == 1   # only A
+        assert out.loc["PER", "n_matched"] == 0   # C dropped; B mistyped as PER
+
+    def test_subgraph_quality_density_inputs(self):
+        import pandas as pd
+        from graph_rag_agent_ray.evaluate import subgraph_quality_stats
+        m = pd.DataFrame({"entity_id": ["a", "b", "c", "x", "y"],
+                          "community_number": [0, 0, 0, 1, 1]})
+        e = pd.DataFrame({"src": ["a", "b", "a", "x"],
+                          "pred": ["p", "p", "q", "p"],
+                          "dst": ["b", "c", "x", "y"]})
+        out = subgraph_quality_stats(m, e).set_index("community_number")
+        assert out.loc[0, "n_members"] == 3
+        assert out.loc[0, "n_intra_edges"] == 2   # a-b, b-c; a-x crosses
+        assert out.loc[0, "n_possible_pairs"] == 3
+        assert out.loc[1, "n_intra_edges"] == 1
+
+    def test_relationship_coverage_prf(self):
+        import pandas as pd
+        from graph_rag_agent_ray.evaluate import relationship_coverage
+        truth = pd.DataFrame({"src": ["a", "b"], "pred": ["p", "p"],
+                              "dst": ["b", "c"]})
+        built = pd.DataFrame({"src": ["a", "z"], "pred": ["p", "p"],
+                              "dst": ["b", "w"]})
+        prf = relationship_coverage(built, truth)
+        assert prf.tp == 1 and prf.precision == 0.5 and prf.recall == 0.5
