@@ -5,9 +5,11 @@ The reference's FileReader walks a directory and dispatches per extension
 :164-188, pdf :190-207, markdown :209-217, docx :219-295, csv :297-349,
 json :351-374, yaml :376-399). Our engine's canonical input is the
 ``documents (doc_id, spans)`` table; these readers produce it from common
-formats with Ray Data sources. Binary-document formats (pdf/docx) need codec
-libraries that are not in this container — their readers are gated stubs with
-the Ray plumbing in place (read_binary_files → decode map_batches).
+formats with Ray Data sources. PDFs decode via pypdf/PyPDF2 when importable
+and otherwise via the vendored stdlib extractor (sources/pdf.py); docx/doc
+still need codec libraries absent in this container — those readers stay
+gated stubs with the Ray plumbing in place (read_binary_files → decode
+map_batches).
 """
 
 from __future__ import annotations
@@ -119,20 +121,55 @@ def read_parquet_documents(path, id_column: str = "doc_id",
     return flat_text_to_spans(ds)
 
 
+def _pdf_to_text(data: bytes) -> str:
+    """One PDF payload → text with the reference's sentinels
+    (file_reader.py:190-207): per-page text joined with '\\n\\n', unreadable
+    page → '[第 N 页无法读取]', unreadable file → '[无法读取PDF文件内容: …]'.
+    Uses pypdf/PyPDF2 when importable; otherwise the vendored stdlib
+    extractor (sources/pdf.py) — same shape for machine-generated text PDFs."""
+    try:
+        try:
+            from pypdf import PdfReader  # type: ignore
+        except ImportError:
+            from PyPDF2 import PdfReader  # type: ignore
+        import io
+        reader = PdfReader(io.BytesIO(data))
+        out = []
+        for i, page in enumerate(reader.pages):
+            try:
+                out.append((page.extract_text() or "") + "\n\n")
+            except Exception:  # noqa: BLE001 — per-page sentinel
+                out.append(f"[第 {i + 1} 页无法读取]\n\n")
+        return "".join(out)
+    except ImportError:
+        pass
+    except Exception as e:  # noqa: BLE001 — whole-file sentinel
+        return f"[无法读取PDF文件内容: {e}]"
+    try:
+        from .pdf import extract_pdf_text
+        return extract_pdf_text(data)
+    except Exception as e:  # noqa: BLE001 — whole-file sentinel
+        return f"[无法读取PDF文件内容: {e}]"
+
+
 def read_pdf_documents(paths) -> "ray.data.Dataset":
-    """Gated: pdf text extraction (file_reader.py:190-207 uses PyPDF2, absent
-    here). The binary read + decode map_batches plumbing is the same as
-    read_text_documents; plug a pdf library into the decode fn."""
-    raise NotImplementedError(
-        "PyPDF2/pdfplumber not available in this environment; "
-        "use read_text_documents/read_parquet_documents, or plug a pdf "
-        "extractor into the read_binary_files → map_batches decode pattern."
-    )
+    """Directory/glob of .pdf files → documents (one doc per file), the
+    binary read + decode map_batches pattern of read_text_documents with
+    :func:`_pdf_to_text` as the decode (file_reader.py:190-207 parity,
+    including both error sentinels)."""
+    raw = ray.data.read_binary_files(paths, include_paths=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        texts = [_pdf_to_text(b) for b in batch.column("bytes").to_pylist()]
+        ids = [os.path.basename(p) for p in batch.column("path").to_pylist()]
+        return _wrap(ids, texts)
+
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=16)
 
 
 SUPPORTED_DISPATCH_EXTS = (".txt", ".md", ".csv", ".json", ".jsonl",
-                           ".yaml", ".yml")
-GATED_DISPATCH_EXTS = (".pdf", ".docx", ".doc")  # codec libs absent here
+                           ".yaml", ".yml", ".pdf")
+GATED_DISPATCH_EXTS = (".docx", ".doc")  # codec libs absent here
 
 
 def read_directory(directory, file_extensions=None,
@@ -151,7 +188,8 @@ def read_directory(directory, file_extensions=None,
     pretty-printed ``json.dumps(ensure_ascii=False, indent=2)`` (:351-360);
     yaml re-dumped ``yaml.dump(allow_unicode=True)`` (:376-386). Decode
     failures yield the reference's bracketed error sentinel text rather
-    than dropping the file. Gated binary formats (.pdf/.docx/.doc) are
+    than dropping the file. PDFs decode via pypdf when importable, else the
+    vendored extractor (sources/pdf.py). Gated binary formats (.docx/.doc) are
     logged and skipped — the reference logs-and-continues on reader errors
     (:119-124)."""
     import logging
@@ -176,7 +214,7 @@ def read_directory(directory, file_extensions=None,
                 gated.append(p)
     if gated:
         log.warning(
-            "read_directory: skipping %d gated binary files (%s) — pdf/docx "
+            "read_directory: skipping %d gated binary files (%s) — docx/doc "
             "codec libs are unavailable; plug a decoder into "
             "read_binary_files → map_batches to enable them",
             len(gated), ", ".join(sorted({os.path.splitext(g)[1] for g in gated})))
@@ -205,6 +243,11 @@ def read_directory(directory, file_extensions=None,
             rel = os.path.relpath(ap, root_abs) if ap.startswith(root_abs) \
                 else os.path.basename(ap)
             ext = os.path.splitext(rel)[1].lower()
+            if ext == ".pdf":
+                # binary format — never run the text-encoding ladder on it
+                ids.append(rel)
+                texts.append(_pdf_to_text(b))
+                continue
             for enc in ("utf-8", "gb18030", "latin-1"):
                 try:
                     text = b.decode(enc)
