@@ -207,18 +207,106 @@ def global_search(
     return comm[["community_id", "rank", "summary", "full_content"]]
 
 
+KEYWORD_PROMPT = (
+    "提取查询中的关键词，返回JSON：{{\"high_level\": [主题级关键词], "
+    "\"low_level\": [实体级关键词]}}。\n查询：{query}"
+)
+
+KEYWORD_STOPWORDS = {
+    "a", "an", "the", "is", "are", "was", "were", "be", "been", "being",
+    "in", "on", "at", "to", "for", "with", "by", "about", "of", "and", "or",
+}
+
+
+class KeywordExtractor:
+    """LLM dual-level keyword extraction with the reference's JSON repair
+    ladder (search/tool/hybrid_tool.py:88-185): direct ``json.loads`` when
+    the reply is a clean object → first-``{``/last-``}`` slice when the model
+    wrapped it in prose → stopword-filtered token split of the QUERY when no
+    JSON survives → whole-query default when even the client call fails.
+    Key/type normalization (``low_level``/``high_level`` always list-valued)
+    matches :155-175. The chat client is injectable — ReplayClient offline,
+    OpenAI-compatible in production (same seam as GlobalMapStage)."""
+
+    def __init__(self, client=None, retries: int = 3, backoff_s: float = 0.0):
+        self._client = client
+        self._retries = retries
+        self._backoff = backoff_s
+
+    def _fallback(self, query: str) -> Dict[str, list]:
+        import re
+        words = re.findall(r"\w+", query.lower())
+        words = [w for w in words if w not in KEYWORD_STOPWORDS]
+        return {
+            "high_level": [w for w in words if len(w) > 5][:3],
+            "low_level": [w for w in words if 3 <= len(w) <= 5][:5],
+        }
+
+    def _parse(self, result, query: str) -> Dict[str, list]:
+        import json
+        if isinstance(result, dict):
+            return result
+        if isinstance(result, str):
+            s = result.strip()
+            try:
+                if s.startswith("{") and s.endswith("}"):
+                    return json.loads(s)
+                lo, hi = s.find("{"), s.rfind("}")
+                if 0 <= lo < hi:
+                    return json.loads(s[lo:hi + 1])
+            except json.JSONDecodeError:
+                pass
+        return self._fallback(query)
+
+    def extract(self, query: str) -> Dict[str, list]:
+        keywords: Dict[str, list]
+        if self._client is None:
+            keywords = self._fallback(query)
+        else:
+            try:
+                from ..stages.llm import call_with_retry
+                reply = call_with_retry(
+                    self._client,
+                    [{"role": "user",
+                      "content": KEYWORD_PROMPT.format(query=query)}],
+                    retries=self._retries, backoff_s=self._backoff)
+                keywords = self._parse(reply, query)
+            except Exception:  # noqa: BLE001 — reference :181-185 default
+                words = query.split()
+                keywords = {"low_level": [query],
+                            "high_level": [words[0] if words else query]}
+        if not isinstance(keywords, dict):
+            keywords = {}
+        for key in ("low_level", "high_level"):
+            if key not in keywords:
+                keywords[key] = []
+            if not isinstance(keywords[key], list):
+                keywords[key] = [str(keywords[key])]
+        return keywords
+
+
 def hybrid_search(
     tables: Dict[str, "ray.data.Dataset"], query: str,
     k_low: int = 10, k_high: int = 3, k_chunks: int = 5,
     cfg: KGConfig | None = None,
+    keyword_extractor: "KeywordExtractor | None" = None,
 ) -> Dict[str, pd.DataFrame]:
     """LightRAG-style dual-level retrieval (hybrid_tool.py:88-409 parity):
     low-level = keyword/vector entity lookup + their 1-hop relationships +
-    top chunks; high-level = community summaries matched to the query. The
-    reference's LLM keyword-split is replaced by deterministic keyword
-    extraction (query tokens, normalized) + embedding similarity."""
+    top chunks; high-level = community summaries matched to the query.
+    Keyword extraction: pass a :class:`KeywordExtractor` (LLM split with the
+    JSON repair ladder) to use the reference's dual-level keywords — its
+    low_level terms drive the entity lookup and high_level terms join the
+    community match; default is deterministic extraction (query tokens,
+    normalized) + embedding similarity."""
     cfg = cfg or KGConfig()
-    keywords = {normalize_surface(w) for w in query.split() if len(w) > 2}
+    if keyword_extractor is not None:
+        kw = keyword_extractor.extract(query)
+        keywords = {normalize_surface(w)
+                    for w in (kw["low_level"] + kw["high_level"])
+                    if len(str(w)) > 2}
+    else:
+        keywords = {normalize_surface(w) for w in query.split() if len(w) > 2}
     qv = embed_texts([normalize_surface(query)], dim=cfg.embed_dim)[0].astype(np.float64)
 
     ents_ds = tables["entities"].select_columns(

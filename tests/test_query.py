@@ -160,3 +160,68 @@ class TestGlobalSearchMapReduce:
             client_factory=lambda: GlobalPointsClient(fail_first=True))
         # the scripted first-call failure is retried, not surfaced
         assert (out["intermediate"]["points"].str.startswith("POINT-")).all()
+
+
+class TestKeywordExtractor:
+    def _mk(self, reply):
+        from graph_rag_agent_ray.pipelines.query import KEYWORD_PROMPT, KeywordExtractor
+        from graph_rag_agent_ray.stages.llm import ReplayClient, prompt_key
+        key = prompt_key([{"role": "user",
+                           "content": KEYWORD_PROMPT.format(query="acme corp merger details")}])
+        return KeywordExtractor(ReplayClient({key: [reply]}), backoff_s=0.0)
+
+    def test_clean_json(self):
+        kw = self._mk('{"high_level": ["merger"], "low_level": ["acme"]}') \
+            .extract("acme corp merger details")
+        assert kw == {"high_level": ["merger"], "low_level": ["acme"]}
+
+    def test_prose_wrapped_json(self):
+        kw = self._mk('好的，结果如下：{"high_level": ["merger"], "low_level": ["acme"]} 完毕') \
+            .extract("acme corp merger details")
+        assert kw["low_level"] == ["acme"]
+
+    def test_garbage_falls_back_to_tokens(self):
+        kw = self._mk("no json here at all").extract("acme corp merger details")
+        assert "acme" in kw["low_level"]          # 3-5 char token
+        assert "details" in kw["high_level"]      # >5 char token
+
+    def test_api_failure_exhausts_to_token_fallback(self):
+        # ReplayClient raises every attempt; call_with_retry returns "" →
+        # the repair ladder lands on the token fallback
+        from graph_rag_agent_ray.pipelines.query import KEYWORD_PROMPT, KeywordExtractor
+        from graph_rag_agent_ray.stages.llm import ReplayClient, prompt_key
+        key = prompt_key([{"role": "user",
+                           "content": KEYWORD_PROMPT.format(query="acme corp merger details")}])
+        ex = KeywordExtractor(
+            ReplayClient({key: [RuntimeError("boom")]}), backoff_s=0.0)
+        kw = ex.extract("acme corp merger details")
+        assert kw["low_level"] and kw["high_level"]
+
+    def test_key_and_type_normalization(self):
+        kw = self._mk('{"high_level": "merger"}').extract("acme corp merger details")
+        assert kw["high_level"] == ["merger"]     # scalar → list
+        assert kw["low_level"] == []              # missing key → []
+
+    def test_no_client_uses_fallback(self):
+        from graph_rag_agent_ray.pipelines.query import KeywordExtractor
+        kw = KeywordExtractor().extract("the acme corp merger details")
+        assert "the" not in kw["low_level"] + kw["high_level"]  # stopword
+
+
+class TestHybridSearchKeywordSeam:
+    def test_llm_keywords_drive_retrieval(self, built):
+        """hybrid_search through the injectable extractor: the replayed LLM
+        split names a real entity in low_level — retrieval must surface it."""
+        from graph_rag_agent_ray.pipelines.query import (
+            KEYWORD_PROMPT, KeywordExtractor, hybrid_search)
+        from graph_rag_agent_ray.stages.llm import ReplayClient, prompt_key
+        corpus, tables = built
+        target = corpus.alias_groups.column("canonical_id")[0].as_py()
+        query = f"tell me about {target}"
+        key = prompt_key([{"role": "user",
+                           "content": KEYWORD_PROMPT.format(query=query)}])
+        ex = KeywordExtractor(ReplayClient(
+            {key: ['{"high_level": ["overview"], "low_level": ["%s"]}' % target]}),
+            backoff_s=0.0)
+        out = hybrid_search(tables, query, keyword_extractor=ex)
+        assert target in set(out["low_entities"]["entity_id"])
