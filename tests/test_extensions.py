@@ -47,9 +47,13 @@ class TestIngest:
         ds = read_json_documents(str(p))
         assert ds.count() == 3
 
-    def test_pdf_gated(self):
-        with pytest.raises(NotImplementedError):
-            read_pdf_documents("/tmp/x.pdf")
+    def test_pdf_reader_real(self, ray_session, tmp_path):
+        # round 4: PDFs decode for real (vendored extractor, sources/pdf.py);
+        # full coverage lives in tests/test_pdf_ingest.py
+        from tests.test_pdf_ingest import make_pdf
+        (tmp_path / "x.pdf").write_bytes(make_pdf())
+        rows = read_pdf_documents(str(tmp_path)).take_all()
+        assert "Acme Corp acquired" in rows[0]["spans"][0]["text"]
 
     def test_read_directory_dispatch(self, ray_session, tmp_path):
         """FileReader.read_files parity: recursive walk, per-extension
@@ -65,12 +69,15 @@ class TestIngest:
         (tmp_path / "y.yaml").write_text("k: v\n")
         (tmp_path / "l.jsonl").write_text(
             '{"a": 1}\n\n{"b": "文"}\n')
-        (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake")   # gated -> skipped
+        (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake")   # r4: dispatched
+        (tmp_path / "w.docx").write_bytes(b"PK\x03\x04")     # gated -> skipped
         ds = read_directory(str(tmp_path))
         rows = {r["doc_id"]: r["spans"][0]["text"] for r in ds.take_all()}
         assert set(rows) == {"a.txt", os.path.join("sub", "a.txt"),
                              "t.csv", "d.json", "bad.json", "y.yaml",
-                             "l.jsonl"}
+                             "l.jsonl", "doc.pdf"}
+        # headerless-content pdf decodes to empty pages, not a crash
+        assert isinstance(rows["doc.pdf"], str)
         assert rows["l.jsonl"] == '{"a": 1}\n{"b": "文"}'
         assert rows["a.txt"] == "plain text。"
         assert rows[os.path.join("sub", "a.txt")] == "中文。"
