@@ -33,6 +33,7 @@ from typing import Dict, Optional
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -382,11 +383,17 @@ def communities_and_entities(
     entities0 = C.canonical_entities(embedded, alias_ref, cfg)
 
     # ---- communities (aggregated graph — provably small; guarded) ----
-    # collect only the light columns once; chunk_ids lists stay distributed
+    # guard decision from a metadata count; the light columns collect ONLY
+    # below the guard — above it the whole tail (detect → ranks → summarize
+    # → attach) stays Datasets and nothing edge- or entity-sized reaches the
+    # driver
     _t = _time.monotonic()
-    edges_pdf = edges.select_columns(["src", "dst", "pred", "weight"]).to_pandas()
+    driver_local = edges.count() <= CM.MAX_DRIVER_GRAPH_EDGES
+    edges_pdf = (edges.select_columns(["src", "dst", "pred", "weight"])
+                 .to_pandas() if driver_local
+                 else pd.DataFrame({c: [] for c in
+                                    ("src", "dst", "pred", "weight")}))
     _t_collect = _time.monotonic() - _t
-    driver_local = len(edges_pdf) <= CM.MAX_DRIVER_GRAPH_EDGES
     # content-addressed detection cache: the membership is a pure seeded
     # function of the aggregated edge graph + detection knobs, so a tick
     # that leaves the graph unchanged (the common metadata/text-only edit)
@@ -483,8 +490,8 @@ def communities_and_entities(
     else:
         communities = store.run_stage(
             "communities", comm_fp,
-            lambda: CM.summarize_communities(
-                membership_ds, edges_pdf, ranks, cfg,
+            lambda: CM.summarize_communities_distributed(
+                membership_ds, edges, ranks, cfg,
                 summarizer_factory=summarizer_factory,
                 summary_cache=sum_cache),
             lineage,
@@ -493,7 +500,7 @@ def communities_and_entities(
         _write_summary_cache(store, communities, sc_fp, sum_cache, lineage)
 
     # ---- final entities: attach degree + community levels ----
-    if len(edges_pdf) and "src" in edges_pdf.columns:
+    if driver_local and len(edges_pdf) and "src" in edges_pdf.columns:
         deg = pd.concat([
             edges_pdf.groupby("src").size(), edges_pdf.groupby("dst").size()
         ]).groupby(level=0).sum().to_dict()
@@ -519,15 +526,14 @@ def communities_and_entities(
             return entities0.map_batches(attach, batch_format="pyarrow",
                                          batch_size=8192)
     else:
-        # scale path: community levels arrive via a distributed hash join
-        # against the membership Dataset (no entity-sized driver dict); only
-        # the degree map (aggregated-edge-sized) broadcasts. Levels ride as a
-        # delimited STRING and the attach itself is Arrow end-to-end — the
-        # entities' embedding payload must not round-trip through pandas
-        # tensor-extension blocks (see arrow_left_attach)
+        # scale path: community levels AND degrees arrive via distributed
+        # hash attaches against Datasets (no entity-sized driver dict and no
+        # edge-sized degree map). Levels ride as a delimited STRING and both
+        # attaches are Arrow end-to-end — the entities' embedding payload
+        # must not round-trip through pandas tensor-extension blocks (see
+        # arrow_left_attach)
         from ..functions.shuffle import arrow_left_attach, hash_partitioned_groupby
 
-        deg_ref = ray.put(deg)
         ent_schema = {
             "entity_id": pa.string(),
             "surface_forms": pa.list_(pa.string()),
@@ -549,22 +555,37 @@ def communities_and_entities(
             entities0, comm_lists, key="entity_id", value_col="community",
             value_type=pa.string(), lschema=ent_schema)
 
+        # per-node edge-row degree (src size + dst size), two-phase aggregate
+        def _deg_partial(b: pa.Table) -> pd.DataFrame:
+            cnt = pd.concat([b.column("src").to_pandas(),
+                             b.column("dst").to_pandas()]).value_counts()
+            return pd.DataFrame({"entity_id": cnt.index,
+                                 "degree": cnt.to_numpy()})
+
+        deg_ds = hash_partitioned_groupby(
+            edges.select_columns(["src", "dst"]).map_batches(
+                _deg_partial, batch_format="pyarrow"),
+            ["entity_id"],
+            lambda df: (df.groupby("entity_id", sort=False)["degree"].sum()
+                        .reset_index()),
+            n_buckets=32)
+        joined2 = arrow_left_attach(
+            joined, deg_ds, key="entity_id", value_col="degree",
+            value_type=pa.int64(),
+            lschema={**ent_schema, "community": pa.string()})
+
         def finish(batch: pa.Table) -> pa.Table:
-            degrees = ray.get(deg_ref)
-            ids = batch.column("entity_id").to_pandas()
-            degree = pa.array(
-                ids.map(degrees).fillna(0).astype("int64").to_numpy(),
-                pa.int64())
+            degree = pc.fill_null(batch.column("degree"), 0)
             comm_str = batch.column("community").to_pylist()
             comm = pa.array(
                 [[int(x) for x in s.split(",")] if s else [] for s in comm_str],
                 pa.list_(pa.int32()))
-            return (batch.drop_columns(["community"])
+            return (batch.drop_columns(["community", "degree"])
                     .append_column("degree", degree)
                     .append_column("community", comm))
 
         def entities_compute():
-            return joined.map_batches(finish, batch_format="pyarrow")
+            return joined2.map_batches(finish, batch_format="pyarrow")
 
     entities_final = store.run_stage(
         "entities", fingerprint(alias_fp, "entities"),

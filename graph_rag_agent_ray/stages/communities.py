@@ -747,6 +747,129 @@ def _model_summary_stage(ds: "ray.data.Dataset", summarizer_factory,
     )
 
 
+def summarize_communities_distributed(
+    membership_ds: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    ranks: "ray.data.Dataset",
+    cfg: KGConfig | None = None,
+    summarizer_factory=None,
+    summary_cache=None,
+) -> "ray.data.Dataset":
+    """Scale variant of :func:`summarize_communities`: membership and the
+    canonical edge list stay Datasets end-to-end. Intra-community edges come
+    from two distributed hash joins (src-side, then dst-side at the same
+    level), then member rows and intra-edge rows co-shuffle into
+    per-community digest groups. Driver-side state is community-count-sized
+    only (ranks + the top-N id set) — no entity- or edge-sized collect.
+    Same output rows as summarize_communities (pinned by the guard-zero
+    end-to-end test)."""
+    from ..functions.shuffle import hash_join, hash_partitioned_groupby
+
+    cfg = cfg or KGConfig()
+    ranks_pdf = ranks.to_pandas()
+    for col, dtype in (("community_id", object), ("rank", "int64")):
+        if col not in ranks_pdf.columns:
+            ranks_pdf[col] = pd.Series(dtype=dtype)
+    top_ids = set(
+        ranks_pdf.sort_values(["rank", "community_id"], ascending=[False, True])
+        .head(cfg.community_top_n_summaries)["community_id"]
+    )
+    top_ref = ray.put(top_ids)
+
+    e = edges.map_batches(
+        lambda b: pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                            "pred": b.column("pred")}),
+        batch_format="pyarrow")
+    m_src = membership_ds.map_batches(
+        lambda df: df[["entity_id", "level", "community_id"]]
+        .rename(columns={"entity_id": "src", "community_id": "_c_src"})
+        .astype({"level": "int64"}),
+        batch_format="pandas")
+    j1 = hash_join(e, m_src, on=["src"],
+                   lcols=["src", "dst", "pred"],
+                   rcols=["src", "level", "_c_src"])
+    m_dst = membership_ds.map_batches(
+        lambda df: df[["entity_id", "level", "community_id"]]
+        .rename(columns={"entity_id": "dst", "community_id": "_c_dst"})
+        .astype({"level": "int64"}),
+        batch_format="pandas")
+    j2 = hash_join(j1, m_dst, on=["dst", "level"],
+                   lcols=["src", "dst", "pred", "level", "_c_src"],
+                   rcols=["dst", "level", "_c_dst"])
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        intra = df[df["_c_src"] == df["_c_dst"]]
+        return pd.DataFrame({
+            "community_id": intra["_c_src"],
+            "level": -1,  # digest level comes from member rows
+            "kind": "e",
+            # tuple-order-preserving join: \x1f sorts below all printable
+            # chars, so string order == (src, dst, pred) tuple order
+            "payload": intra["src"] + "\x1f" + intra["dst"] + "\x1f"
+            + intra["pred"],
+        })
+
+    def tag_members(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "community_id": df["community_id"],
+            "level": df["level"].astype("int64"),
+            "kind": "m",
+            "payload": df["entity_id"],
+        })
+
+    both = membership_ds.map_batches(tag_members, batch_format="pandas").union(
+        j2.map_batches(tag_edges, batch_format="pandas"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        top = ray.get(top_ref)
+        summarizer = MockSummarizer()
+        rows = []
+        for cid, g in df.groupby("community_id", sort=False):
+            mrows = g[g["kind"] == "m"]
+            members = sorted(mrows["payload"])
+            level = int(mrows["level"].iloc[0]) if len(mrows) else 0
+            rels = sorted(tuple(p.split("\x1f"))
+                          for p in g.loc[g["kind"] == "e", "payload"])
+            full = (
+                "Nodes are: " + "; ".join(members[:200])
+                + ". Relationships are: "
+                + "; ".join(f"{s} -{p}-> {d}" for s, d, p in rels[:200]) + "."
+            )
+            summary = ("" if summarizer_factory is not None
+                       else summarizer.summarize(cid, members, rels)) \
+                if cid in top else ""
+            rows.append({"community_id": cid, "level": level,
+                         "members": members, "summary": summary,
+                         "full_content": full})
+        if not rows:
+            return pd.DataFrame({
+                "community_id": pd.Series(dtype=object),
+                "level": pd.Series(dtype="int64"),
+                "members": pd.Series(dtype=object),
+                "summary": pd.Series(dtype=object),
+                "full_content": pd.Series(dtype=object),
+            })
+        return pd.DataFrame(rows)
+
+    per_comm = hash_partitioned_groupby(both, ["community_id"], per_bucket,
+                                        n_buckets=16)
+
+    rank_ref = ray.put(dict(zip(ranks_pdf["community_id"], ranks_pdf["rank"])))
+
+    def attach_rank(batch: pa.Table) -> pa.Table:
+        ranks_map = ray.get(rank_ref)
+        vals = [int(ranks_map.get(c, 0))
+                for c in batch.column("community_id").to_pylist()]
+        return batch.append_column("rank", pa.array(vals, pa.int64()))
+
+    out = per_comm.map_batches(attach_rank, batch_format="pyarrow",
+                               batch_size=4096)
+    if summarizer_factory is not None and top_ids:
+        out = _model_summary_stage(out, summarizer_factory, top_ids, cfg,
+                                   summary_cache=summary_cache)
+    return out
+
+
 def summarize_communities(
     membership: "ray.data.Dataset",
     edges_pdf: pd.DataFrame,
