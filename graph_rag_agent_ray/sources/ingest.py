@@ -6,10 +6,10 @@ The reference's FileReader walks a directory and dispatches per extension
 json :351-374, yaml :376-399). Our engine's canonical input is the
 ``documents (doc_id, spans)`` table; these readers produce it from common
 formats with Ray Data sources. PDFs decode via pypdf/PyPDF2 when importable
-and otherwise via the vendored stdlib extractor (sources/pdf.py); docx/doc
-still need codec libraries absent in this container — those readers stay
-gated stubs with the Ray plumbing in place (read_binary_files → decode
-map_batches).
+and otherwise via the vendored stdlib extractor (sources/pdf.py); .docx via
+python-docx when importable and otherwise the vendored OOXML extractor
+(sources/docx.py); legacy .doc ends in the reference's warning sentinel
+(its win32com/textract rungs need Windows/network).
 """
 
 from __future__ import annotations
@@ -167,9 +167,53 @@ def read_pdf_documents(paths) -> "ray.data.Dataset":
     return raw.map_batches(decode, batch_format="pyarrow", batch_size=16)
 
 
+def _docx_to_text(data: bytes, name: str = "", legacy_doc: bool = False) -> str:
+    """One Word payload → text with the reference's sentinels
+    (file_reader.py:219-295). python-docx when importable, else the vendored
+    OOXML extractor (sources/docx.py). Legacy .doc (OLE2, not a zip) ends in
+    the reference's warning sentinel — its win32com/textract rungs don't
+    exist off-Windows/offline, which is exactly when the reference emits the
+    same warning."""
+    try:
+        from docx import Document  # type: ignore
+        import io
+        doc = Document(io.BytesIO(data))
+        return "\n".join(p.text for p in doc.paragraphs)
+    except ImportError:
+        pass
+    except Exception as e:  # noqa: BLE001 — reference sentinel
+        if legacy_doc:
+            return (f"[警告: 无法读取.doc文件 {name}，"
+                    "请安装相关依赖或转换为.docx格式]")
+        return f"[无法读取Word文档内容: {e}]"
+    try:
+        from .docx import extract_docx_text
+        return extract_docx_text(data)
+    except Exception as e:  # noqa: BLE001 — reference sentinel
+        if legacy_doc:
+            return (f"[警告: 无法读取.doc文件 {name}，"
+                    "请安装相关依赖或转换为.docx格式]")
+        return f"[无法读取Word文档内容: {e}]"
+
+
+def read_docx_documents(paths) -> "ray.data.Dataset":
+    """Directory/glob of .docx files → documents (one doc per file) —
+    file_reader.py:219-229 parity via :func:`_docx_to_text`."""
+    raw = ray.data.read_binary_files(paths, include_paths=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        names = [os.path.basename(p) for p in batch.column("path").to_pylist()]
+        texts = [_docx_to_text(b, name=n,
+                               legacy_doc=n.lower().endswith(".doc"))
+                 for n, b in zip(names, batch.column("bytes").to_pylist())]
+        return _wrap(names, texts)
+
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=16)
+
+
 SUPPORTED_DISPATCH_EXTS = (".txt", ".md", ".csv", ".json", ".jsonl",
-                           ".yaml", ".yml", ".pdf")
-GATED_DISPATCH_EXTS = (".docx", ".doc")  # codec libs absent here
+                           ".yaml", ".yml", ".pdf", ".docx", ".doc")
+GATED_DISPATCH_EXTS = ()  # every reference format now decodes or sentinels
 
 
 def read_directory(directory, file_extensions=None,
@@ -243,10 +287,15 @@ def read_directory(directory, file_extensions=None,
             rel = os.path.relpath(ap, root_abs) if ap.startswith(root_abs) \
                 else os.path.basename(ap)
             ext = os.path.splitext(rel)[1].lower()
-            if ext == ".pdf":
-                # binary format — never run the text-encoding ladder on it
+            if ext in (".pdf", ".docx", ".doc"):
+                # binary formats — never run the text-encoding ladder on them
                 ids.append(rel)
-                texts.append(_pdf_to_text(b))
+                if ext == ".pdf":
+                    texts.append(_pdf_to_text(b))
+                else:
+                    texts.append(_docx_to_text(
+                        b, name=os.path.basename(rel),
+                        legacy_doc=(ext == ".doc")))
                 continue
             for enc in ("utf-8", "gb18030", "latin-1"):
                 try:

@@ -77,3 +77,61 @@ class TestPdfIngest:
         by_id = {r["doc_id"]: r["spans"][0]["text"] for r in rows}
         assert "Acme Corp acquired" in by_id["a.pdf"]
         assert by_id["b.txt"] == "plain text doc"
+
+
+def make_docx(paragraphs) -> bytes:
+    """Real minimal OOXML .docx built byte-by-byte (zip container +
+    word/document.xml) — exercises runs, tabs and breaks."""
+    import io
+    import zipfile
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = []
+    for runs in paragraphs:
+        xml_runs = []
+        for r in runs:
+            if r == "\t":
+                xml_runs.append("<w:r><w:tab/></w:r>")
+            elif r == "\n":
+                xml_runs.append("<w:r><w:br/></w:r>")
+            else:
+                xml_runs.append(
+                    f'<w:r><w:t xml:space="preserve">{r}</w:t></w:r>')
+        body.append("<w:p>" + "".join(xml_runs) + "</w:p>")
+    doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           f'<w:document xmlns:w="{W}"><w:body>{"".join(body)}</w:body>'
+           f"</w:document>")
+    types = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+             '<Default Extension="xml" ContentType="application/xml"/></Types>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", types)
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+class TestDocxIngest:
+    def test_vendored_extractor(self):
+        from graph_rag_agent_ray.sources.docx import extract_docx_text
+        data = make_docx([["Hello ", "world。"], ["第二段", "\t", "tabbed"],
+                          ["line", "\n", "break"]])
+        assert extract_docx_text(data) == \
+            "Hello world。\n第二段\ttabbed\nline\nbreak"
+
+    def test_reader_and_sentinels(self, ray_session, tmp_path):
+        from graph_rag_agent_ray.sources.ingest import read_docx_documents
+        (tmp_path / "a.docx").write_bytes(make_docx([["doc body"]]))
+        (tmp_path / "old.doc").write_bytes(b"\xd0\xcf\x11\xe0 ole2 junk")
+        rows = {r["doc_id"]: r["spans"][0]["text"]
+                for r in read_docx_documents(str(tmp_path)).take_all()}
+        assert rows["a.docx"] == "doc body"
+        assert rows["old.doc"].startswith("[警告: 无法读取.doc文件 old.doc")
+
+    def test_read_directory_dispatches_docx(self, ray_session, tmp_path):
+        from graph_rag_agent_ray.sources.ingest import read_directory
+        (tmp_path / "a.docx").write_bytes(make_docx([["段落一"], ["para two"]]))
+        (tmp_path / "broken.docx").write_bytes(b"not a zip")
+        rows = {r["doc_id"]: r["spans"][0]["text"]
+                for r in read_directory(str(tmp_path)).take_all()}
+        assert rows["a.docx"] == "段落一\npara two"
+        assert rows["broken.docx"].startswith("[无法读取Word文档内容:")
