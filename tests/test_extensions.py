@@ -70,14 +70,16 @@ class TestIngest:
         (tmp_path / "l.jsonl").write_text(
             '{"a": 1}\n\n{"b": "文"}\n')
         (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake")   # r4: dispatched
-        (tmp_path / "w.docx").write_bytes(b"PK\x03\x04")     # gated -> skipped
+        (tmp_path / "w.docx").write_bytes(b"PK\x03\x04")     # r4: dispatched
         ds = read_directory(str(tmp_path))
         rows = {r["doc_id"]: r["spans"][0]["text"] for r in ds.take_all()}
         assert set(rows) == {"a.txt", os.path.join("sub", "a.txt"),
                              "t.csv", "d.json", "bad.json", "y.yaml",
-                             "l.jsonl", "doc.pdf"}
-        # headerless-content pdf decodes to empty pages, not a crash
+                             "l.jsonl", "doc.pdf", "w.docx"}
+        # headerless-content pdf decodes to empty pages, not a crash;
+        # truncated docx hits the reference error sentinel
         assert isinstance(rows["doc.pdf"], str)
+        assert rows["w.docx"].startswith("[无法读取Word文档内容:")
         assert rows["l.jsonl"] == '{"a": 1}\n{"b": "文"}'
         assert rows["a.txt"] == "plain text。"
         assert rows[os.path.join("sub", "a.txt")] == "中文。"
