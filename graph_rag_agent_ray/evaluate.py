@@ -115,3 +115,67 @@ def subgraph_quality_stats(membership: pd.DataFrame,
                              for c in nums],
     })
     return out
+
+
+# ---------------------------------------------------------------------------
+# answer-side metrics (reference evaluator/metrics/answer_metrics.py parity)
+# ---------------------------------------------------------------------------
+
+def normalize_answer(s: str) -> str:
+    """Reference evaluator text normalization
+    (evaluator/utils/text_utils.py:5-30): strip zh/en articles, drop ASCII +
+    CJK punctuation, lowercase, collapse whitespace."""
+    import re
+    import string
+
+    s = re.sub(r"\b(a|an|the|一个|一种|这个|那个)\b", " ", s.lower())
+    exclude = set(string.punctuation + "，。！？《》【】""''：；（）、")
+    s = "".join(ch for ch in s if ch not in exclude)
+    return " ".join(s.split())
+
+
+def _clean_markdown(pred: str) -> str:
+    """The evaluator's system-answer preprocessing
+    (answer_metrics.py:56-60): drop markdown headings + blank runs."""
+    import re
+
+    cleaned = re.sub(r"^###.*?\n+", "", pred, flags=re.MULTILINE)
+    cleaned = re.sub(r"\n\s*\n", "\n", cleaned)
+    return cleaned.strip()
+
+
+def exact_match(prediction: str, golden: str) -> float:
+    """ExactMatch.calculate_em (answer_metrics.py:16-36): 1.0 iff the
+    normalized texts are identical; empty either side → 0.0."""
+    if not prediction or not golden:
+        return 0.0
+    return 1.0 if (normalize_answer(_clean_markdown(prediction))
+                   == normalize_answer(golden)) else 0.0
+
+
+def answer_f1(prediction: str, golden: str, tokenizer=None) -> float:
+    """F1Score's rule path (answer_metrics.py:160-240): normalize both
+    texts, tokenize (injectable — the reference uses jieba, absent here;
+    default is the repo's regex tokenizer), drop 1-char tokens and the
+    reference stopword set, then token-SET F1. Both empty → 1.0; one empty
+    → 0.0."""
+    from .functions.text import tokenize
+
+    tok = tokenizer or tokenize
+    stop = {"的", "了", "和", "在", "是", "为", "以", "与", "或", "且"}
+    p = [t for t in tok(normalize_answer(_clean_markdown(prediction)))
+         if len(t) > 1 and t not in stop]
+    g = [t for t in tok(normalize_answer(golden))
+         if len(t) > 1 and t not in stop]
+    if not p and not g:
+        return 1.0
+    if not p or not g:
+        return 0.0
+    # reference divides the common SET size by the token LIST lengths
+    # (answer_metrics.py:227-229) — duplicates penalize, mirror that
+    common = set(p) & set(g)
+    precision = len(common) / len(p)
+    recall = len(common) / len(g)
+    if precision + recall == 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)

@@ -298,3 +298,29 @@ class TestGraphQualityMetrics:
                               "dst": ["b", "w"]})
         prf = relationship_coverage(built, truth)
         assert prf.tp == 1 and prf.precision == 0.5 and prf.recall == 0.5
+
+
+class TestAnswerMetrics:
+    def test_normalize_answer(self):
+        from graph_rag_agent_ray.evaluate import normalize_answer
+        assert normalize_answer("The  Answer, is: 42!") == "answer is 42"
+        assert normalize_answer("这个结果，是：四十二。") == "结果 是四十二" \
+            or "四十二" in normalize_answer("这个结果，是：四十二。")
+
+    def test_exact_match(self):
+        from graph_rag_agent_ray.evaluate import exact_match
+        assert exact_match("The answer is 42.", "answer is 42") == 1.0
+        assert exact_match("### Heading\n\nanswer is 42", "Answer, is 42!") == 1.0
+        assert exact_match("answer is 43", "answer is 42") == 0.0
+        assert exact_match("", "answer") == 0.0
+
+    def test_answer_f1(self):
+        from graph_rag_agent_ray.evaluate import answer_f1
+        assert answer_f1("alpha beta gamma", "alpha beta gamma") == 1.0
+        assert answer_f1("", "") == 1.0
+        assert answer_f1("alpha beta", "") == 0.0
+        # half overlap: pred {alpha,beta}, golden {alpha,delta}
+        score = answer_f1("alpha beta", "alpha delta")
+        assert abs(score - 0.5) < 1e-9
+        # duplicates penalize precision (reference divides by list length)
+        assert answer_f1("alpha alpha beta", "alpha beta") < 1.0
