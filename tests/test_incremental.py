@@ -124,3 +124,49 @@ class TestValidator:
         cleaned, issues = repair_graph(tables2)
         assert issues["dangling_edges"] >= 2  # both endpoints unknown
         assert cleaned["edges"].count() == tables["edges"].count()
+
+
+class TestDocumentHashProperty:
+    def test_vectorized_equals_naive_and_span_order_insensitive(self, ray_session):
+        """The Arrow-vectorized document_hashes must equal a straightforward
+        per-row implementation, and be insensitive to span STORAGE order
+        (offset-lexsort) while sensitive to any content change."""
+        import hashlib
+        import pyarrow as pa
+        import graph_rag_agent_ray.schema as S
+
+        def naive(rows):
+            out = {}
+            for r in rows:
+                parts = []
+                for s in sorted(r["spans"] or [], key=lambda s: s["offset"]):
+                    parts.append("\x1e".join([s["kind"], s["text"],
+                                              s["media_ref"], str(s["offset"])]))
+                out[r["doc_id"]] = hashlib.sha256(
+                    "\x1f".join(parts).encode()).hexdigest()
+            return out
+
+        corpus = generate(n_docs=12, seed=9, media_rate=0.5)
+        rows = corpus.documents.to_pylist()
+        rows.append({"doc_id": "empty", "spans": []})
+        shuffled = [dict(r, spans=list(reversed(r["spans"]))) for r in rows]
+        tbl = pa.Table.from_pylist(rows, schema=S.DOCUMENTS)
+        tbl_shuf = pa.Table.from_pylist(shuffled, schema=S.DOCUMENTS)
+
+        got = dict(zip(*[document_hashes(rd.from_arrow(tbl)).to_pandas()[c]
+                         for c in ("doc_id", "content_hash")]))
+        got_shuf = dict(zip(*[document_hashes(rd.from_arrow(tbl_shuf)).to_pandas()[c]
+                              for c in ("doc_id", "content_hash")]))
+        assert got == naive(rows)
+        assert got == got_shuf  # storage order must not matter
+
+        mutated = [dict(r) for r in rows]
+        mutated[0] = dict(mutated[0], spans=[
+            dict(mutated[0]["spans"][0],
+                 text=mutated[0]["spans"][0]["text"] + "x")
+        ] + list(mutated[0]["spans"][1:]))
+        got_mut = dict(zip(*[document_hashes(
+            rd.from_arrow(pa.Table.from_pylist(mutated, schema=S.DOCUMENTS))
+        ).to_pandas()[c] for c in ("doc_id", "content_hash")]))
+        changed = [d for d in got if got_mut[d] != got[d]]
+        assert changed == [mutated[0]["doc_id"]]

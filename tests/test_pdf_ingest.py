@@ -135,3 +135,32 @@ class TestDocxIngest:
                 for r in read_directory(str(tmp_path)).take_all()}
         assert rows["a.docx"] == "段落一\npara two"
         assert rows["broken.docx"].startswith("[无法读取Word文档内容:")
+
+
+class TestPdfEdgeCases:
+    def test_octal_escape_and_crlf_stream(self):
+        """Octal escapes in literal strings, CRLF stream delimiters."""
+        from graph_rag_agent_ray.sources.pdf import extract_pdf_pages
+        content = b"BT (A\\101\\x) Tj ET"  # \101 = 'A'; stray \x drops backslash
+        data = b"".join([
+            b"%PDF-1.4\n",
+            _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+            _obj(4, b"<< /Length %d >>" % len(content)
+                 + b"\nstream\r\n" + content + b"\r\nendstream"),
+            b"%%EOF\n",
+        ])
+        pages = extract_pdf_pages(data)
+        assert pages == ["AAx"]
+
+    def test_page_without_contents(self):
+        from graph_rag_agent_ray.sources.pdf import extract_pdf_pages
+        data = b"".join([
+            b"%PDF-1.4\n",
+            _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            _obj(3, b"<< /Type /Page /Parent 2 0 R >>"),
+            b"%%EOF\n",
+        ])
+        assert extract_pdf_pages(data) == [""]
