@@ -352,12 +352,20 @@ def _parts_table(parts_pdf: pd.DataFrame) -> pa.Table:
 
 def _member_levels_from_table(pdf: pd.DataFrame) -> Dict[str, list]:
     """Inverse of communities.community_membership_table — rebuild the
-    entity_id -> [community number per level] dict from the snapshot."""
+    entity_id -> [community number per level] dict from the snapshot.
+    Vectorized boundary split: a pandas groupby-per-entity here cost ~4 s on
+    a 47k-entity cache-hit tick (it runs on EVERY tick that hits the
+    membership cache — the hot path of a metadata-only update)."""
+    import numpy as np
     if pdf.empty or "entity_id" not in pdf.columns:
         return {}
     pdf = pdf.sort_values(["entity_id", "level"], kind="stable")
-    return {e: g["community_number"].tolist()
-            for e, g in pdf.groupby("entity_id", sort=False)}
+    ents = pdf["entity_id"].to_numpy()
+    nums = pdf["community_number"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, ents[1:] != ents[:-1]])
+    bounds = np.r_[starts, len(ents)]
+    return {ents[i]: [int(x) for x in nums[i:j]]
+            for i, j in zip(bounds[:-1], bounds[1:])}
 
 
 def communities_and_entities(
@@ -402,11 +410,12 @@ def communities_and_entities(
     _t_fp = _time.monotonic() - _t - _t_collect
     member_levels = None
     detect_cached = False
+    cached_membership_pdf = None
     if graph_fp is not None:
         for src in (store, prev):
             if src is not None and src.is_complete("membership", graph_fp):
-                member_levels = _member_levels_from_table(
-                    src.read("membership").to_pandas())
+                cached_membership_pdf = src.read("membership").to_pandas()
+                member_levels = _member_levels_from_table(cached_membership_pdf)
                 detect_cached = True
                 break
     n_carried = n_detected = 0
@@ -447,11 +456,17 @@ def communities_and_entities(
                    components_carried=n_carried,
                    components_detected=n_detected)
     if membership_ds is None:
-        membership_tbl = CM.community_membership_table(member_levels)
-        if graph_fp is not None and not store.is_complete("membership", graph_fp):
-            store.write("membership", ray.data.from_arrow(membership_tbl),
-                        graph_fp)
-        membership_pdf = membership_tbl.to_pandas()
+        if cached_membership_pdf is not None:
+            # cache hit: the snapshot IS the membership table — don't
+            # re-explode the dict we just rebuilt from it
+            membership_pdf = cached_membership_pdf
+        else:
+            membership_tbl = CM.community_membership_table(member_levels)
+            if graph_fp is not None and not store.is_complete(
+                    "membership", graph_fp):
+                store.write("membership", ray.data.from_arrow(membership_tbl),
+                            graph_fp)
+            membership_pdf = membership_tbl.to_pandas()
         # one distributed aggregate over the big mentions side; everything
         # else in the community chain is community-count-sized
         ranks = CM.community_ranks(membership_pdf, mentions_canon)
