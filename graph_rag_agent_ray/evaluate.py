@@ -179,3 +179,38 @@ def answer_f1(prediction: str, golden: str, tokenizer=None) -> float:
     if precision + recall == 0:
         return 0.0
     return 2 * precision * recall / (precision + recall)
+
+
+# ---------------------------------------------------------------------------
+# metric registry (reference evaluator/core/base_evaluator.py:47-66 pattern:
+# metrics auto-register under a name and an evaluator computes a selected
+# subset by name — here a decorator registry instead of a subclass scan)
+# ---------------------------------------------------------------------------
+
+METRICS: dict = {}
+
+
+def register_metric(name: str):
+    def deco(fn):
+        METRICS[name] = fn
+        return fn
+    return deco
+
+
+register_metric("em")(exact_match)
+register_metric("f1")(answer_f1)
+
+
+def evaluate_answers(system_answers, golden_answers,
+                     metrics=("em", "f1")) -> dict:
+    """Composite answer evaluation (composite_evaluator.py shape): per-metric
+    mean over aligned (system, golden) pairs + per-sample scores."""
+    out = {}
+    for name in metrics:
+        fn = METRICS[name]
+        scores = [fn(p, g) for p, g in zip(system_answers, golden_answers)]
+        out[name] = {
+            "mean": (sum(scores) / len(scores)) if scores else 0.0,
+            "scores": scores,
+        }
+    return out

@@ -324,3 +324,18 @@ class TestAnswerMetrics:
         assert abs(score - 0.5) < 1e-9
         # duplicates penalize precision (reference divides by list length)
         assert answer_f1("alpha alpha beta", "alpha beta") < 1.0
+
+    def test_metric_registry_and_composite(self):
+        from graph_rag_agent_ray.evaluate import METRICS, evaluate_answers, register_metric
+        assert {"em", "f1"} <= set(METRICS)
+        out = evaluate_answers(["answer is 42", "wrong entirely"],
+                               ["Answer, is 42!", "totally different words"])
+        assert out["em"]["scores"] == [1.0, 0.0]
+        assert out["em"]["mean"] == 0.5
+        assert out["f1"]["scores"][0] == 1.0
+
+        @register_metric("len_ratio")
+        def _lr(p, g):
+            return min(len(p), len(g)) / max(len(p), len(g), 1)
+        out2 = evaluate_answers(["ab"], ["abcd"], metrics=("len_ratio",))
+        assert out2["len_ratio"]["scores"] == [0.5]
