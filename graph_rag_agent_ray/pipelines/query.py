@@ -616,3 +616,108 @@ def global_search_mapreduce(
     answer = call_with_retry(reduce_client, msgs, retries=retries,
                              backoff_s=0.0)
     return {"answer": answer, "intermediate": inter}
+
+
+# ---------------------------------------------------------------------------
+# DeepResearch think-search-reason loop
+# ---------------------------------------------------------------------------
+
+BEGIN_SEARCH_QUERY = "<|begin_search_query|>"
+END_SEARCH_QUERY = "<|end_search_query|>"
+BEGIN_SEARCH_RESULT = "<|begin_search_result|>"
+END_SEARCH_RESULT = "<|end_search_result|>"
+
+REASON_SYSTEM_PROMPT = (
+    "你是一个推理助手，可以使用搜索工具搜索知识库来回答用户的问题。\n"
+    f"- 要执行搜索：请写 {BEGIN_SEARCH_QUERY} 你的查询内容 {END_SEARCH_QUERY}。\n"
+    f"系统会以 {BEGIN_SEARCH_RESULT} ...搜索结果... {END_SEARCH_RESULT} 提供有用信息。\n"
+    "获得足够的信息后，继续你的推理并给出 **回答**。"
+)
+
+
+def _extract_tagged_queries(text: str) -> list:
+    import re
+    pat = re.escape(BEGIN_SEARCH_QUERY) + r"(.*?)" + re.escape(END_SEARCH_QUERY)
+    return [q.strip() for q in re.findall(pat, text, flags=re.DOTALL)
+            if q.strip()]
+
+
+def deep_research(
+    tables: Dict[str, "ray.data.Dataset"], query: str, client,
+    max_iterations: int = 5, k_chunks: int = 3,
+    cfg: KGConfig | None = None, retries: int = 3, backoff_s: float = 0.0,
+) -> Dict[str, object]:
+    """The DeepResearch think-search-reason loop re-expressed over the built
+    tables (reference: search/tool/deep_research_tool.py:433-660 driving
+    reasoning/thinking.py:626-680, tag contract config/reasoning_prompts.py:
+    3-14). Per iteration the chat client continues the reasoning; tagged
+    ``<|begin_search_query|>`` queries are extracted, deduplicated against
+    already-executed ones (:553-557), answered by hybrid retrieval over the
+    KG tables (the kb_retrieve analog, :185-316), condensed by an
+    info-extraction call (:403-420), and fed back as tagged results. The
+    loop stops on answer-ready markers (thinking.py:654-661: no queries +
+    ``**回答**``/``足够的信息``), on no-new-queries, or at max_iterations;
+    a final call produces the answer from the accumulated evidence
+    (:357-385). The client is injectable (scripted/offline in tests)."""
+    from ..stages.llm import call_with_retry
+
+    cfg = cfg or KGConfig()
+    history: list = [{"role": "user", "content": f"问题: {query}"}]
+    thinking: list = []
+    executed: set = set()
+    all_retrieved: list = []
+    executed_order: list = []
+    status = "max_iterations"
+
+    for _iteration in range(max_iterations):
+        msgs = [{"role": "system", "content": REASON_SYSTEM_PROMPT}] + history
+        reply = call_with_retry(client, msgs, retries=retries,
+                                backoff_s=backoff_s)
+        if not reply:
+            status = "empty"
+            break
+        thinking.append(reply)
+        history.append({"role": "assistant", "content": reply})
+        queries = _extract_tagged_queries(reply)
+        if not queries:
+            if "**回答**" in reply or "足够的信息" in reply:
+                status = "answer_ready"
+            else:
+                status = "no_query"
+            break
+        for q in queries:
+            if q in executed:
+                note = (f"\n{BEGIN_SEARCH_RESULT}\n已搜索过该查询。"
+                        f"请参考前面的结果。\n{END_SEARCH_RESULT}\n")
+                history.append({"role": "user", "content": note})
+                continue
+            executed.add(q)
+            executed_order.append(q)
+            hits = hybrid_search(tables, q, k_chunks=k_chunks, cfg=cfg)
+            chunks = hits.get("chunks")
+            evidence = "\n".join(
+                str(t) for t in (chunks["text"] if chunks is not None
+                                 and "text" in chunks else [])[:k_chunks])
+            info = call_with_retry(client, [
+                {"role": "user", "content":
+                    f'基于当前的搜索查询"{q}"和前面的推理步骤，'
+                    f"分析每个知识来源并找出有用信息。\n{evidence}"},
+            ], retries=retries, backoff_s=backoff_s)
+            all_retrieved.append(info or evidence)
+            history.append({"role": "user", "content":
+                            f"\n{BEGIN_SEARCH_RESULT}\n{info or evidence}\n"
+                            f"{END_SEARCH_RESULT}\n"})
+
+    final = call_with_retry(client, [
+        {"role": "user", "content":
+            f"问题：{query}\n\n检索到的信息：\n" + "\n".join(all_retrieved)
+            + "\n\n思考过程：\n" + "\n".join(thinking)
+            + "\n\n请给出最终回答。"},
+    ], retries=retries, backoff_s=backoff_s)
+    return {
+        "answer": final,
+        "thinking": "\n".join(thinking),
+        "retrieved": all_retrieved,
+        "queries": executed_order,
+        "status": status,
+    }

@@ -225,3 +225,63 @@ class TestHybridSearchKeywordSeam:
             backoff_s=0.0)
         out = hybrid_search(tables, query, keyword_extractor=ex)
         assert target in set(out["low_entities"]["entity_id"])
+
+
+class TestDeepResearch:
+    def test_think_search_reason_loop(self, built):
+        """Scripted-client drive of the full loop: iteration 1 emits a tagged
+        search query (+ a duplicate of it), the retrieval + info-extraction
+        round-trips, iteration 2 declares answer-ready, and the final call
+        produces the answer from the accumulated evidence."""
+        from graph_rag_agent_ray.pipelines.query import (
+            BEGIN_SEARCH_QUERY, BEGIN_SEARCH_RESULT, END_SEARCH_QUERY,
+            deep_research)
+        corpus, tables = built
+        target = corpus.alias_groups.column("canonical_id")[0].as_py()
+
+        class Scripted:
+            def __init__(self):
+                self.calls = []
+                self.replies = [
+                    f"我需要查找。{BEGIN_SEARCH_QUERY}{target}{END_SEARCH_QUERY}"
+                    f"{BEGIN_SEARCH_QUERY}{target}{END_SEARCH_QUERY}",  # dup
+                    f"从证据中：{target} 出现于语料。",   # info extraction
+                    "已有足够的信息。**回答**",          # answer-ready turn
+                    "最终答案：确认。",                   # final answer
+                ]
+
+            def complete(self, messages):
+                self.calls.append(messages)
+                return self.replies.pop(0)
+
+        client = Scripted()
+        out = deep_research(tables, f"tell me about {target}", client,
+                            max_iterations=4)
+        assert out["status"] == "answer_ready"
+        assert out["queries"] == [target]          # dup deduplicated
+        assert out["answer"] == "最终答案：确认。"
+        assert out["retrieved"] and target in out["retrieved"][0]
+        # the dedupe note was fed back into the history of the second turn
+        third_turn_msgs = client.calls[2]
+        assert any(BEGIN_SEARCH_RESULT in m["content"] and "已搜索过该查询"
+                   in m["content"] for m in third_turn_msgs)
+
+    def test_no_query_stop_and_empty_client(self, built):
+        from graph_rag_agent_ray.pipelines.query import deep_research
+        _corpus, tables = built
+
+        class NoQuery:
+            def complete(self, messages):
+                return "我直接推理，不需要搜索。"
+
+        out = deep_research(tables, "anything", NoQuery(), max_iterations=3)
+        assert out["status"] == "no_query"
+        assert out["queries"] == []
+
+        class Failing:
+            def complete(self, messages):
+                raise RuntimeError("api down")
+
+        out2 = deep_research(tables, "anything", Failing(), max_iterations=2)
+        assert out2["status"] == "empty"
+        assert out2["answer"] == ""   # retry ladder exhausted -> sentinel
