@@ -119,12 +119,31 @@ def document_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
+MAX_DRIVER_REGISTRY_ROWS = 5_000_000
+
+
 def compute_delta(
     old_registry: "ray.data.Dataset", new_registry: "ray.data.Dataset"
 ) -> "ray.data.Dataset":
-    """Distributed registry diff → (doc_id, status) with status in
-    {added, modified, deleted, unchanged}. Hash-bucket shuffle on doc_id —
-    no driver-side materialization of either registry."""
+    """Registry diff → (doc_id, status) with status in {added, modified,
+    deleted, unchanged}. Registries are (doc_id, hash) scalars — tiny per
+    doc — so below MAX_DRIVER_REGISTRY_ROWS the diff is ONE driver merge
+    (the hash-bucket shuffle's fixed cost dwarfs the work at this size);
+    beyond the guard the distributed shuffle runs, no driver-side
+    materialization of either registry."""
+    if old_registry.count() + new_registry.count() <= MAX_DRIVER_REGISTRY_ROWS:
+        old = old_registry.to_pandas().rename(columns={"content_hash": "old"})
+        new = new_registry.to_pandas().rename(columns={"content_hash": "new"})
+        piv = old.merge(new, on="doc_id", how="outer")
+        status = pd.Series("unchanged", index=piv.index)
+        status[piv["old"].isna()] = "added"
+        status[piv["new"].isna()] = "deleted"
+        changed = piv["old"].notna() & piv["new"].notna() & (piv["old"] != piv["new"])
+        status[changed] = "modified"
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(piv["doc_id"], pa.string()),
+            "status": pa.array(status, pa.string()),
+        }))
 
     def tag(which: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -345,18 +364,8 @@ def _delta_graph_build(
 
     # ---- touched surfaces: mention multiset changed for exactly the
     # surfaces seen in fresh mentions or in removed docs' prior mentions ----
-    # (two independent delta-sized collects — overlap them; each Dataset
-    # execution carries ~1 s of fixed scheduler cost)
     t0 = time.monotonic()
-    prev_mentions_removed = _filter_by_docs(
-        prev.read("mentions", columns=["doc_id", "entity_surface"]), removed_ref)
-    with ThreadPoolExecutor(max_workers=2) as scans:
-        f_fresh = scans.submit(
-            _distinct_norm_surfaces, mentions_fresh, "entity_surface")
-        f_removed = scans.submit(
-            _distinct_norm_surfaces, prev_mentions_removed, "entity_surface")
-        touched = f_fresh.result() | f_removed.result()
-    touched_ref = ray.put(pa.array(sorted(touched), pa.string()))
+    touched_fresh = _distinct_norm_surfaces(mentions_fresh, "entity_surface")
     # dense-vocabulary decision: when the touched set covers most of the
     # previous vocabulary (low-cardinality corpora — every doc reuses the
     # same few hundred surfaces), the carry-over filters scan every row only
@@ -364,10 +373,26 @@ def _delta_graph_build(
     # full re-aggregate. Bypass to fresh-build semantics for the entity and
     # edge aggregates (identical output — they are pure functions of the
     # merged inputs); per-doc stages above stay delta-scoped regardless.
+    # The decision reads the FRESH side only (touched_fresh ⊆ touched, so
+    # fresh-dense ⇒ dense): in dense mode the removed-doc mention scan —
+    # the one corpus-sized execution in this section — is never needed
+    # (its only consumers are the sparse-path filters, and existence churn
+    # comes from the vocabulary diff below). A deletion-heavy tick with a
+    # small fresh side conservatively takes the sparse path.
     prev_vocab = prev.read("entities_embedded", columns=["norm_surface"]).count()
-    dense = len(touched) >= max(
+    dense = len(touched_fresh) >= max(
         cfg.incremental_dense_min,
         int(prev_vocab * cfg.incremental_dense_fraction))
+    if dense:
+        touched = touched_fresh
+        touched_ref = None  # no sparse-path filter ever runs in dense mode
+    else:
+        prev_mentions_removed = _filter_by_docs(
+            prev.read("mentions", columns=["doc_id", "entity_surface"]),
+            removed_ref)
+        touched = touched_fresh | _distinct_norm_surfaces(
+            prev_mentions_removed, "entity_surface")
+        touched_ref = ray.put(pa.array(sorted(touched), pa.string()))
     _record("touched_surfaces", t0, n_touched=len(touched),
             prev_vocab=int(prev_vocab), dense_bypass=dense)
 
@@ -419,26 +444,41 @@ def _delta_graph_build(
     pair_cols = ["block_key", "a", "b", "n_a", "n_b"]
     bits = C.auto_blocking_bits(embedded.count(), cfg)
     prev_bits = (prev.manifest("canon_pairs") or {}).get("blocking_bits")
-    # (norm_surface, n_mentions) for the touched slice of the NEW vocabulary:
-    # one touched-sized collect serving the existence split + count patch.
-    # Both presence scans are independent touched-sized collects — run them
-    # concurrently (each execution carries ~1 s of scheduler fixed cost that
-    # would otherwise serialize into the update's critical path)
+    # (norm_surface, n_mentions) serving the existence split + count patch.
+    # Sparse: two touched-sized filter collects, run concurrently (each
+    # execution carries ~1 s of scheduler fixed cost that would otherwise
+    # serialize into the update's critical path). Dense: the touched set ≈
+    # the vocabulary, so collect BOTH vocabularies unfiltered (entity-scale)
+    # — existence churn is exactly their symmetric difference (a surface
+    # enters/leaves the vocabulary only by a mention change, which makes it
+    # touched), and the count patch over the full new vocabulary is a no-op
+    # for surfaces whose counts did not change.
     with ThreadPoolExecutor(max_workers=2) as scans:
-        f_new = scans.submit(
-            lambda: _filter_col_in(embedded, touched_ref, "norm_surface")
-            .select_columns(["norm_surface", "n_mentions"]).to_pandas())
-        f_prev = scans.submit(
-            lambda: _filter_col_in(
-                prev.read("entities_embedded", columns=["norm_surface"]),
-                touched_ref, "norm_surface").to_pandas())
+        if dense:
+            f_new = scans.submit(
+                lambda: embedded.select_columns(
+                    ["norm_surface", "n_mentions"]).to_pandas())
+            f_prev = scans.submit(
+                lambda: prev.read("entities_embedded",
+                                  columns=["norm_surface"]).to_pandas())
+        else:
+            f_new = scans.submit(
+                lambda: _filter_col_in(embedded, touched_ref, "norm_surface")
+                .select_columns(["norm_surface", "n_mentions"]).to_pandas())
+            f_prev = scans.submit(
+                lambda: _filter_col_in(
+                    prev.read("entities_embedded", columns=["norm_surface"]),
+                    touched_ref, "norm_surface").to_pandas())
         touched_new_pdf = f_new.result()
         prev_present_pdf = f_prev.result()
     new_present = (set(touched_new_pdf["norm_surface"])
                    if len(touched_new_pdf) else set())
     prev_present = (set(prev_present_pdf["norm_surface"])
                     if len(prev_present_pdf) else set())
-    existence_touched = touched - (new_present & prev_present)
+    if dense:
+        existence_touched = new_present ^ prev_present
+    else:
+        existence_touched = touched - (new_present & prev_present)
     # carried pairs are only valid under the SAME block-key scheme — a
     # vocabulary-growth step that changes the auto bits forces a full re-pair
     scoped = (prev_bits == bits
