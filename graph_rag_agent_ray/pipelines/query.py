@@ -721,3 +721,93 @@ def deep_research(
         "queries": executed_order,
         "status": status,
     }
+
+
+class QueryGenerator:
+    """Sub-query / follow-up / hypothesis generation for the research loop
+    (reference: search/tool/reasoning/search.py:218-350), with its parsing
+    ladders made safe: the bracketed python-list reply parses via
+    ``ast.literal_eval`` (the reference uses ``eval``), numbered / dashed /
+    line-split fallbacks for hypotheses, original-query / empty-list
+    defaults on any failure. Chat client injectable as everywhere else."""
+
+    SUB_QUERY_PROMPT = (
+        "将下面的问题分解为2-4个可独立检索的子问题，"
+        "以python列表形式返回（如 [\"子问题1\", \"子问题2\"]）。\n问题: {q}"
+    )
+    FOLLOWUP_PROMPT = (
+        "原始问题: {q}\n已检索到的信息:\n{info}\n\n"
+        "若仍有缺口，给出1-3个跟进查询，以python列表形式返回；"
+        "信息已充分则返回 []。"
+    )
+    HYPOTHESIS_PROMPT = (
+        "为以下问题生成2-3个可能的假设，代表不同角度或思路，"
+        "每个假设简短明了，以列表形式返回。\n问题: \"{q}\""
+    )
+
+    def __init__(self, client, retries: int = 3, backoff_s: float = 0.0):
+        self._client = client
+        self._retries = retries
+        self._backoff = backoff_s
+
+    def _ask(self, prompt: str) -> str:
+        from ..stages.llm import call_with_retry
+        return call_with_retry(
+            self._client, [{"role": "user", "content": prompt}],
+            retries=self._retries, backoff_s=self._backoff)
+
+    @staticmethod
+    def _parse_list(content: str):
+        import ast
+        import re
+        m = re.search(r"\[.*\]", content or "", re.DOTALL)
+        if not m:
+            return None
+        try:
+            out = ast.literal_eval(m.group(0))
+        except (ValueError, SyntaxError):
+            return None
+        return [str(q) for q in out] if isinstance(out, list) else None
+
+    def generate_sub_queries(self, original_query: str) -> list:
+        """search.py:218-247 — bracketed-list parse, else [original]."""
+        out = self._parse_list(self._ask(
+            self.SUB_QUERY_PROMPT.format(q=original_query)))
+        return out if out else [original_query]
+
+    def generate_followup_queries(self, original_query: str,
+                                  retrieved_info: list) -> list:
+        """search.py:304-350 — needs ≥2 retrieved snippets (else []); uses
+        the most recent 3; deduped bracketed-list parse, else []."""
+        if not retrieved_info or len(retrieved_info) < 2:
+            return []
+        info = "\n\n".join(str(x) for x in retrieved_info[-3:])
+        out = self._parse_list(self._ask(
+            self.FOLLOWUP_PROMPT.format(q=original_query, info=info)))
+        if not out:
+            return []
+        seen, uniq = set(), []
+        for q in out:
+            if q not in seen:
+                seen.add(q)
+                uniq.append(q)
+        return uniq
+
+    def generate_multiple_hypotheses(self, query: str) -> list:
+        """search.py:249-300 — numbered list → dashed list → long-line
+        fallback, max 3."""
+        import re
+        content = self._ask(self.HYPOTHESIS_PROMPT.format(q=query)) or ""
+        numbered = [m.strip() for m in
+                    re.findall(r"\d+\.\s*(.*?)(?=\d+\.|$)", content, re.DOTALL)
+                    if m.strip()]
+        if numbered:
+            return numbered[:3]
+        dashed = [m.strip() for m in
+                  re.findall(r"-\s*(.*?)(?=-|$)", content, re.DOTALL)
+                  if m.strip()]
+        if dashed:
+            return dashed[:3]
+        lines = [ln.strip() for ln in content.split("\n") if ln.strip()]
+        return [ln for ln in lines
+                if len(ln) > 10 and not ln.startswith(("假设", "以下是"))][:3]

@@ -285,3 +285,44 @@ class TestDeepResearch:
         out2 = deep_research(tables, "anything", Failing(), max_iterations=2)
         assert out2["status"] == "empty"
         assert out2["answer"] == ""   # retry ladder exhausted -> sentinel
+
+
+class TestQueryGenerator:
+    def _gen(self, replies):
+        from graph_rag_agent_ray.pipelines.query import QueryGenerator
+
+        class Scripted:
+            def __init__(self, rs):
+                self.rs = list(rs)
+
+            def complete(self, messages):
+                return self.rs.pop(0)
+
+        return QueryGenerator(Scripted(replies), backoff_s=0.0)
+
+    def test_sub_queries_list_and_fallback(self):
+        g = self._gen(['好的：["谁是A？", "A在哪里？"]'])
+        assert g.generate_sub_queries("关于A") == ["谁是A？", "A在哪里？"]
+        g2 = self._gen(["no list here"])
+        assert g2.generate_sub_queries("关于A") == ["关于A"]
+
+    def test_followups_need_two_snippets_and_dedupe(self):
+        g = self._gen([])
+        assert g.generate_followup_queries("q", ["only one"]) == []
+        g2 = self._gen(['["x", "x", "y"]'])
+        assert g2.generate_followup_queries("q", ["a", "b"]) == ["x", "y"]
+        g3 = self._gen(["[]"])
+        assert g3.generate_followup_queries("q", ["a", "b"]) == []
+
+    def test_hypotheses_parsing_ladder(self):
+        g = self._gen(["1. 角度一的假设 2. 角度二的假设"])
+        assert g.generate_multiple_hypotheses("q") == ["角度一的假设", "角度二的假设"]
+        g2 = self._gen(["- 第一种思路继续 - 第二种思路继续"])
+        assert g2.generate_multiple_hypotheses("q") == ["第一种思路继续", "第二种思路继续"]
+        g3 = self._gen(["以下是假设\n这一行足够长可以当作假设内容\n短行"])
+        assert g3.generate_multiple_hypotheses("q") == ["这一行足够长可以当作假设内容"]
+
+    def test_malicious_list_is_not_evaled(self):
+        # the reference uses eval(); ours must not execute expressions
+        g = self._gen(['["ok", __import__("os").getpid()]'])
+        assert g.generate_sub_queries("q") == ["q"]
