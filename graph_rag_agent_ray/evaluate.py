@@ -122,15 +122,18 @@ def subgraph_quality_stats(membership: pd.DataFrame,
 # ---------------------------------------------------------------------------
 
 def normalize_answer(s: str) -> str:
-    """Reference evaluator text normalization
-    (evaluator/utils/text_utils.py:5-30): strip zh/en articles, drop ASCII +
-    CJK punctuation, lowercase, collapse whitespace."""
+    """Reference evaluator text normalization — the exact op ORDER of
+    text_utils.py:28: lower → remove punctuation → remove articles →
+    whitespace fix. Order matters: stripping punctuation first fuses
+    "a.m." into "am" so the article regex does not mistake its "a" for an
+    article ("a.m. meeting" → "am meeting", not "m meeting")."""
     import re
     import string
 
-    s = re.sub(r"\b(a|an|the|一个|一种|这个|那个)\b", " ", s.lower())
+    s = s.lower()
     exclude = set(string.punctuation + "，。！？《》【】""''：；（）、")
     s = "".join(ch for ch in s if ch not in exclude)
+    s = re.sub(r"\b(a|an|the|一个|一种|这个|那个)\b", " ", s)
     return " ".join(s.split())
 
 

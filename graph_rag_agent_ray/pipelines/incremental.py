@@ -80,7 +80,13 @@ def document_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     Vectorized: per-span strings come from one Arrow join kernel over the
     flattened struct fields; the only per-row Python work is the final join +
-    sha256 (the hash itself is inherently per-row)."""
+    sha256 (the hash itself is inherently per-row). The encoding is
+    INJECTIVE — every variable-length field is length-prefixed, so field and
+    span boundaries decode unambiguously even when a text contains the
+    delimiter bytes (a bare delimiter join would let crafted texts alias a
+    different span sequence and misclassify an edit as 'unchanged'). The
+    format is only ever compared against registries written by the same
+    code version (old vs new registry within one tick)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -92,12 +98,19 @@ def document_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         n = pc.fill_null(pc.list_value_length(spans), 0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         off = flat.field("offset")
+
+        def framed(col) -> "pa.Array":
+            s = pc.cast(col, pa.string())
+            s = pc.fill_null(s, "\x00")
+            return pc.binary_join_element_wise(
+                pc.cast(pc.utf8_length(s), pa.string()), s, ":")
+
         span_str = pc.binary_join_element_wise(
-            pc.cast(flat.field("kind"), pa.string()),
-            pc.cast(flat.field("text"), pa.string()),
-            pc.cast(flat.field("media_ref"), pa.string()),
+            framed(flat.field("kind")),
+            framed(flat.field("text")),
+            framed(flat.field("media_ref")),
             pc.cast(off, pa.string()),
-            "\x1e", null_handling="replace", null_replacement="\x00")
+            "\x1e")
         svals = np.asarray(span_str.to_pylist(), dtype=object)
         if len(svals):
             # offset-order within each row (storage order already is, for

@@ -302,7 +302,9 @@ def hybrid_search(
     cfg = cfg or KGConfig()
     if keyword_extractor is not None:
         kw = keyword_extractor.extract(query)
-        keywords = {normalize_surface(w)
+        # str() both in the guard AND the normalize: the LLM list may hold
+        # non-string elements (e.g. a bare year) — degrade, don't crash
+        keywords = {normalize_surface(str(w))
                     for w in (kw["low_level"] + kw["high_level"])
                     if len(str(w)) > 2}
     else:

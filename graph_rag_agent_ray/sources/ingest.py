@@ -213,7 +213,6 @@ def read_docx_documents(paths) -> "ray.data.Dataset":
 
 SUPPORTED_DISPATCH_EXTS = (".txt", ".md", ".csv", ".json", ".jsonl",
                            ".yaml", ".yml", ".pdf", ".docx", ".doc")
-GATED_DISPATCH_EXTS = ()  # every reference format now decodes or sentinels
 
 
 def read_directory(directory, file_extensions=None,
@@ -233,14 +232,15 @@ def read_directory(directory, file_extensions=None,
     yaml re-dumped ``yaml.dump(allow_unicode=True)`` (:376-386). Decode
     failures yield the reference's bracketed error sentinel text rather
     than dropping the file. PDFs decode via pypdf when importable, else the
-    vendored extractor (sources/pdf.py). Gated binary formats (.docx/.doc) are
-    logged and skipped — the reference logs-and-continues on reader errors
-    (:119-124)."""
+    vendored extractor (sources/pdf.py); .docx via python-docx or the
+    vendored OOXML extractor (sources/docx.py); legacy .doc ends in the
+    reference's warning sentinel — every reference format decodes or
+    sentinels, none is silently skipped."""
     import logging
 
     log = logging.getLogger(__name__)
     wanted = tuple(e.lower() for e in (file_extensions or SUPPORTED_DISPATCH_EXTS))
-    paths, gated = [], []
+    paths = []
     if recursive:
         walker = os.walk(directory)
     else:
@@ -250,22 +250,12 @@ def read_directory(directory, file_extensions=None,
     for root, _dirs, files in walker:
         for f in sorted(files):
             ext = os.path.splitext(f)[1].lower()
-            p = os.path.join(root, f)
             if ext in wanted and ext in SUPPORTED_DISPATCH_EXTS:
-                paths.append(p)
-            elif ext in GATED_DISPATCH_EXTS and (file_extensions is None
-                                                 or ext in wanted):
-                gated.append(p)
-    if gated:
-        log.warning(
-            "read_directory: skipping %d gated binary files (%s) — docx/doc "
-            "codec libs are unavailable; plug a decoder into "
-            "read_binary_files → map_batches to enable them",
-            len(gated), ", ".join(sorted({os.path.splitext(g)[1] for g in gated})))
+                paths.append(os.path.join(root, f))
     if not paths:
         msg = (f"read_directory: no ingestible files under {directory!r} "
-               f"(wanted extensions {wanted}; {len(gated)} gated binary "
-               "files skipped) — a KG build over this input would be empty")
+               f"(wanted extensions {wanted}) — a KG build over this "
+               "input would be empty")
         if strict:
             raise ValueError(msg)
         log.warning(msg)

@@ -51,9 +51,10 @@ def _unescape_literal(raw: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if nxt in b"01234567":  # octal escape, up to 3 OCTAL digits —
+                # \8/\9 are not octal: the spec drops the backslash instead
                 j = i + 1
-                while j < min(i + 4, len(raw)) and raw[j:j + 1].isdigit():
+                while j < min(i + 4, len(raw)) and raw[j:j + 1] in b"01234567":
                     j += 1
                 out.append(int(raw[i + 1:j], 8) & 0xFF)
                 i = j

@@ -797,16 +797,18 @@ def summarize_communities_distributed(
                    lcols=["src", "dst", "pred", "level", "_c_src"],
                    rcols=["dst", "level", "_c_dst"])
 
+    # member and edge rows co-shuffle as one tagged table; the edge's three
+    # fields stay SEPARATE columns (packing them into one delimited string
+    # breaks when an entity id itself contains the delimiter byte — the
+    # driver-local path handles such ids fine, so must this one)
     def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
         intra = df[df["_c_src"] == df["_c_dst"]]
         return pd.DataFrame({
             "community_id": intra["_c_src"],
             "level": -1,  # digest level comes from member rows
             "kind": "e",
-            # tuple-order-preserving join: \x1f sorts below all printable
-            # chars, so string order == (src, dst, pred) tuple order
-            "payload": intra["src"] + "\x1f" + intra["dst"] + "\x1f"
-            + intra["pred"],
+            "p_src": intra["src"], "p_dst": intra["dst"],
+            "p_pred": intra["pred"],
         })
 
     def tag_members(df: pd.DataFrame) -> pd.DataFrame:
@@ -814,7 +816,7 @@ def summarize_communities_distributed(
             "community_id": df["community_id"],
             "level": df["level"].astype("int64"),
             "kind": "m",
-            "payload": df["entity_id"],
+            "p_src": df["entity_id"], "p_dst": "", "p_pred": "",
         })
 
     both = membership_ds.map_batches(tag_members, batch_format="pandas").union(
@@ -826,10 +828,10 @@ def summarize_communities_distributed(
         rows = []
         for cid, g in df.groupby("community_id", sort=False):
             mrows = g[g["kind"] == "m"]
-            members = sorted(mrows["payload"])
+            members = sorted(mrows["p_src"])
             level = int(mrows["level"].iloc[0]) if len(mrows) else 0
-            rels = sorted(tuple(p.split("\x1f"))
-                          for p in g.loc[g["kind"] == "e", "payload"])
+            e = g[g["kind"] == "e"]
+            rels = sorted(zip(e["p_src"], e["p_dst"], e["p_pred"]))
             full = (
                 "Nodes are: " + "; ".join(members[:200])
                 + ". Relationships are: "

@@ -140,8 +140,11 @@ class TestDocumentHashProperty:
             for r in rows:
                 parts = []
                 for s in sorted(r["spans"] or [], key=lambda s: s["offset"]):
-                    parts.append("\x1e".join([s["kind"], s["text"],
-                                              s["media_ref"], str(s["offset"])]))
+                    parts.append("\x1e".join([
+                        f"{len(s['kind'])}:{s['kind']}",
+                        f"{len(s['text'])}:{s['text']}",
+                        f"{len(s['media_ref'])}:{s['media_ref']}",
+                        str(s["offset"])]))
                 out[r["doc_id"]] = hashlib.sha256(
                     "\x1f".join(parts).encode()).hexdigest()
             return out
@@ -170,3 +173,24 @@ class TestDocumentHashProperty:
         ).to_pandas()[c] for c in ("doc_id", "content_hash")]))
         changed = [d for d in got if got_mut[d] != got[d]]
         assert changed == [mutated[0]["doc_id"]]
+
+    def test_delimiter_bytes_in_text_stay_injective(self, ray_session):
+        """Length-prefixed framing: texts containing the encoding's delimiter
+        bytes must not alias a different span layout."""
+        import pyarrow as pa
+        import graph_rag_agent_ray.schema as S
+
+        def doc(doc_id, spans):
+            return {"doc_id": doc_id, "spans": [
+                {"kind": "text", "text": t, "media_ref": m, "offset": o}
+                for t, m, o in spans]}
+
+        rows = [
+            doc("a", [("x\x1ey", "", 0)]),
+            doc("b", [("x", "y", 0)]),
+            doc("c", [("x\x1fy", "", 0)]),
+            doc("d", [("x", "", 0), ("y", "", 2)]),
+        ]
+        tbl = pa.Table.from_pylist(rows, schema=S.DOCUMENTS)
+        got = document_hashes(rd.from_arrow(tbl)).to_pandas()
+        assert got["content_hash"].nunique() == 4

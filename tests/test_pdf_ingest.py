@@ -164,3 +164,9 @@ class TestPdfEdgeCases:
             b"%%EOF\n",
         ])
         assert extract_pdf_pages(data) == [""]
+
+    def test_backslash_eight_is_not_octal(self):
+        from graph_rag_agent_ray.sources.pdf import _unescape_literal
+        assert _unescape_literal(rb"a\8b") == b"a8b"
+        assert _unescape_literal(rb"a\101b") == b"aAb"
+        assert _unescape_literal(rb"a\12") == b"a\nb"[:2] + b""  # \12 = LF

@@ -326,3 +326,21 @@ class TestQueryGenerator:
         # the reference uses eval(); ours must not execute expressions
         g = self._gen(['["ok", __import__("os").getpid()]'])
         assert g.generate_sub_queries("q") == ["q"]
+
+
+class TestKeywordExtractorNonString:
+    def test_non_string_list_elements_degrade(self, built):
+        """An LLM reply with non-string list elements (e.g. a bare year)
+        must degrade gracefully through hybrid_search, not crash."""
+        from graph_rag_agent_ray.pipelines.query import (
+            KEYWORD_PROMPT, KeywordExtractor, hybrid_search)
+        from graph_rag_agent_ray.stages.llm import ReplayClient, prompt_key
+        _corpus, tables = built
+        query = "growth in 2023"
+        key = prompt_key([{"role": "user",
+                           "content": KEYWORD_PROMPT.format(query=query)}])
+        ex = KeywordExtractor(ReplayClient(
+            {key: ['{"low_level": ["growth", 2023], "high_level": []}']}),
+            backoff_s=0.0)
+        out = hybrid_search(tables, query, keyword_extractor=ex)
+        assert "low_entities" in out  # no TypeError
