@@ -208,6 +208,11 @@ def evaluate_answers(system_answers, golden_answers,
                      metrics=("em", "f1")) -> dict:
     """Composite answer evaluation (composite_evaluator.py shape): per-metric
     mean over aligned (system, golden) pairs + per-sample scores."""
+    if len(system_answers) != len(golden_answers):
+        raise ValueError(
+            f"answer lists must align: {len(system_answers)} system vs "
+            f"{len(golden_answers)} golden (a silent zip would report "
+            "complete-looking means over a truncated sample)")
     out = {}
     for name in metrics:
         fn = METRICS[name]

@@ -417,6 +417,16 @@ def communities_and_entities(
                 cached_membership_pdf = src.read("membership").to_pandas()
                 member_levels = _member_levels_from_table(cached_membership_pdf)
                 detect_cached = True
+                if src is prev and not store.is_complete("membership",
+                                                         graph_fp):
+                    # forward the hit into THIS tick's store — the next
+                    # tick's lookup only consults (its store, this store),
+                    # so without the copy the cache would survive one tick
+                    store.write("membership",
+                                ray.data.from_arrow(pa.Table.from_pandas(
+                                    cached_membership_pdf,
+                                    preserve_index=False)),
+                                graph_fp)
                 break
     n_carried = n_detected = 0
     membership_ds = None

@@ -109,8 +109,8 @@ def document_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             framed(flat.field("kind")),
             framed(flat.field("text")),
             framed(flat.field("media_ref")),
-            pc.cast(off, pa.string()),
-            "\x1e")
+            pc.fill_null(pc.cast(off, pa.string()), "\x00"),
+            "\x1e")  # a null offset must hash, not null the whole span
         svals = np.asarray(span_str.to_pylist(), dtype=object)
         if len(svals):
             # offset-order within each row (storage order already is, for
@@ -135,6 +135,18 @@ def document_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 MAX_DRIVER_REGISTRY_ROWS = 5_000_000
 
 
+def _classify_status(piv: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, old, new) pivoted hashes → (doc_id, status). ONE definition
+    of the status semantics, shared by the driver-merge and distributed
+    compute_delta paths so they can never diverge."""
+    status = pd.Series("unchanged", index=piv.index)
+    status[piv["old"].isna()] = "added"
+    status[piv["new"].isna()] = "deleted"
+    changed = piv["old"].notna() & piv["new"].notna() & (piv["old"] != piv["new"])
+    status[changed] = "modified"
+    return pd.DataFrame({"doc_id": piv["doc_id"], "status": status})
+
+
 def compute_delta(
     old_registry: "ray.data.Dataset", new_registry: "ray.data.Dataset"
 ) -> "ray.data.Dataset":
@@ -147,15 +159,10 @@ def compute_delta(
     if old_registry.count() + new_registry.count() <= MAX_DRIVER_REGISTRY_ROWS:
         old = old_registry.to_pandas().rename(columns={"content_hash": "old"})
         new = new_registry.to_pandas().rename(columns={"content_hash": "new"})
-        piv = old.merge(new, on="doc_id", how="outer")
-        status = pd.Series("unchanged", index=piv.index)
-        status[piv["old"].isna()] = "added"
-        status[piv["new"].isna()] = "deleted"
-        changed = piv["old"].notna() & piv["new"].notna() & (piv["old"] != piv["new"])
-        status[changed] = "modified"
+        out = _classify_status(old.merge(new, on="doc_id", how="outer"))
         return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array(piv["doc_id"], pa.string()),
-            "status": pa.array(status, pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "status": pa.array(out["status"], pa.string()),
         }))
 
     def tag(which: str):
@@ -173,12 +180,7 @@ def compute_delta(
         for col in ("old", "new"):
             if col not in piv.columns:
                 piv[col] = None
-        status = pd.Series("unchanged", index=piv.index)
-        status[piv["old"].isna()] = "added"
-        status[piv["new"].isna()] = "deleted"
-        changed = piv["old"].notna() & piv["new"].notna() & (piv["old"] != piv["new"])
-        status[changed] = "modified"
-        return pd.DataFrame({"doc_id": piv["doc_id"], "status": status})
+        return _classify_status(piv)
 
     return hash_partitioned_groupby(both, ["doc_id"], diff_bucket, n_buckets=32)
 
@@ -378,7 +380,6 @@ def _delta_graph_build(
     # ---- touched surfaces: mention multiset changed for exactly the
     # surfaces seen in fresh mentions or in removed docs' prior mentions ----
     t0 = time.monotonic()
-    touched_fresh = _distinct_norm_surfaces(mentions_fresh, "entity_surface")
     # dense-vocabulary decision: when the touched set covers most of the
     # previous vocabulary (low-cardinality corpora — every doc reuses the
     # same few hundred surfaces), the carry-over filters scan every row only
@@ -388,10 +389,23 @@ def _delta_graph_build(
     # merged inputs); per-doc stages above stay delta-scoped regardless.
     # The decision reads the FRESH side only (touched_fresh ⊆ touched, so
     # fresh-dense ⇒ dense): in dense mode the removed-doc mention scan —
-    # the one corpus-sized execution in this section — is never needed
-    # (its only consumers are the sparse-path filters, and existence churn
+    # the one corpus-sized execution in this section — is never consumed
+    # (its only users are the sparse-path filters, and existence churn
     # comes from the vocabulary diff below). A deletion-heavy tick with a
-    # small fresh side conservatively takes the sparse path.
+    # small fresh side conservatively takes the sparse path. The removed
+    # scan is submitted SPECULATIVELY before the decision so the common
+    # sparse tick keeps the two-scan overlap (~1 s of fixed scheduler cost
+    # per execution); a dense tick merely lets the speculative scan finish
+    # in the background, overlapped with the full re-aggregate.
+    scans = ThreadPoolExecutor(max_workers=1)
+    f_removed = scans.submit(
+        lambda: _distinct_norm_surfaces(
+            _filter_by_docs(
+                prev.read("mentions", columns=["doc_id", "entity_surface"]),
+                removed_ref),
+            "entity_surface"))
+    scans.shutdown(wait=False)
+    touched_fresh = _distinct_norm_surfaces(mentions_fresh, "entity_surface")
     prev_vocab = prev.read("entities_embedded", columns=["norm_surface"]).count()
     dense = len(touched_fresh) >= max(
         cfg.incremental_dense_min,
@@ -400,11 +414,7 @@ def _delta_graph_build(
         touched = touched_fresh
         touched_ref = None  # no sparse-path filter ever runs in dense mode
     else:
-        prev_mentions_removed = _filter_by_docs(
-            prev.read("mentions", columns=["doc_id", "entity_surface"]),
-            removed_ref)
-        touched = touched_fresh | _distinct_norm_surfaces(
-            prev_mentions_removed, "entity_surface")
+        touched = touched_fresh | f_removed.result()
         touched_ref = ray.put(pa.array(sorted(touched), pa.string()))
     _record("touched_surfaces", t0, n_touched=len(touched),
             prev_vocab=int(prev_vocab), dense_bypass=dense)

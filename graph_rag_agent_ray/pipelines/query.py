@@ -700,10 +700,13 @@ def deep_research(
             evidence = "\n".join(
                 str(t) for t in (chunks["text"] if chunks is not None
                                  and "text" in chunks else [])[:k_chunks])
+            recent_thinking = "\n".join(thinking[-2:])
             info = call_with_retry(client, [
                 {"role": "user", "content":
                     f'基于当前的搜索查询"{q}"和前面的推理步骤，'
-                    f"分析每个知识来源并找出有用信息。\n{evidence}"},
+                    f"分析每个知识来源并找出有用信息。\n"
+                    f"前面的推理步骤：\n{recent_thinking}\n"
+                    f"知识来源：\n{evidence}"},
             ], retries=retries, backoff_s=backoff_s)
             all_retrieved.append(info or evidence)
             history.append({"role": "user", "content":
@@ -762,14 +765,19 @@ class QueryGenerator:
     def _parse_list(content: str):
         import ast
         import re
-        m = re.search(r"\[.*\]", content or "", re.DOTALL)
-        if not m:
-            return None
-        try:
-            out = ast.literal_eval(m.group(0))
-        except (ValueError, SyntaxError):
-            return None
-        return [str(q) for q in out] if isinstance(out, list) else None
+        # greedy first (the reference's regex), then non-greedy — a reply
+        # with bracketed text AFTER the list ('[...] 注：[仅供参考]') makes
+        # the greedy span unparseable while the non-greedy one is the list
+        for pat in (r"\[.*\]", r"\[.*?\]"):
+            m = re.search(pat, content or "", re.DOTALL)
+            if not m:
+                return None
+            try:
+                out = ast.literal_eval(m.group(0))
+            except (ValueError, SyntaxError):
+                continue
+            return [str(q) for q in out] if isinstance(out, list) else None
+        return None
 
     def generate_sub_queries(self, original_query: str) -> list:
         """search.py:218-247 — bracketed-list parse, else [original]."""
@@ -800,13 +808,18 @@ class QueryGenerator:
         fallback, max 3."""
         import re
         content = self._ask(self.HYPOTHESIS_PROMPT.format(q=query)) or ""
+        # list markers must be followed by whitespace (and dashes preceded
+        # by start/whitespace): an in-text decimal ('增长3.5倍') or hyphen
+        # ('state-of-the-art') is content, not a new item
         numbered = [m.strip() for m in
-                    re.findall(r"\d+\.\s*(.*?)(?=\d+\.|$)", content, re.DOTALL)
+                    re.findall(r"\d+\.\s+(.*?)(?=\d+\.\s|$)", content,
+                               re.DOTALL)
                     if m.strip()]
         if numbered:
             return numbered[:3]
         dashed = [m.strip() for m in
-                  re.findall(r"-\s*(.*?)(?=-|$)", content, re.DOTALL)
+                  re.findall(r"(?:^|\s)-\s+(.*?)(?=\s-\s|$)", content,
+                             re.DOTALL)
                   if m.strip()]
         if dashed:
             return dashed[:3]

@@ -344,3 +344,34 @@ class TestKeywordExtractorNonString:
             backoff_s=0.0)
         out = hybrid_search(tables, query, keyword_extractor=ex)
         assert "low_entities" in out  # no TypeError
+
+
+class TestQueryGeneratorRobustness:
+    def _gen(self, reply):
+        from graph_rag_agent_ray.pipelines.query import QueryGenerator
+
+        class One:
+            def complete(self, messages):
+                return reply
+
+        return QueryGenerator(One(), backoff_s=0.0)
+
+    def test_inline_decimal_does_not_split_hypotheses(self):
+        g = self._gen("1. 增长3.5倍的假设 2. 另一个角度的假设")
+        assert g.generate_multiple_hypotheses("q") == \
+            ["增长3.5倍的假设", "另一个角度的假设"]
+
+    def test_hyphenated_terms_do_not_split_dashes(self):
+        g = self._gen("- state-of-the-art approach works - second idea here")
+        assert g.generate_multiple_hypotheses("q") == \
+            ["state-of-the-art approach works", "second idea here"]
+
+    def test_trailing_bracket_text_still_parses(self):
+        g = self._gen('["子问题1", "子问题2"] 注：[仅供参考]')
+        assert g.generate_sub_queries("q") == ["子问题1", "子问题2"]
+
+    def test_mismatched_answer_lists_raise(self):
+        import pytest as _pytest
+        from graph_rag_agent_ray.evaluate import evaluate_answers
+        with _pytest.raises(ValueError):
+            evaluate_answers(["a"], ["a", "b"])
