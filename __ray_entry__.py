@@ -409,6 +409,43 @@ def _kg_subgraph_quality_q(sf_dir: str):
     return subgraph_quality_stats(membership, edges)
 
 
+def _kg_retrieval_precision_q(sf_dir: str):
+    """Deterministic core of the reference's RetrievalPrecision metric
+    (evaluator/metrics/retrieval_metrics.py:54-129) over the BUILT KG:
+    per document, 'retrieved' = the lexicographic top-3 of its canonical
+    mentions (a deterministic stand-in for local_search's ranked entity
+    retrieval) and 'referenced' = the full golden mention set; the output
+    is the metric's integer matching inputs (direct substring matches and
+    digit-run matches via evaluate.retrieval_match_counts) so the SQL
+    oracle reproduces them exactly — the 0.3/0.7 scoring on top is
+    evaluate.retrieval_precision, pinned by tests."""
+    import pandas as pd
+
+    from graph_rag_agent_ray.evaluate import retrieval_match_counts
+    from graph_rag_agent_ray.functions.shuffle import hash_partitioned_groupby
+
+    mc = _kg_tables(sf_dir)["mentions_canon"]
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "entity_id"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = mc.map_batches(part, batch_format="pyarrow", batch_size=16384)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            ref = sorted(set(g["entity_id"].str.lower()))
+            retr = ref[:3]
+            direct, num = retrieval_match_counts(retr, ref)
+            rows.append((doc_id, len(retr), len(ref), direct, num))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_retrieved", "n_referenced",
+            "n_matched_direct", "n_matched_num"])
+
+    return hash_partitioned_groupby(pairs, ["doc_id"], per_bucket, n_buckets=16)
+
+
 _INC_CACHE: Dict[str, "rd.Dataset"] = {}
 
 
@@ -736,6 +773,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # both verify hash-exact against SQL over the truth tables
         "kg_coverage_stats": _kg_coverage_q,
         "kg_subgraph_quality": _kg_subgraph_quality_q,
+        # retrieval-metric core (reference RetrievalPrecision rule path):
+        # integer substring/digit-run match counts per document between a
+        # deterministic top-3 retrieval and the golden mention set
+        "kg_retrieval_precision": _kg_retrieval_precision_q,
         "kg_incremental": _kg_incremental_q,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing):
         # inventory projection (which media spans were found + the decode
@@ -911,6 +952,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(intra.n_intra_edges, 0) AS BIGINT) AS n_intra_edges,
                    CAST(mem.n_members * (mem.n_members - 1) // 2 AS BIGINT) AS n_possible_pairs
             FROM mem LEFT JOIN intra USING (community_number)
+        """,
+        # retrieval-precision matching core: top-3 'retrieved' per doc by
+        # lexicographic rank, counts per the reference rule (substring +
+        # digit-run) — a correct build makes built mentions == truth, so
+        # the oracle computes both sides from the planted mention log
+        "kg_retrieval_precision": f"""
+            WITH ref AS (SELECT DISTINCT doc_id, lower(entity_id) AS e
+                         FROM read_parquet('{KG_TRUTH_DIR}/kg_mentions.parquet')),
+                 retr AS (SELECT doc_id, e FROM (
+                            SELECT doc_id, e,
+                                   row_number() OVER (PARTITION BY doc_id
+                                                      ORDER BY e) AS rn
+                            FROM ref) WHERE rn <= 3),
+                 counts AS (
+                   SELECT r.doc_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_referenced,
+                          CAST(COUNT(*) FILTER (WHERE EXISTS (
+                              SELECT 1 FROM retr t WHERE t.doc_id = r.doc_id
+                              AND strpos(t.e, r.e) > 0)) AS BIGINT)
+                            AS n_matched_direct,
+                          CAST(COUNT(*) FILTER (
+                              WHERE regexp_extract(r.e, '[0-9]+') <> ''
+                              AND EXISTS (
+                                SELECT 1 FROM retr t WHERE t.doc_id = r.doc_id
+                                AND strpos(t.e, regexp_extract(r.e, '[0-9]+')) > 0))
+                            AS BIGINT) AS n_matched_num
+                   FROM ref r GROUP BY r.doc_id),
+                 rc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved
+                        FROM retr GROUP BY doc_id)
+            SELECT counts.doc_id, rc.n_retrieved, counts.n_referenced,
+                   counts.n_matched_direct, counts.n_matched_num
+            FROM counts JOIN rc USING (doc_id)
         """,
         "media_features": f"SELECT doc_id, media_ref, kind, n_features FROM read_parquet('{KG_TRUTH_DIR}/media_features.parquet')",
         "media_frames": f"SELECT doc_id, media_ref, kind, frame_idx, ts_ms FROM read_parquet('{KG_TRUTH_DIR}/media_frames.parquet')",

@@ -185,6 +185,96 @@ def answer_f1(prediction: str, golden: str, tokenizer=None) -> float:
 
 
 # ---------------------------------------------------------------------------
+# retrieval-side metrics (reference evaluator/metrics/retrieval_metrics.py —
+# the DETERMINISTIC rule paths; the LLM-fallback branches are env-blocked
+# here and the registry seam is where they would plug in)
+# ---------------------------------------------------------------------------
+
+def retrieval_match_counts(retrieved, referenced) -> Tuple[int, int]:
+    """The shared matching core of RetrievalPrecision/_Utilization
+    (retrieval_metrics.py:103-129, 283-305): lowercase both entity lists,
+    count referenced ids appearing as substrings of any retrieved entity
+    (direct), and referenced ids whose first digit run appears in any
+    retrieved entity (num). Callers take max(direct, num)."""
+    import re
+
+    retr = [str(e).lower() for e in retrieved or []]
+    ref = [str(e).lower() for e in referenced or []]
+    direct = sum(1 for r in ref if any(r in t for t in retr))
+    num = 0
+    for r in ref:
+        m = re.search(r"\d+", r)
+        if m and any(m.group() in t for t in retr):
+            num += 1
+    return direct, num
+
+
+def retrieval_precision(retrieved, referenced) -> float:
+    """RetrievalPrecision's rule path (retrieval_metrics.py:54-129): base
+    score 0.3 when either side is empty or nothing matches; otherwise
+    0.3 + 0.7 * matched / n_referenced (floored at 0.3)."""
+    if not retrieved or not referenced:
+        return 0.3
+    direct, num = retrieval_match_counts(retrieved, referenced)
+    matched = max(direct, num)
+    if matched > 0:
+        return max(0.3, 0.3 + 0.7 * (matched / len(referenced)))
+    return 0.3
+
+
+def retrieval_utilization(retrieved, referenced) -> float:
+    """RetrievalUtilization's rule path (retrieval_metrics.py:283-330):
+    same scoring as precision, plus the partial-token branch — when no id
+    matches but any >3-char token of a referenced id appears in the joined
+    retrieved text, score 0.4."""
+    if not retrieved or not referenced:
+        return 0.3
+    direct, num = retrieval_match_counts(retrieved, referenced)
+    matched = max(direct, num)
+    if matched > 0:
+        return max(0.3, 0.3 + 0.7 * (matched / len(referenced)))
+    combined = " ".join(str(e).lower() for e in retrieved)
+    for r in (str(e).lower() for e in referenced):
+        if any(tok in combined for tok in r.split() if len(tok) > 3):
+            return 0.4
+    return 0.3
+
+
+def retrieval_latency(retrieval_times) -> float:
+    """RetrievalLatency (retrieval_metrics.py:359-401): mean retrieval time
+    over samples (lower is better — reported raw, not scored)."""
+    times = list(retrieval_times or [])
+    return (sum(times) / len(times)) if times else 0.0
+
+
+def chunk_key_phrases(chunk_text: str) -> list:
+    """ChunkUtilization's phrase extraction (retrieval_metrics.py:496-500):
+    word/CJK runs of length ≥4, deduplicated."""
+    import re
+
+    phrases = re.findall(r"\b[\w一-龥]{4,}\b", chunk_text or "")
+    return sorted(set(p for p in phrases if len(p) > 3))
+
+
+def chunk_utilization(answer_text: str, chunk_texts) -> float:
+    """ChunkUtilization's deterministic core (retrieval_metrics.py:404-520):
+    per retrieved chunk, the fraction of its key phrases appearing in the
+    answer; score = mean over chunks with phrases. No chunks → base 0.3
+    (the reference's no-chunk-ids branch)."""
+    chunks = [c for c in (chunk_texts or []) if c]
+    if not chunks:
+        return 0.3
+    answer = (answer_text or "").lower()
+    ratios = []
+    for text in chunks:
+        phrases = chunk_key_phrases(text)
+        if phrases:
+            ratios.append(sum(1 for p in phrases if p.lower() in answer)
+                          / len(phrases))
+    return (sum(ratios) / len(ratios)) if ratios else 0.3
+
+
+# ---------------------------------------------------------------------------
 # metric registry (reference evaluator/core/base_evaluator.py:47-66 pattern:
 # metrics auto-register under a name and an evaluator computes a selected
 # subset by name — here a decorator registry instead of a subclass scan)
@@ -202,6 +292,42 @@ def register_metric(name: str):
 
 register_metric("em")(exact_match)
 register_metric("f1")(answer_f1)
+register_metric("retrieval_precision")(retrieval_precision)
+register_metric("retrieval_utilization")(retrieval_utilization)
+register_metric("retrieval_latency")(retrieval_latency)
+register_metric("chunk_utilization")(chunk_utilization)
+
+# per-sample argument extraction for the retrieval metrics (the reference
+# reads these fields off RetrievalEvaluationData samples)
+_RETRIEVAL_INPUTS = {
+    "retrieval_precision": lambda s: (s.get("retrieved_entities"),
+                                      s.get("referenced_entities")),
+    "retrieval_utilization": lambda s: (s.get("retrieved_entities"),
+                                        s.get("referenced_entities")),
+    "retrieval_latency": lambda s: ([s.get("retrieval_time", 0.0)],),
+    "chunk_utilization": lambda s: (s.get("system_answer"),
+                                    s.get("chunk_texts")),
+}
+
+
+def evaluate_retrieval(samples, metrics=("retrieval_precision",
+                                         "retrieval_utilization",
+                                         "retrieval_latency",
+                                         "chunk_utilization")) -> dict:
+    """Retrieval-side composite evaluation: ``samples`` are dicts carrying
+    retrieved_entities / referenced_entities / retrieval_time /
+    system_answer / chunk_texts; returns per-metric mean + per-sample
+    scores (the (overall, per-sample) shape of BaseMetric.calculate_metric)."""
+    out = {}
+    for name in metrics:
+        fn = METRICS[name]
+        extract = _RETRIEVAL_INPUTS[name]
+        scores = [fn(*extract(s)) for s in samples]
+        out[name] = {
+            "mean": (sum(scores) / len(scores)) if scores else 0.0,
+            "scores": scores,
+        }
+    return out
 
 
 def evaluate_answers(system_answers, golden_answers,

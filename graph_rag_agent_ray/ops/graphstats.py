@@ -31,14 +31,13 @@ def _undirected_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """Distinct undirected simple edges (a < b, self-loops dropped) from a
     (src, dst, ...) edge table — multi-predicates collapse."""
 
-    def per_batch(batch: pa.Table) -> pd.DataFrame:
-        src = batch.column("src").to_pylist()
-        dst = batch.column("dst").to_pylist()
-        df = pd.DataFrame({"a": src, "b": dst})
-        lo = df.min(axis=1)
-        hi = df.max(axis=1)
-        out = pd.DataFrame({"a": lo, "b": hi})
-        return out[out["a"] != out["b"]].drop_duplicates()
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        src, dst = batch.column("src"), batch.column("dst")
+        lo = pc.min_element_wise(src, dst)
+        hi = pc.max_element_wise(src, dst)
+        t = pa.table({"a": lo, "b": hi}).filter(pc.not_equal(lo, hi))
+        return t.group_by(["a", "b"]).aggregate([])
 
     dedup = edges.select_columns(["src", "dst"]).map_batches(
         per_batch, batch_format="pyarrow", batch_size=16384)

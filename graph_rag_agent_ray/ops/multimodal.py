@@ -54,25 +54,74 @@ def media_from_documents(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
-def decode_real(payload: bytes, kind: str):
-    """The production decode hook (PIL / torchaudio / pyav)."""
+def _image_codec():
+    """Import-detected image codec (the pypdf pattern from sources/pdf.py:
+    prefer the real library when importable, fall back to the vendored /
+    fake path otherwise). Returns the PIL.Image module, or the imageio.v3
+    module wrapped to the same ``open-bytes → ndarray`` contract, or None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return ("pil", Image)
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio  # noqa: PLC0415
+        return ("imageio", iio)
+    except ImportError:
+        return None
+
+
+def codec_available(kind: str = "image") -> bool:
+    """True when a real decoder for ``kind`` is importable here."""
+    if kind == "image":
+        return _image_codec() is not None
+    try:  # audio/video: pyav
+        import av  # noqa: F401,PLC0415
+        return True
+    except ImportError:
+        return False
+
+
+def decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """The production decode hook. Selected BY AVAILABILITY: decodes via
+    PIL/imageio when importable (image kinds), raises NotImplementedError
+    otherwise — plug torchaudio/pyav for temporal media the same way."""
+    if kind == "image":
+        codec = _image_codec()
+        if codec is not None:
+            import io
+            name, mod = codec
+            if name == "pil":
+                img = mod.open(io.BytesIO(payload))
+                return np.asarray(img.convert("RGB"))
+            return np.asarray(mod.imread(io.BytesIO(payload)))
     raise NotImplementedError(
-        "image/audio codec libraries are not available in this container; "
-        "plug PIL/torchaudio here. The pipeline uses DecodeMedia's "
-        "deterministic fake instead."
+        f"no codec library for kind={kind!r} is importable in this container "
+        "(PIL/imageio for images, pyav for audio/video); the pipeline uses "
+        "DecodeMedia's deterministic fake instead."
     )
 
 
 class DecodeMedia:
     """Actor-pool decode/feature-extract stage. __init__ would load the codec
     and model once per actor; __call__ decodes a batch. Batch size must stay
-    small: decoded media is orders of magnitude larger than the payload."""
+    small: decoded media is orders of magnitude larger than the payload.
 
-    def __init__(self, feature_dim: int = FEATURE_DIM, use_real_codec: bool = False) -> None:
+    ``use_real_codec``: None (default) selects the decode path by library
+    AVAILABILITY — real decode when PIL/imageio is importable, with a
+    per-payload fallback to the deterministic fake for bytes the codec
+    rejects (the synthetic corpus carries sha1-stream payloads, so the
+    driver oracle is unchanged either way); True requires the codec (raises
+    at actor construction when absent); False forces the fake."""
+
+    def __init__(self, feature_dim: int = FEATURE_DIM,
+                 use_real_codec: bool | None = None) -> None:
         self.feature_dim = feature_dim
+        if use_real_codec is None:
+            use_real_codec = codec_available("image")
+        elif use_real_codec and not codec_available("image"):
+            decode_real(b"", "image")  # raises with the seam message
         self.use_real_codec = use_real_codec
-        if use_real_codec:
-            decode_real(b"", "probe")  # raises: codec libs absent here
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         seed = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big")
@@ -80,8 +129,27 @@ class DecodeMedia:
         vec = rng.standard_normal(self.feature_dim)
         return (vec / np.linalg.norm(vec)).astype(np.float32)
 
+    def _real_features(self, pixels: np.ndarray) -> np.ndarray:
+        # deterministic pixel-intensity histogram embedding (stands in for
+        # the per-actor model from __init__; no randomness, layout-free)
+        hist, _ = np.histogram(pixels.ravel(), bins=self.feature_dim,
+                               range=(0, 255))
+        vec = hist.astype(np.float32)
+        norm = float(np.linalg.norm(vec))
+        return vec / norm if norm else vec
+
+    def _decode_one(self, payload: bytes, kind: str) -> np.ndarray:
+        if self.use_real_codec and kind == "image":
+            try:
+                return self._real_features(decode_real(payload or b"", kind))
+            except Exception:
+                pass  # undecodable bytes (e.g. the synthetic sha1 payloads)
+        return self._fake_decode(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._fake_decode(p) for p in batch.column("payload").to_pylist()]
+        feats = [self._decode_one(p, k)
+                 for p, k in zip(batch.column("payload").to_pylist(),
+                                 batch.column("kind").to_pylist())]
         arr = np.stack(feats) if feats else np.zeros((0, self.feature_dim), np.float32)
         offsets = pa.array(np.arange(0, (len(feats) + 1) * self.feature_dim,
                                      self.feature_dim, dtype=np.int32))
@@ -111,11 +179,26 @@ class ResizeImages:
     Non-image rows pass through unchanged with resized=false."""
 
     def __init__(self, width: int = 64, height: int = 64,
-                 use_real_codec: bool = False) -> None:
+                 use_real_codec: bool | None = None) -> None:
         self.width = width
         self.height = height
-        if use_real_codec:
-            decode_real(b"", "probe")  # raises: codec libs absent here
+        if use_real_codec is None:
+            use_real_codec = codec_available("image")
+        elif use_real_codec and not codec_available("image"):
+            decode_real(b"", "image")  # raises with the seam message
+        self.use_real_codec = use_real_codec
+
+    def _real_resample(self, payload: bytes) -> bytes:
+        # decode → resample → re-encode via the import-detected codec; only
+        # reached when codec_available("image")
+        import io
+        name, mod = _image_codec()
+        if name == "pil":
+            img = mod.open(io.BytesIO(payload)).convert("RGB")
+            out = io.BytesIO()
+            img.resize((self.width, self.height)).save(out, format="PNG")
+            return out.getvalue()
+        raise NotImplementedError("imageio resize path: plug iio.imwrite here")
 
     def _fake_resample(self, payload: bytes) -> bytes:
         n = self.width * self.height
@@ -128,7 +211,14 @@ class ResizeImages:
         out, flags = [], []
         for k, p in zip(kinds, payloads):
             if k == "image":
-                out.append(self._fake_resample(p or b""))
+                resized = None
+                if self.use_real_codec:
+                    try:
+                        resized = self._real_resample(p or b"")
+                    except Exception:
+                        resized = None  # undecodable bytes → fake path
+                out.append(resized if resized is not None
+                           else self._fake_resample(p or b""))
                 flags.append(True)
             else:
                 out.append(p)
@@ -166,8 +256,8 @@ class SampleFrames:
                  use_real_codec: bool = False) -> None:
         self.n_frames = n_frames
         self.duration_ms = duration_ms
-        if use_real_codec:
-            decode_real(b"", "probe")  # raises: codec libs absent here
+        if use_real_codec and not codec_available("video"):
+            decode_real(b"", "video")  # raises with the seam message
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, refs, kinds, idxs, tss, frames = [], [], [], [], [], []

@@ -339,3 +339,66 @@ class TestAnswerMetrics:
             return min(len(p), len(g)) / max(len(p), len(g), 1)
         out2 = evaluate_answers(["ab"], ["abcd"], metrics=("len_ratio",))
         assert out2["len_ratio"]["scores"] == [0.5]
+
+
+class TestRetrievalMetrics:
+    """Reference retrieval_metrics.py rule paths — deterministic branches
+    only (the LLM fallbacks are env-blocked seams)."""
+
+    def test_match_counts(self):
+        from graph_rag_agent_ray.evaluate import retrieval_match_counts
+        # direct: substring containment, case-insensitive
+        d, n = retrieval_match_counts(["Alpha Corp", "beta"], ["alpha corp"])
+        assert (d, n) == (1, 0)
+        # digit-run: "12" from ref "node12" found inside retrieved "e12x"
+        d, n = retrieval_match_counts(["e12x"], ["node12"])
+        assert (d, n) == (0, 1)
+        assert retrieval_match_counts([], ["x"]) == (0, 0)
+
+    def test_precision_scoring(self):
+        from graph_rag_agent_ray.evaluate import retrieval_precision
+        assert retrieval_precision([], ["x"]) == 0.3          # empty side
+        assert retrieval_precision(["a"], ["zzz"]) == 0.3     # no match
+        # full match -> 0.3 + 0.7 * 1.0
+        assert abs(retrieval_precision(["aa", "bb"], ["aa", "bb"]) - 1.0) < 1e-9
+        # half match -> 0.3 + 0.7 * 0.5
+        assert abs(retrieval_precision(["aa"], ["aa", "qq"]) - 0.65) < 1e-9
+
+    def test_utilization_partial_token_branch(self):
+        from graph_rag_agent_ray.evaluate import retrieval_utilization
+        # no id match, but a >3-char token of the ref appears in retrieved
+        assert retrieval_utilization(["the boardwalk report"],
+                                     ["boardwalk committee"]) == 0.4
+        assert retrieval_utilization(["xyz"], ["ab cd"]) == 0.3
+        assert abs(retrieval_utilization(["aa"], ["aa"]) - 1.0) < 1e-9
+
+    def test_latency_and_chunk_utilization(self):
+        from graph_rag_agent_ray.evaluate import (chunk_utilization,
+                                                  retrieval_latency)
+        assert retrieval_latency([1.0, 3.0]) == 2.0
+        assert retrieval_latency([]) == 0.0
+        assert chunk_utilization("any answer", []) == 0.3    # no chunks
+        # one chunk, phrases {quick brown foxes, jumped}-ish: half present
+        score = chunk_utilization(
+            "the answer mentions sunflower fields only",
+            ["sunflower fields beside mountain ranges"])
+        assert 0.0 < score < 1.0
+        full = chunk_utilization("sunflower fields beside mountain ranges",
+                                 ["sunflower fields beside mountain ranges"])
+        assert full == 1.0
+
+    def test_registry_and_composite(self):
+        from graph_rag_agent_ray.evaluate import METRICS, evaluate_retrieval
+        assert {"em", "f1", "retrieval_precision", "retrieval_utilization",
+                "retrieval_latency", "chunk_utilization"} <= set(METRICS)
+        out = evaluate_retrieval([
+            {"retrieved_entities": ["aa"], "referenced_entities": ["aa"],
+             "retrieval_time": 0.5, "system_answer": "uses sunflower fields",
+             "chunk_texts": ["sunflower fields"]},
+            {"retrieved_entities": [], "referenced_entities": ["x"],
+             "retrieval_time": 1.5, "system_answer": "", "chunk_texts": []},
+        ])
+        assert out["retrieval_precision"]["scores"][0] == 1.0
+        assert out["retrieval_precision"]["scores"][1] == 0.3
+        assert out["retrieval_latency"]["mean"] == 1.0
+        assert out["chunk_utilization"]["scores"][1] == 0.3
