@@ -648,6 +648,7 @@ def deep_research(
     tables: Dict[str, "ray.data.Dataset"], query: str, client,
     max_iterations: int = 5, k_chunks: int = 3,
     cfg: KGConfig | None = None, retries: int = 3, backoff_s: float = 0.0,
+    tracker: "object | None" = None, build_local_kg: bool = True,
 ) -> Dict[str, object]:
     """The DeepResearch think-search-reason loop re-expressed over the built
     tables (reference: search/tool/deep_research_tool.py:433-660 driving
@@ -660,10 +661,25 @@ def deep_research(
     loop stops on answer-ready markers (thinking.py:654-661: no queries +
     ``**回答**``/``足够的信息``), on no-new-queries, or at max_iterations;
     a final call produces the answer from the accumulated evidence
-    (:357-385). The client is injectable (scripted/offline in tests)."""
+    (:357-385). The client is injectable (scripted/offline in tests).
+
+    Every run threads an :class:`~.reasoning.EvidenceChainTracker` (the
+    reference's evidence.py ledger): each iteration records a reasoning
+    step, each retrieved chunk becomes a confidence-scored evidence item,
+    and per-step numerical contradictions are detected; the result carries
+    the full ledger under ``evidence``. ``build_local_kg`` additionally
+    assembles the per-question subgraph (kg_builder.py parity) seeded from
+    the entities retrieval surfaced — one broadcast edge-filter per hop."""
     from ..stages.llm import call_with_retry
+    from .reasoning import EvidenceChainTracker, QueryKGBuilder
 
     cfg = cfg or KGConfig()
+    if tracker is None:
+        tracker = EvidenceChainTracker()
+    query_id = tracker.start_new_query(
+        query, {"low_level": [w for w in query.split() if len(w) > 2],
+                "high_level": []})
+    seed_entities: set = set()
     history: list = [{"role": "user", "content": f"问题: {query}"}]
     thinking: list = []
     executed: set = set()
@@ -695,8 +711,22 @@ def deep_research(
                 continue
             executed.add(q)
             executed_order.append(q)
+            step_id = tracker.add_reasoning_step(query_id, q, reply)
             hits = hybrid_search(tables, q, k_chunks=k_chunks, cfg=cfg)
-            chunks = hits.get("chunks")
+            chunks = hits.get("low_chunks")
+            ents = hits.get("low_entities")
+            if ents is not None and "entity_id" in ents:
+                seed_entities.update(str(e) for e in ents["entity_id"])
+            step_evidence_ids = []
+            if chunks is not None and "text" in chunks:
+                for row in chunks.head(k_chunks).itertuples(index=False):
+                    conf = float(min(1.0, max(0.0, getattr(row, "score", 0.5))))
+                    step_evidence_ids.append(
+                        tracker.add_evidence_with_confidence(
+                            step_id, str(getattr(row, "chunk_id", "")),
+                            str(row.text), "chunk", confidence=conf,
+                            metadata={"doc_id": str(getattr(row, "doc_id", ""))}))
+            tracker.detect_contradictions(step_evidence_ids)
             evidence = "\n".join(
                 str(t) for t in (chunks["text"] if chunks is not None
                                  and "text" in chunks else [])[:k_chunks])
@@ -719,12 +749,26 @@ def deep_research(
             + "\n\n思考过程：\n" + "\n".join(thinking)
             + "\n\n请给出最终回答。"},
     ], retries=retries, backoff_s=backoff_s)
+    local_kg = None
+    if build_local_kg and seed_entities:
+        builder = QueryKGBuilder(tables["edges"]).build_query_graph(
+            query, sorted(seed_entities)[:10], depth=2)
+        local_kg = {**builder.meta,
+                    "central_entities": builder.get_central_entities(5)}
     return {
         "answer": final,
         "thinking": "\n".join(thinking),
         "retrieved": all_retrieved,
         "queries": executed_order,
         "status": status,
+        "evidence": {
+            "query_id": query_id,
+            "chain": tracker.get_reasoning_chain(query_id),
+            "summary": tracker.summarize_reasoning(query_id),
+            "source_stats": tracker.get_evidence_source_stats(query_id),
+            "citations": tracker.generate_citations(final or ""),
+        },
+        "local_kg": local_kg,
     }
 
 
