@@ -275,7 +275,7 @@ def _kg_mentions_q(sf_dir: str):
 
     return drop_duplicate_keys(
         mc.map_batches(part, batch_format="pyarrow", batch_size=16384),
-        ["doc_id", "entity_id"], n_buckets=16)
+        ["doc_id", "entity_id"], n_buckets=16, map_format="pyarrow")
 
 
 def _kg_triples_q(sf_dir: str):
@@ -290,7 +290,8 @@ def _kg_triples_q(sf_dir: str):
 
     return drop_duplicate_keys(
         tc.map_batches(part, batch_format="pyarrow", batch_size=16384),
-        ["doc_id", "subj", "pred", "obj"], n_buckets=16)
+        ["doc_id", "subj", "pred", "obj"], n_buckets=16,
+        map_format="pyarrow")
 
 
 def _kg_entities_q(sf_dir: str):
@@ -313,7 +314,7 @@ def _kg_entities_q(sf_dir: str):
         pairs, ["entity_id"],
         lambda df: df.drop_duplicates().groupby("entity_id")["doc_id"]
         .nunique().reset_index(name="n_docs"),
-        n_buckets=16)
+        n_buckets=16, map_format="pyarrow")
     return hash_join(ents, ndocs, on=["entity_id"], n_buckets=16)
 
 
@@ -443,7 +444,8 @@ def _kg_retrieval_precision_q(sf_dir: str):
             "doc_id", "n_retrieved", "n_referenced",
             "n_matched_direct", "n_matched_num"])
 
-    return hash_partitioned_groupby(pairs, ["doc_id"], per_bucket, n_buckets=16)
+    return hash_partitioned_groupby(pairs, ["doc_id"], per_bucket,
+                                    n_buckets=16, map_format="pyarrow")
 
 
 _INC_CACHE: Dict[str, "rd.Dataset"] = {}

@@ -26,6 +26,25 @@ import ray.data
 BUCKET_COL = "_bucket"
 
 
+def _arrow_group_to_pandas(tbl) -> pd.DataFrame:
+    """Controlled Arrow→pandas conversion at the reducer boundary: nested
+    (list/struct) columns convert via ``to_pylist`` so cells are Python
+    lists — NOT the ndarray cells a default ``to_pandas`` produces, which
+    Ray's pandas block builder re-materializes as tensor-extension columns
+    (the round-4 ``strip_dup_spans`` crash). Scalar columns convert
+    normally. This keeps the pandas-reducer CONTRACT while the map side and
+    the shuffle itself stay zero-copy Arrow."""
+    import pyarrow as pa
+
+    nested = [f.name for f in tbl.schema if pa.types.is_nested(f.type)]
+    order = [f.name for f in tbl.schema]
+    df = tbl.drop_columns(nested).to_pandas() if nested else tbl.to_pandas()
+    for name in nested:
+        df[name] = pd.Series(tbl.column(name).to_pylist(),
+                             index=df.index, dtype=object)
+    return df[order]
+
+
 def hash_partitioned_groupby(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
@@ -33,6 +52,7 @@ def hash_partitioned_groupby(
     n_buckets: int = 64,
     batch_size: int = 16384,
     pre_split: bool = False,
+    map_format: str = "pandas",
 ) -> "ray.data.Dataset":
     """Group ``ds`` by ``keys`` with a per-bucket vectorized reducer.
 
@@ -48,16 +68,46 @@ def hash_partitioned_groupby(
     buckets (measured: 6× on the canonicalization blocking stage). Leave it
     off for cheap aggregating reducers over corpus-sized inputs — there the
     input block count already provides the fan-out and the extra repartition
-    pass would move every byte once more."""
+    pass would move every byte once more.
+
+    ``map_format="pyarrow"`` (per-caller opt-in): the map side appends the
+    bucket column to the ARROW block — only the key columns are converted
+    (to hash them); the payload columns never round-trip through pandas and
+    the shuffle moves zero-copy Arrow blocks instead of pickled pandas.
+    The reducer still receives a pandas frame (contract unchanged) via
+    :func:`_arrow_group_to_pandas`, which keeps list cells as Python lists.
+    Round-4's blanket swap was reverted for two traps this opt-in design
+    avoids: (1) int columns holding NA re-typed to float64 — so the join
+    helpers (hash_join/hash_anti_join, whose tag columns carry NA) stay on
+    the pandas path; (2) list columns re-materialized as ndarray cells —
+    handled at the single reducer boundary above. Opt in ONLY callers whose
+    upstream blocks are Arrow and whose columns are NA-free."""
     keys = list(keys)
 
-    # NOTE (measured, round 4): an Arrow-native add_bucket (append the bucket
-    # column to the pyarrow block, hash only the key columns) was tried and
-    # REVERTED — the pandas-block semantics downstream reducers rely on are
-    # load-bearing: routing blocks through Arrow re-types int columns holding
-    # NA to float64 (hash_join's tag columns) and re-materializes list
-    # columns as ndarray cells that Ray's pandas block builder rejects.
-    # Reducers here are pandas by contract, so the map side stays pandas.
+    if map_format == "pyarrow":
+        import numpy as np
+        import pyarrow as pa
+
+        def add_bucket_arrow(batch: "pa.Table") -> "pa.Table":
+            kdf = batch.select(keys).to_pandas()
+            combined = kdf[keys[0]].astype(str)
+            for k in keys[1:]:
+                combined = combined + "\x1f" + kdf[k].astype(str)
+            h = pd.util.hash_pandas_object(combined, index=False).to_numpy()
+            return batch.append_column(
+                BUCKET_COL, pa.array((h % n_buckets).astype(np.int64)))
+
+        def per_bucket_arrow(tbl: "pa.Table") -> pd.DataFrame:
+            return bucket_fn(
+                _arrow_group_to_pandas(tbl.drop_columns([BUCKET_COL])))
+
+        withb = ds.map_batches(add_bucket_arrow, batch_format="pyarrow",
+                               batch_size=batch_size)
+        if pre_split:
+            withb = withb.repartition(n_buckets)
+        return withb.groupby(BUCKET_COL).map_groups(
+            per_bucket_arrow, batch_format="pyarrow")
+
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         combined = df[keys[0]].astype(str)
         for k in keys[1:]:
@@ -124,15 +174,17 @@ def hash_join(
 
 
 def drop_duplicate_keys(
-    ds: "ray.data.Dataset", keys: Sequence[str], n_buckets: int = 32
+    ds: "ray.data.Dataset", keys: Sequence[str], n_buckets: int = 32,
+    map_format: str = "pandas",
 ) -> "ray.data.Dataset":
     """Distributed drop_duplicates on key columns (keeps an arbitrary but
-    deterministic-first-after-sort row per key)."""
+    deterministic-first-after-sort row per key). ``map_format="pyarrow"``
+    per the hash_partitioned_groupby opt-in rules."""
     keys = list(keys)
     return hash_partitioned_groupby(
         ds, keys,
         lambda df: df.sort_values(keys, kind="stable").drop_duplicates(keys),
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, map_format=map_format,
     )
 
 

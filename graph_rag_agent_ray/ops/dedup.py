@@ -76,7 +76,7 @@ def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         lambda df: df.groupby("text_hash", sort=False)
         .agg(keep_doc_id=("keep_doc_id", "min"), n_dups=("n_dups", "sum"))
         .reset_index(),
-        n_buckets=32,
+        n_buckets=32, map_format="pyarrow",
     )
 
 
@@ -188,7 +188,8 @@ def minhash_duplicate_pairs(
         return pd.concat(frames, ignore_index=True)
 
     pairs = hash_partitioned_groupby(bands, ["band_id", "band_key"],
-                                     verify_bucket, n_buckets=32)
+                                     verify_bucket, n_buckets=32,
+                                     map_format="pyarrow")
     # candidate pairs can surface from several bands — dedup on (a, b)
     return hash_partitioned_groupby(
         pairs, ["a", "b"],
@@ -280,7 +281,8 @@ def simhash_duplicate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ra
 
     exploded = sims.map_batches(explode, batch_format="pyarrow", batch_size=4096)
     pairs = hash_partitioned_groupby(exploded, ["band_id", "band_key"],
-                                     verify_bucket, n_buckets=32)
+                                     verify_bucket, n_buckets=32,
+                                     map_format="pyarrow")
     return hash_partitioned_groupby(
         pairs, ["a", "b"],
         lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
@@ -666,8 +668,11 @@ def embedding_neardup_blocked(
                                  "b": pd.Series(dtype="int64")})
         return pd.concat(frames, ignore_index=True)
 
+    # Arrow map side: the embedding list column crosses the bucket shuffle
+    # as zero-copy Arrow instead of tensor-extension pandas blocks
     pairs = hash_partitioned_groupby(exploded, ["table_id", "bucket"],
-                                     pairs_in_bucket, n_buckets=32)
+                                     pairs_in_bucket, n_buckets=32,
+                                     map_format="pyarrow")
     return hash_partitioned_groupby(
         pairs, ["a", "b"],
         lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),

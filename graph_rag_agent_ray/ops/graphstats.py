@@ -45,6 +45,7 @@ def _undirected_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         dedup, ["a", "b"],
         lambda df: df.drop_duplicates(["a", "b"]),
         n_buckets=32,
+        map_format="pyarrow",  # Arrow upstream, scalar NA-free columns
     )
 
 

@@ -79,7 +79,8 @@ def _candidate_positions(ds: "ray.data.Dataset", length: int,
         return df.loc[counts >= min_count, ["doc_id", "pos"]]
 
     return hash_partitioned_groupby(rows, ["h"], keep_repeated,
-                                    n_buckets=n_buckets)
+                                    n_buckets=n_buckets,
+                                    map_format="pyarrow")
 
 
 def _verified_positions(ds: "ray.data.Dataset", cand: "ray.data.Dataset",

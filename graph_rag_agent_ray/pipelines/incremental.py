@@ -397,16 +397,25 @@ def _delta_graph_build(
     # sparse tick keeps the two-scan overlap (~1 s of fixed scheduler cost
     # per execution); a dense tick merely lets the speculative scan finish
     # in the background, overlapped with the full re-aggregate.
-    scans = ThreadPoolExecutor(max_workers=1)
+    scans = ThreadPoolExecutor(max_workers=2)
+    # pure-append tick (no modified/deleted docs): the removed-doc mention
+    # scan would keep zero rows — skip the submit entirely
     f_removed = scans.submit(
         lambda: _distinct_norm_surfaces(
             _filter_by_docs(
                 prev.read("mentions", columns=["doc_id", "entity_surface"]),
                 removed_ref),
-            "entity_surface"))
+            "entity_surface")) if removed else None
+    # ONE read of the previous vocabulary serves both the dense decision
+    # (its length) and the existence diff below (its surface set) — the
+    # round-4 path paid a count() here plus a second full read later
+    f_prev_vocab = scans.submit(
+        lambda: prev.read("entities_embedded",
+                          columns=["norm_surface"]).to_pandas())
     scans.shutdown(wait=False)
     touched_fresh = _distinct_norm_surfaces(mentions_fresh, "entity_surface")
-    prev_vocab = prev.read("entities_embedded", columns=["norm_surface"]).count()
+    prev_vocab_pdf = f_prev_vocab.result()
+    prev_vocab = len(prev_vocab_pdf)
     dense = len(touched_fresh) >= max(
         cfg.incremental_dense_min,
         int(prev_vocab * cfg.incremental_dense_fraction))
@@ -414,7 +423,8 @@ def _delta_graph_build(
         touched = touched_fresh
         touched_ref = None  # no sparse-path filter ever runs in dense mode
     else:
-        touched = touched_fresh | f_removed.result()
+        touched = touched_fresh | (f_removed.result()
+                                   if f_removed is not None else set())
         touched_ref = ray.put(pa.array(sorted(touched), pa.string()))
     _record("touched_surfaces", t0, n_touched=len(touched),
             prev_vocab=int(prev_vocab), dense_bypass=dense)
@@ -476,28 +486,20 @@ def _delta_graph_build(
     # enters/leaves the vocabulary only by a mention change, which makes it
     # touched), and the count patch over the full new vocabulary is a no-op
     # for surfaces whose counts did not change.
-    with ThreadPoolExecutor(max_workers=2) as scans:
-        if dense:
-            f_new = scans.submit(
-                lambda: embedded.select_columns(
-                    ["norm_surface", "n_mentions"]).to_pandas())
-            f_prev = scans.submit(
-                lambda: prev.read("entities_embedded",
-                                  columns=["norm_surface"]).to_pandas())
-        else:
-            f_new = scans.submit(
-                lambda: _filter_col_in(embedded, touched_ref, "norm_surface")
-                .select_columns(["norm_surface", "n_mentions"]).to_pandas())
-            f_prev = scans.submit(
-                lambda: _filter_col_in(
-                    prev.read("entities_embedded", columns=["norm_surface"]),
-                    touched_ref, "norm_surface").to_pandas())
-        touched_new_pdf = f_new.result()
-        prev_present_pdf = f_prev.result()
+    if dense:
+        touched_new_pdf = embedded.select_columns(
+            ["norm_surface", "n_mentions"]).to_pandas()
+    else:
+        touched_new_pdf = (
+            _filter_col_in(embedded, touched_ref, "norm_surface")
+            .select_columns(["norm_surface", "n_mentions"]).to_pandas())
     new_present = (set(touched_new_pdf["norm_surface"])
                    if len(touched_new_pdf) else set())
-    prev_present = (set(prev_present_pdf["norm_surface"])
-                    if len(prev_present_pdf) else set())
+    # previous-side presence comes from the vocabulary pdf already read for
+    # the dense decision — no second distributed scan
+    prev_present_all = (set(prev_vocab_pdf["norm_surface"])
+                        if len(prev_vocab_pdf) else set())
+    prev_present = prev_present_all if dense else (prev_present_all & touched)
     if dense:
         existence_touched = new_present ^ prev_present
     else:

@@ -88,7 +88,9 @@ def _partial_exact(batch: pa.Table) -> pd.DataFrame:
         )
         .reset_index()
     )
-    return grouped
+    # emit Arrow so the dedup shuffle moves zero-copy blocks (surfaces
+    # becomes list<string>; the reducer boundary restores Python lists)
+    return pa.Table.from_pandas(grouped, preserve_index=False)
 
 
 def _final_exact_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -125,7 +127,8 @@ def aggregate_exact(mentions: "ray.data.Dataset", cfg: KGConfig | None = None) -
         _partial_exact, batch_format="pyarrow", batch_size=16384,
     )
     return hash_partitioned_groupby(
-        partial, ["norm_surface"], _final_exact_bucket, n_buckets=cfg.salt_buckets * 4
+        partial, ["norm_surface"], _final_exact_bucket,
+        n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
     )
 
 
@@ -639,6 +642,11 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     )
     out = reps.merge(top_type, on="entity_id").merge(n, on="entity_id") \
         .merge(surf, on="entity_id")
+    # pin embedding cells to float32 ndarrays regardless of how the group
+    # crossed the shuffle (pandas path delivers ndarray cells, the Arrow
+    # path Python lists) — keeps the entities snapshot schema stable
+    out["embedding"] = out["embedding"].map(
+        lambda v: np.asarray(v, dtype=np.float32))
     return out[["entity_id", "surface_forms", "entity_type", "description",
                 "embedding", "n_mentions"]]
 
@@ -655,8 +663,11 @@ def canonical_entities(
         return batch.append_column("entity_id", pa.array(canon, pa.string()))
 
     with_id = embedded.map_batches(add_canonical, batch_format="pyarrow", batch_size=8192)
+    # Arrow map side: the embedding list column stays Arrow through the
+    # merge shuffle (no tensor-extension pandas blocks in the exchange)
     return hash_partitioned_groupby(
-        with_id, ["entity_id"], _merge_entities_bucket, n_buckets=cfg.salt_buckets * 4
+        with_id, ["entity_id"], _merge_entities_bucket,
+        n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
     )
 
 
@@ -708,7 +719,12 @@ def _partial_edges(batch: pa.Table) -> pd.DataFrame:
         uniq.groupby(keys, sort=False)["chunk_id"]
         .agg(lambda s: list(s)[:MAX_EDGE_CHUNK_IDS]).reset_index(name="chunk_ids")
     )
-    return firsts.merge(wmax, on=keys).merge(chunk_lists, on=keys)
+    out = firsts.merge(wmax, on=keys).merge(chunk_lists, on=keys)
+    # emit Arrow: the edge-dedup shuffle is the biggest exchange of the
+    # build (every distinct-per-block fact row) — zero-copy blocks beat
+    # pickled pandas; chunk_ids becomes list<string> and the reducer
+    # boundary restores Python lists
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def canonical_triples_distributed(
@@ -788,5 +804,5 @@ def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None)
     )
     return hash_partitioned_groupby(
         partial, ["subj", "pred", "obj"], _edges_bucket,
-        n_buckets=cfg.salt_buckets * 4,
+        n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
     )

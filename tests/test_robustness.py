@@ -91,3 +91,68 @@ class TestAdversarialBuild:
     def test_fact_extracted_from_normal_doc(self, built):
         edges = built["edges"].to_pandas()
         assert (("ALFA BETA" == edges["src"]) & (edges["pred"] == "leads")).any()
+
+
+class TestShuffleMapFormats:
+    """The two map sides of hash_partitioned_groupby (pandas default, Arrow
+    opt-in) must produce identical results — including through nested
+    columns, which the Arrow path must deliver to the reducer as Python
+    lists (not ndarray cells) per the reducer contract."""
+
+    def test_pyarrow_map_side_parity(self, ray_session):
+        import pandas as pd
+
+        from graph_rag_agent_ray.functions.shuffle import (
+            drop_duplicate_keys, hash_partitioned_groupby)
+
+        tbl = pa.table({
+            "k": pa.array([f"key{i % 7}" for i in range(200)], pa.string()),
+            "v": pa.array(list(range(200)), pa.int64()),
+            "tags": pa.array([[f"t{i % 3}", f"t{i % 5}"] for i in range(200)],
+                             pa.list_(pa.string())),
+        })
+
+        def make_reducer(fmt):
+            def reducer(df: pd.DataFrame) -> pd.DataFrame:
+                if fmt == "pyarrow":
+                    # the Arrow reducer boundary must deliver TRUE Python
+                    # lists (ndarray cells would rebuild tensor-extension
+                    # blocks downstream — the round-4 crash)
+                    assert all(isinstance(x, list) for x in df["tags"])
+                return (df.groupby("k", sort=False)
+                        .agg(v_sum=("v", "sum"),
+                             n_tags=("tags",
+                                     lambda ls: sum(len(x) for x in ls)))
+                        .reset_index())
+            return reducer
+
+        outs = {}
+        for fmt in ("pandas", "pyarrow"):
+            out = hash_partitioned_groupby(
+                rd.from_arrow(tbl), ["k"], make_reducer(fmt), n_buckets=4,
+                map_format=fmt).to_pandas()
+            outs[fmt] = out.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(outs["pandas"], outs["pyarrow"])
+
+        dd = drop_duplicate_keys(rd.from_arrow(tbl), ["k"], n_buckets=4,
+                                 map_format="pyarrow").to_pandas()
+        assert sorted(dd["k"]) == sorted(f"key{i}" for i in range(7))
+
+    def test_multi_key_arrow_map_side(self, ray_session):
+        import pandas as pd
+
+        from graph_rag_agent_ray.functions.shuffle import hash_partitioned_groupby
+
+        tbl = pa.table({
+            "a": pa.array(["x", "x", "y", "y"], pa.string()),
+            "b": pa.array([1, 1, 1, 2], pa.int64()),
+            "v": pa.array([10, 20, 30, 40], pa.int64()),
+        })
+        out = hash_partitioned_groupby(
+            rd.from_arrow(tbl), ["a", "b"],
+            lambda df: df.groupby(["a", "b"], sort=False)["v"].sum()
+            .reset_index(),
+            n_buckets=3, map_format="pyarrow",
+        ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert out.to_dict("list") == {
+            "a": ["x", "y", "y"], "b": [1, 1, 2], "v": [30, 30, 40]}
