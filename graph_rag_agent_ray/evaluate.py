@@ -275,6 +275,101 @@ def chunk_utilization(answer_text: str, chunk_texts) -> float:
 
 
 # ---------------------------------------------------------------------------
+# deep-search metrics (reference evaluator/metrics/deep_search_metrics.py —
+# deterministic structure-rule paths; each metric's LLM branch takes
+# max(rule, llm) in the reference, so the rule path is its floor)
+# ---------------------------------------------------------------------------
+
+def _extract_thinking(answer: str, thinking_process: str | None = None) -> str:
+    """The shared thinking-process accessor (deep_search_metrics.py:22-31):
+    explicit field first, else the <think>...</think> block in the answer."""
+    import re
+
+    if thinking_process:
+        return thinking_process
+    m = re.search(r"<think>(.*?)</think>", answer or "", re.DOTALL)
+    return m.group(1).strip() if m else ""
+
+
+def _thinking_queries(thinking: str) -> list:
+    import re
+
+    return re.findall(r">\s*\d+\.\s*(.*?)\n", thinking)
+
+
+def reasoning_coherence(answer: str, thinking_process: str | None = None) -> float:
+    """ReasoningCoherence's structure rule (deep_search_metrics.py:14-132):
+    base 0.6 + 0.1 per search query (≤3) + 0.1 for >3 paragraphs, capped at
+    1.0; no thinking process → the 0.6 default."""
+    import re
+
+    thinking = _extract_thinking(answer, thinking_process)
+    if not thinking:
+        return 0.6
+    score = 0.6
+    queries = _thinking_queries(thinking)
+    if queries:
+        score += 0.1 * min(3, len(queries))
+    if len(re.split(r"\n\n+", thinking)) > 3:
+        score += 0.1
+    return min(1.0, score)
+
+
+def reasoning_depth(answer: str, thinking_process: str | None = None) -> float:
+    """ReasoningDepth's feature rule (deep_search_metrics.py:179-325):
+    base 0.6 + query count (0.05 each ≤0.2) + paragraph depth (0.02 each
+    ≤0.1) + Final-Information sections (0.05 each ≤0.1); no thinking → 0.6."""
+    import re
+
+    thinking = _extract_thinking(answer, thinking_process)
+    if not thinking:
+        return 0.6
+    q = len(_thinking_queries(thinking))
+    paras = len(re.split(r"\n\n+", thinking))
+    infos = len(re.findall(r"\*\*Final Information\*\*(.*?)(?=\n\n|\Z)",
+                           thinking, re.DOTALL))
+    return min(1.0, 0.6 + min(0.2, 0.05 * q) + min(0.1, 0.02 * paras)
+               + min(0.1, 0.05 * infos))
+
+
+def iterative_improvement(answer: str,
+                          thinking_process: str | None = None) -> float:
+    """IterativeImprovementMetric's rule (deep_search_metrics.py:344-500):
+    base 0.5 + 0.1 per numbered query iteration (≤0.3); no thinking → 0.5."""
+    thinking = _extract_thinking(answer, thinking_process)
+    if not thinking:
+        return 0.5
+    n_iter = len(_thinking_queries(thinking))
+    score = 0.5
+    if n_iter >= 1:
+        score += min(0.3, 0.1 * n_iter)
+    return min(1.0, score)
+
+
+def knowledge_graph_utilization(answer: str,
+                                thinking_process: str | None = None) -> float:
+    """KnowledgeGraphUtilizationMetric's rule (deep_search_metrics.py:
+    523-698): base 0.2 + 0.03 per graph-term mention in the thinking (≤0.3)
+    + 0.25 each for the 核心相关实体 / 相关知识社区 answer sections; without
+    a thinking process only the section bonuses apply."""
+    import re
+
+    answer = answer or ""
+    has_entity = bool(re.search(r"核心相关实体[：:]\s*(.*?)(?=\n|$)", answer,
+                                re.IGNORECASE))
+    has_community = bool(re.search(r"相关知识社区[：:]\s*(.*?)(?=\n|$)", answer,
+                                   re.IGNORECASE))
+    thinking = _extract_thinking(answer, thinking_process)
+    mention_score = 0.0
+    if thinking:
+        mentions = re.findall(r"知识图谱|实体|关系|社区", thinking,
+                              re.IGNORECASE)
+        mention_score = min(0.3, len(mentions) * 0.03)
+    return min(1.0, 0.2 + mention_score + (0.25 if has_entity else 0.0)
+               + (0.25 if has_community else 0.0))
+
+
+# ---------------------------------------------------------------------------
 # metric registry (reference evaluator/core/base_evaluator.py:47-66 pattern:
 # metrics auto-register under a name and an evaluator computes a selected
 # subset by name — here a decorator registry instead of a subclass scan)
@@ -296,6 +391,10 @@ register_metric("retrieval_precision")(retrieval_precision)
 register_metric("retrieval_utilization")(retrieval_utilization)
 register_metric("retrieval_latency")(retrieval_latency)
 register_metric("chunk_utilization")(chunk_utilization)
+register_metric("reasoning_coherence")(reasoning_coherence)
+register_metric("reasoning_depth")(reasoning_depth)
+register_metric("iterative_improvement")(iterative_improvement)
+register_metric("knowledge_graph_utilization")(knowledge_graph_utilization)
 
 # per-sample argument extraction for the retrieval metrics (the reference
 # reads these fields off RetrievalEvaluationData samples)

@@ -402,3 +402,50 @@ class TestRetrievalMetrics:
         assert out["retrieval_precision"]["scores"][1] == 0.3
         assert out["retrieval_latency"]["mean"] == 1.0
         assert out["chunk_utilization"]["scores"][1] == 0.3
+
+
+class TestDeepSearchMetrics:
+    """deep_search_metrics.py deterministic rule paths (the reference takes
+    max(rule, llm) — the rule is each metric's floor)."""
+
+    THINKING = ("分析问题。\n\n> 1. first query\n> 2. second query\n"
+                "> 3. third query\n> 4. fourth query\n\n中段推理。\n\n"
+                "**Final Information** found the fact\n\n结论。")
+
+    def test_reasoning_coherence(self):
+        from graph_rag_agent_ray.evaluate import reasoning_coherence
+        # no thinking -> 0.6 default
+        assert reasoning_coherence("plain answer") == 0.6
+        # queries (capped at 3) + >3 paragraphs -> 0.6 + 0.3 + 0.1
+        full = reasoning_coherence(f"<think>{self.THINKING}</think>答案")
+        assert abs(full - 1.0) < 1e-9
+        # explicit thinking_process wins over the tag
+        assert reasoning_coherence("x", thinking_process="短。") == 0.6
+
+    def test_reasoning_depth(self):
+        from graph_rag_agent_ray.evaluate import reasoning_depth
+        assert reasoning_depth("no thinking") == 0.6
+        d = reasoning_depth("x", thinking_process=self.THINKING)
+        # 0.6 + min(.2, .05*4) + min(.1, .02*5 paragraphs) + min(.1, .05*1)
+        assert abs(d - (0.6 + 0.2 + 0.1 + 0.05)) < 1e-9
+
+    def test_iterative_improvement(self):
+        from graph_rag_agent_ray.evaluate import iterative_improvement
+        assert iterative_improvement("no thinking") == 0.5
+        assert abs(iterative_improvement(
+            "x", thinking_process=self.THINKING) - 0.8) < 1e-9  # 0.5+0.3cap
+
+    def test_kg_utilization(self):
+        from graph_rag_agent_ray.evaluate import knowledge_graph_utilization
+        assert abs(knowledge_graph_utilization("plain") - 0.2) < 1e-9
+        both = knowledge_graph_utilization(
+            "核心相关实体: A, B\n相关知识社区: C1\n<think>实体和关系与社区的知识图谱</think>")
+        # 0.2 + 4 mentions * 0.03 + 0.25 + 0.25
+        assert abs(both - (0.2 + 0.12 + 0.5)) < 1e-9
+
+    def test_registered(self):
+        from graph_rag_agent_ray.evaluate import METRICS
+        assert {"reasoning_coherence", "reasoning_depth",
+                "iterative_improvement",
+                "knowledge_graph_utilization"} <= set(METRICS)
+        assert len(METRICS) >= 10

@@ -62,13 +62,16 @@ def main(sf_dir: str) -> int:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
+    import time as _time
     for name, fn in qs.items():
+        _t0 = _time.monotonic()
         try:
             ours = _to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        _q_sec = _time.monotonic() - _t0
         if name not in oracles:
             print(f"rows  {name}: {len(ours)} rows (no oracle)")
             continue
@@ -93,7 +96,8 @@ def main(sf_dir: str) -> int:
         status = "OK  " if (ok_rows and ok_schema and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
-        print(f"{status}  {name}: rows {len(ours)}/{len(theirs)} schema={ok_schema} hash={ok_hash}")
+        print(f"{status}  {name}: rows {len(ours)}/{len(theirs)} "
+              f"schema={ok_schema} hash={ok_hash} q_sec={_q_sec:.2f}")
         if not ok_hash and ok_rows and ok_schema and len(ours) < 50:
             print("  ours:", ours.sort_values(list(ours.columns)).head(10).to_dict("records")[:3])
             print("  theirs:", theirs.sort_values(list(theirs.columns)).head(10).to_dict("records")[:3])
