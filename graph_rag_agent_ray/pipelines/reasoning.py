@@ -430,6 +430,193 @@ class QueryKGBuilder:
                 for e in top]
 
 
+class CommunityAwareSearchEnhancer:
+    """Community-aware search enhancement over the built tables — reference
+    ``search/tool/reasoning/community_enhance.py`` (CommunityAwareSearch-
+    Enhancer) with its deterministic scoring intact and the LLM strategy
+    step behind the injectable-client seam:
+
+    - :meth:`find_relevant_communities`: top-20 communities by rank
+      (distributed per-batch partial top-k, 20-row driver collect), scored
+      0.6·cosine(query, summary) + 0.3·min(kw_score, 5)/5 +
+      0.1·min(rank/10, 1); kw_score = 2.0 per high-level + 0.5 per
+      low-level keyword substring (community_enhance.py:96-143).
+    - :meth:`extract_community_knowledge`: core entities = community
+      members ordered by mention count (≤50); relationships = edges with
+      BOTH endpoints in that set, ordered by path_importance =
+      mentions(src)+mentions(dst) (≤100) — one broadcast edge filter
+      (:158-235).
+    - :meth:`generate_search_strategy`: <3 entities → basic; with a client,
+      the reference's parsing ladder (quoted queries → sentence fallback,
+      key-value entity lines, tokenizer keywords); client errors →
+      fallback strategy (:254-332)."""
+
+    def __init__(self, tables: Dict[str, "ray.data.Dataset"],
+                 cfg=None, client=None):
+        from ..config import KGConfig
+        self.tables = tables
+        self.cfg = cfg or KGConfig()
+        self.client = client
+        self.cache: Dict[str, dict] = {}
+
+    def enhance_search(self, query: str,
+                       keywords: Dict[str, List[str]]) -> dict:
+        cache_key = f"comm_search:{query}"
+        if cache_key in self.cache:
+            return self.cache[cache_key]
+        communities = self.find_relevant_communities(query, keywords)
+        if communities:
+            knowledge = self.extract_community_knowledge(communities)
+        else:
+            knowledge = {"entities": [], "relationships": [], "summaries": []}
+        ctx = {
+            "community_info": knowledge,
+            "search_strategy": self.generate_search_strategy(query, knowledge),
+        }
+        self.cache[cache_key] = ctx
+        return ctx
+
+    def find_relevant_communities(self, query: str,
+                                  keywords: Dict[str, List[str]],
+                                  top_k: int = 3) -> List[dict]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.embed import embed_texts
+        from ..functions.text import normalize_surface
+
+        def part(batch: "pa.Table") -> "pa.Table":
+            t = batch.select(["community_id", "summary", "rank", "members"])
+            mask = pc.and_(pc.is_valid(t.column("summary")),
+                           pc.not_equal(t.column("summary"), ""))
+            t = t.filter(mask)
+            order = pc.sort_indices(t, sort_keys=[("rank", "descending")])
+            return t.take(order[:20])
+
+        cand = (self.tables["communities"]
+                .map_batches(part, batch_format="pyarrow")
+                .to_pandas())
+        if cand.empty:
+            return []
+        cand = cand.sort_values(["rank", "community_id"],
+                                ascending=[False, True]).head(20)
+        qv = embed_texts([normalize_surface(query)],
+                         dim=self.cfg.embed_dim)[0].astype(np.float64)
+        svs = embed_texts([normalize_surface(s) for s in cand["summary"]],
+                          dim=self.cfg.embed_dim).astype(np.float64)
+        sims = svs @ qv  # both sides unit-norm
+        high = [str(k).lower() for k in keywords.get("high_level", [])]
+        low = [str(k).lower() for k in keywords.get("low_level", [])]
+        scored = []
+        for (cid, summary, rank, members), sim in zip(
+                cand[["community_id", "summary", "rank", "members"]]
+                .itertuples(index=False), sims):
+            text = summary.lower()
+            kw_score = (sum(2.0 for k in high if k in text)
+                        + sum(0.5 for k in low if k in text))
+            importance = min(float(rank or 1) / 10.0, 1.0)
+            final = (float(sim) * 0.6 + (min(kw_score, 5) / 5.0) * 0.3
+                     + importance * 0.1)
+            scored.append({"community_id": cid, "score": final,
+                           "summary": summary, "members": list(members)})
+        return sorted(scored, key=lambda x: (-x["score"],
+                                             x["community_id"]))[:top_k]
+
+    def extract_community_knowledge(self, communities: List[dict]) -> dict:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not communities:
+            return {"entities": [], "relationships": [], "summaries": []}
+        member_ids = sorted({m for c in communities for m in c["members"]})
+        by_comm = {m: c["community_id"]
+                   for c in reversed(communities) for m in c["members"]}
+        mref = ray.put(pa.array(member_ids, pa.string()))
+
+        def keep_members(batch: "pa.Table") -> "pa.Table":
+            keep = ray.get(mref)
+            return batch.filter(pc.is_in(batch.column("entity_id"),
+                                         value_set=keep))
+
+        ents = (self.tables["entities"]
+                .select_columns(["entity_id", "description", "n_mentions"])
+                .map_batches(keep_members, batch_format="pyarrow")
+                .to_pandas())
+        ents = ents.sort_values(["n_mentions", "entity_id"],
+                                ascending=[False, True]).head(50)
+        mentions = dict(zip(ents["entity_id"], ents["n_mentions"]))
+        entity_rows = [
+            {"entity_id": e, "description": d, "community_id": by_comm.get(e),
+             "mention_count": int(n)}
+            for e, d, n in zip(ents["entity_id"], ents["description"],
+                               ents["n_mentions"])]
+        eref = ray.put(pa.array(sorted(mentions), pa.string()))
+
+        def both_ends(batch: "pa.Table") -> "pa.Table":
+            keep = ray.get(eref)
+            mask = pc.and_(pc.is_in(batch.column("src"), value_set=keep),
+                           pc.is_in(batch.column("dst"), value_set=keep))
+            return batch.filter(mask)
+
+        rels = (self.tables["edges"]
+                .select_columns(["src", "pred", "dst", "weight"])
+                .map_batches(both_ends, batch_format="pyarrow")
+                .to_pandas())
+        if len(rels):
+            rels["path_importance"] = (rels["src"].map(mentions).fillna(0)
+                                       + rels["dst"].map(mentions).fillna(0)
+                                       ).astype(int)
+            rels = rels.sort_values(
+                ["path_importance", "src", "dst"],
+                ascending=[False, True, True]).head(100)
+            rel_rows = rels.rename(columns={
+                "pred": "relation_type"}).to_dict("records")
+        else:
+            rel_rows = []
+        return {"entities": entity_rows, "relationships": rel_rows,
+                "summaries": [c["summary"] for c in communities]}
+
+    def generate_search_strategy(self, query: str,
+                                 community_knowledge: dict) -> dict:
+        entities = community_knowledge.get("entities", [])
+        if len(entities) < 3:
+            return {"strategy_type": "basic", "follow_up_queries": [],
+                    "focus_entities": []}
+        if self.client is None:
+            # no model: deterministic fallback strategy over the core set
+            return {"strategy_type": "fallback", "follow_up_queries": [],
+                    "focus_entities": [e["entity_id"] for e in entities[:5]]}
+        from ..functions.text import tokenize
+        from ..stages.llm import call_with_retry
+        content = call_with_retry(self.client, [{
+            "role": "user", "content":
+                "基于用户查询和社区知识，生成一个最多3个后续搜索查询的列表。\n"
+                f"用户查询: {query}\n社区中的关键实体:\n"
+                + ", ".join(e["entity_id"] for e in entities[:10])
+                + "\n返回JSON格式的后续查询和关注实体。"}], retries=1)
+        if not content:
+            return {"strategy_type": "fallback", "follow_up_queries": [],
+                    "focus_entities": [e["entity_id"] for e in entities[:5]]}
+        keywords = [t for t in tokenize(content) if len(t) > 1][:10]
+        queries = re.findall(r'"([^"]+)"', content)
+        if not queries:
+            sentences = re.findall(
+                r"[？?!！。；;][^？?!！。；;]{5,50}[？?!！。；;]", content)
+            queries = [s.strip() for s in sentences if len(s.strip()) > 10][:3]
+        focus = []
+        for line in content.split("\n"):
+            if ":" in line or "：" in line:
+                parts = re.split(r"[：:]", line, 1)
+                if len(parts) == 2 and parts[1].strip():
+                    focus.append(parts[1].strip())
+        return {
+            "strategy_type": "extracted",
+            "follow_up_queries": queries[:3],
+            "focus_entities": focus[:5] if focus else keywords[:5],
+            "keywords": keywords,
+        }
+
+
 class AnswerValidator:
     """Rule-based answer gate (validator.py:1-97): minimum length, error
     patterns, keyword relevance (≥1 high-level keyword present; ≥half of

@@ -213,3 +213,84 @@ class TestDeepResearchEvidence:
         assert kg is not None and kg["entity_count"] > 0
         assert kg["relation_count"] >= 0
         assert isinstance(kg["central_entities"], list)
+
+
+class TestCommunityEnhancer:
+    @pytest.fixture(scope="class")
+    def built(self, ray_session, tmp_path_factory):
+        from graph_rag_agent_ray import build_kg
+        from graph_rag_agent_ray.synth import generate
+        corpus = generate(n_docs=30, seed=42)
+        tables = build_kg(rd.from_arrow(corpus.documents),
+                          str(tmp_path_factory.mktemp("kg_ce")),
+                          input_token="ce30")
+        return corpus, tables
+
+    def test_find_and_extract(self, built):
+        from graph_rag_agent_ray.pipelines.reasoning import (
+            CommunityAwareSearchEnhancer)
+        corpus, tables = built
+        target = corpus.alias_groups.column("canonical_id")[0].as_py()
+        enh = CommunityAwareSearchEnhancer(tables)
+        comms = enh.find_relevant_communities(
+            target, {"high_level": [target], "low_level": []})
+        assert 0 < len(comms) <= 3
+        assert all(set(c) >= {"community_id", "score", "summary", "members"}
+                   for c in comms)
+        # keyword bonus: the community containing the target should surface
+        assert any(target in c["summary"] or target in c["members"]
+                   for c in comms)
+        know = enh.extract_community_knowledge(comms)
+        assert 0 < len(know["entities"]) <= 50
+        assert all(e["mention_count"] >= 0 for e in know["entities"])
+        # relationships have both endpoints inside the core entity set
+        core = {e["entity_id"] for e in know["entities"]}
+        assert all(r["src"] in core and r["dst"] in core
+                   for r in know["relationships"])
+        assert len(know["relationships"]) <= 100
+        assert know["summaries"] == [c["summary"] for c in comms]
+
+    def test_enhance_search_caches_and_strategies(self, built):
+        from graph_rag_agent_ray.pipelines.reasoning import (
+            CommunityAwareSearchEnhancer)
+        corpus, tables = built
+        target = corpus.alias_groups.column("canonical_id")[1].as_py()
+        enh = CommunityAwareSearchEnhancer(tables)
+        ctx = enh.enhance_search(target, {"high_level": [], "low_level": []})
+        assert ctx["search_strategy"]["strategy_type"] in ("basic", "fallback")
+        assert enh.enhance_search(
+            target, {"high_level": [], "low_level": []}) is ctx  # cached
+
+        class Scripted:
+            def complete(self, messages):
+                return ('可以 "follow up one" 和 "follow up two"\n'
+                        '关注实体：ALPHA CORP\n')
+
+        enh2 = CommunityAwareSearchEnhancer(tables, client=Scripted())
+        ctx2 = enh2.enhance_search(target, {"high_level": [], "low_level": []})
+        strat = ctx2["search_strategy"]
+        if len(ctx2["community_info"]["entities"]) >= 3:
+            assert strat["strategy_type"] == "extracted"
+            assert strat["follow_up_queries"] == ["follow up one",
+                                                  "follow up two"]
+            assert strat["focus_entities"][0] == "ALPHA CORP"
+
+    def test_empty_communities(self, ray_session):
+        import pandas as pd
+
+        from graph_rag_agent_ray.pipelines.reasoning import (
+            CommunityAwareSearchEnhancer)
+        empty = rd.from_pandas(pd.DataFrame({
+            "community_id": pd.Series(dtype="object"),
+            "level": pd.Series(dtype="int64"),
+            "members": pd.Series(dtype="object"),
+            "summary": pd.Series(dtype="object"),
+            "full_content": pd.Series(dtype="object"),
+            "rank": pd.Series(dtype="int64")}))
+        enh = CommunityAwareSearchEnhancer({"communities": empty})
+        ctx = enh.enhance_search("q", {})
+        assert ctx["community_info"] == {"entities": [], "relationships": [],
+                                         "summaries": []}
+        assert ctx["search_strategy"]["strategy_type"] == "basic"
+        assert enh.extract_community_knowledge([]) == {
+            "entities": [], "relationships": [], "summaries": []}
