@@ -347,9 +347,9 @@ def ngram_jaccard_pairs(
 
     # 2. global frequencies: map-side combine then bucket reduce
     def partial_freq(batch: pa.Table) -> pa.Table:
-        df = pa.Table.to_pandas(batch)
-        agg = df.groupby("gram", sort=False).size().reset_index(name="freq")
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # native Arrow hash-aggregate; the gram strings never touch pandas
+        agg = batch.group_by("gram").aggregate([("gram", "count")])
+        return agg.rename_columns(["gram", "freq"])
 
     freq_in = grams
     if freq_sample_rate < 1.0:
@@ -367,7 +367,7 @@ def ngram_jaccard_pairs(
         freq_in.map_batches(partial_freq, batch_format="pyarrow", batch_size=16384),
         ["gram"],
         lambda df: df.groupby("gram", sort=False)["freq"].sum().reset_index(),
-        n_buckets=32,
+        n_buckets=32, map_format="pyarrow",
     ).materialize()
 
     # 3. per-doc prefix under the (freq, gram) global order. Two physical
@@ -375,7 +375,8 @@ def ngram_jaccard_pairs(
     # table fits a broadcast, recompute grams per doc IN-MAP with the freq
     # dict at hand — zero shuffles; otherwise hash_join + a doc_id shuffle
     # (the 100 TB fallback; any consistent global order keeps exactness).
-    if freq.count() <= _FREQ_BROADCAST_LIMIT:
+    freq_broadcast = freq.count() <= _FREQ_BROADCAST_LIMIT
+    if freq_broadcast:
         freq_pdf = freq.to_pandas()
         freq_ref = ray.put(dict(zip(freq_pdf["gram"], freq_pdf["freq"])))
 
@@ -443,7 +444,9 @@ def ngram_jaccard_pairs(
                 .drop_duplicates(["a", "b"]))
 
     cand = hash_partitioned_groupby(prefixes, ["gram"], pairs_in_gram,
-                                    n_buckets=32).materialize()
+                                    n_buckets=32,
+                                    map_format="pyarrow" if freq_broadcast
+                                    else "pandas").materialize()
     # candidate pairs are output-sized by the prefix+length filters; guard the
     # driver collect anyway (a pathologically dup-heavy corpus could exceed it
     # — the fix there is raising the threshold or sharding the verify pass).
@@ -499,7 +502,8 @@ def ngram_jaccard_pairs(
         return agg
 
     partial_common = hash_partitioned_groupby(cand_grams, ["gram"],
-                                              common_in_bucket, n_buckets=32)
+                                              common_in_bucket, n_buckets=32,
+                                              map_format="pyarrow")
     # final reduce is OUTPUT-sized (≤ candidate pairs × buckets partial rows)
     # — a driver groupby, not another full shuffle
     pc_pdf = partial_common.to_pandas()
