@@ -414,7 +414,10 @@ def communities_and_entities(
     if graph_fp is not None:
         for src in (store, prev):
             if src is not None and src.is_complete("membership", graph_fp):
-                cached_membership_pdf = src.read("membership").to_pandas()
+                cached_tbl = src.read_local("membership")
+                cached_membership_pdf = (
+                    cached_tbl.to_pandas() if cached_tbl is not None
+                    else src.read("membership").to_pandas())
                 member_levels = _member_levels_from_table(cached_membership_pdf)
                 detect_cached = True
                 if src is prev and not store.is_complete("membership",
@@ -422,11 +425,11 @@ def communities_and_entities(
                     # forward the hit into THIS tick's store — the next
                     # tick's lookup only consults (its store, this store),
                     # so without the copy the cache would survive one tick
-                    store.write("membership",
-                                ray.data.from_arrow(pa.Table.from_pandas(
-                                    cached_membership_pdf,
-                                    preserve_index=False)),
-                                graph_fp)
+                    store.write_local(
+                        "membership",
+                        pa.Table.from_pandas(cached_membership_pdf,
+                                             preserve_index=False),
+                        graph_fp)
                 break
     n_carried = n_detected = 0
     membership_ds = None
@@ -438,16 +441,17 @@ def communities_and_entities(
             carry = None
             for src in (prev, store):
                 if src is not None and src.manifest("membership_parts"):
-                    carry = src.read("membership_parts").to_pandas()
+                    carry_tbl = src.read_local("membership_parts")
+                    carry = (carry_tbl.to_pandas() if carry_tbl is not None
+                             else src.read("membership_parts").to_pandas())
                     break
             member_levels, parts_pdf, n_carried, n_detected = (
                 CM.detect_communities_partitioned(edges_pdf, cfg,
                                                   carry_parts=carry))
             if graph_fp is not None and not store.is_complete(
                     "membership_parts", graph_fp):
-                store.write("membership_parts",
-                            ray.data.from_arrow(_parts_table(parts_pdf)),
-                            graph_fp)
+                store.write_local("membership_parts",
+                                  _parts_table(parts_pdf), graph_fp)
         else:
             # scale path: memberships stay a Dataset end-to-end — the only
             # driver-side community structure is the community-count-sized
@@ -458,8 +462,12 @@ def communities_and_entities(
           and not store.manifest("membership_parts")):
         # tier-1 (whole-graph) hit: forward the per-component parts so the
         # NEXT tick can still carry when only this run's store is consulted
-        store.write("membership_parts", prev.read("membership_parts"),
-                    graph_fp)
+        fwd_tbl = prev.read_local("membership_parts")
+        if fwd_tbl is not None:
+            store.write_local("membership_parts", fwd_tbl, graph_fp)
+        else:
+            store.write("membership_parts", prev.read("membership_parts"),
+                        graph_fp)
     lineage.record("louvain", cached=detect_cached,
                    wall_s=_time.monotonic() - _t,
                    collect_s=round(_t_collect, 3), fp_s=round(_t_fp, 3),
@@ -474,8 +482,7 @@ def communities_and_entities(
             membership_tbl = CM.community_membership_table(member_levels)
             if graph_fp is not None and not store.is_complete(
                     "membership", graph_fp):
-                store.write("membership", ray.data.from_arrow(membership_tbl),
-                            graph_fp)
+                store.write_local("membership", membership_tbl, graph_fp)
             membership_pdf = membership_tbl.to_pandas()
         # one distributed aggregate over the big mentions side; everything
         # else in the community chain is community-count-sized

@@ -210,14 +210,34 @@ def _norm_col(batch: pa.Table, col: str) -> pd.Series:
     return normalize_surface_series(pd.Series(batch.column(col).to_pylist()))
 
 
+_DRIVER_DISTINCT_ROWS = 500_000
+
+
 def _distinct_norm_surfaces(ds: "ray.data.Dataset", col: str) -> Set[str]:
     """Driver collect of the DISTINCT normalized surfaces of a delta-sized
-    dataset (per-batch dedup first; guarded)."""
+    dataset (per-batch dedup first; guarded). A small MATERIALIZED input
+    (the fresh-mentions table of a routine tick) skips the Dataset
+    execution entirely — its blocks are already in the object store and a
+    driver normalize over ≤500k rows is cheaper than the ~0.5-1 s fixed
+    scheduling cost of a distributed pass."""
+    out: Set[str] = set()
+    from ray.data.dataset import MaterializedDataset
+
+    if isinstance(ds, MaterializedDataset) \
+            and ds.count() <= _DRIVER_DISTINCT_ROWS:
+        for tbl in ray.get(ds.to_arrow_refs()):
+            if tbl.num_rows:
+                out.update(_norm_col(tbl, col).unique())
+        if len(out) > MAX_TOUCHED_KEYS:
+            raise RuntimeError(
+                f"touched-surface set exceeds {MAX_TOUCHED_KEYS}; delta too "
+                "large for the delta-scoped path — run a fresh build_kg")
+        return out
+
     def fn(batch: pa.Table) -> pa.Table:
         uniq = _norm_col(batch, col).unique()
         return pa.table({"s": pa.array(uniq, pa.string())})
 
-    out: Set[str] = set()
     for b in ds.map_batches(fn, batch_format="pyarrow",
                             batch_size=16384).iter_batches(batch_format="pyarrow"):
         out.update(b.column("s").to_pylist())
@@ -417,9 +437,17 @@ def _delta_graph_build(
     # ONE read of the previous vocabulary serves both the dense decision
     # (its length) and the existence diff below (its surface set) — the
     # round-4 path paid a count() here plus a second full read later
-    f_prev_vocab = scans.submit(
-        lambda: prev.read("entities_embedded",
-                          columns=["norm_surface"]).to_pandas())
+    def _read_prev_vocab() -> pd.DataFrame:
+        # control-plane read: prefer the driver-local parquet path (~ms)
+        # over a Dataset execution (~0.5 s fixed) — entities_embedded is
+        # vocabulary-sized and full-written, so this almost always hits
+        local = prev.read_local("entities_embedded", columns=["norm_surface"])
+        if local is not None:
+            return local.to_pandas()
+        return prev.read("entities_embedded",
+                         columns=["norm_surface"]).to_pandas()
+
+    f_prev_vocab = scans.submit(_read_prev_vocab)
     scans.shutdown(wait=False)
     touched_fresh = _distinct_norm_surfaces(mentions_fresh, "entity_surface")
     prev_vocab_pdf = f_prev_vocab.result()

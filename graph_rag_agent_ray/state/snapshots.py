@@ -100,6 +100,24 @@ class SnapshotStore:
             self._stage_dir(stage), override_num_blocks=n_blocks, columns=columns
         )
 
+    def read_local(self, stage: str, columns=None):
+        """Driver-side Arrow read of a PLAIN-parquet snapshot, or None when
+        the snapshot needs distributed machinery (delta layout / lance) or
+        doesn't exist. Exists because a Dataset execution has ~0.5 s fixed
+        scheduling cost — for the small control-plane reads on the
+        incremental critical path (a vocabulary column, a membership table)
+        a direct ``pyarrow.parquet`` read is ~ms. Data-plane reads must
+        stay on :meth:`read` (they need the cluster)."""
+        m = self.manifest(stage)
+        if not m or m.get("format") == "lance" or m.get("delta"):
+            return None
+        import pyarrow.parquet as pq
+
+        try:
+            return pq.read_table(self._stage_dir(stage), columns=columns)
+        except Exception:
+            return None
+
     def _read_delta(self, stage: str, m: Dict, columns, n_blocks: int):
         """Read a delta-layout snapshot: files grouped by generation, each
         group filtered by the union of all LATER generations' tombstoned
@@ -146,6 +164,35 @@ class SnapshotStore:
         for p in parts[1:]:
             out = out.union(p)
         return out
+
+    def write_local(self, stage: str, table, fp: str,
+                    extra: Optional[Dict] = None) -> None:
+        """Atomically persist a DRIVER-SIDE Arrow table as a plain-parquet
+        snapshot (same tmp+rename protocol as :meth:`write`, one file, no
+        Dataset execution). For control-plane-sized tables only — community
+        membership, carried parts — where a distributed write's ~0.5 s
+        fixed cost dwarfs the bytes moved."""
+        import pyarrow.parquet as pq
+
+        final = self._stage_dir(stage)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.monotonic()
+        pq.write_table(table, os.path.join(tmp, "local-0.parquet"))
+        manifest = {
+            "stage": stage, "fingerprint": fp,
+            "wall_s": round(time.monotonic() - t0, 3),
+            "n_files": 1, "n_rows": table.num_rows, "format": "parquet",
+            "written_at": time.time(),
+        }
+        manifest.update(extra or {})
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=2)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
 
     def write(self, stage: str, ds: "ray.data.Dataset", fp: str,
               extra: Optional[Dict] = None) -> "ray.data.Dataset":
