@@ -55,6 +55,11 @@ def ensure_corpus(n_docs: int, facts_per_doc: int, dup_rate: float = 0.0,
     tag = f"_dup{int(dup_rate * 100)}" if dup_rate else ""
     if sparse:
         tag += "_sparse2"  # v2: intra_p=1.0 (disconnected components)
+    # shard the documents table so the headline's first read is parallel
+    # (one file = one Ray read task = ~1 s serialized at every CPU width)
+    n_files = min(32, max(1, n_docs // 2048))
+    if n_files > 1:
+        tag += f"_f{n_files}"
     path = f"/tmp/bench_corpus_{n_docs}_{facts_per_doc}{tag}"
     if not os.path.exists(f"{path}/documents.parquet"):
         from graph_rag_agent_ray.synth import generate, write_corpus
@@ -72,7 +77,7 @@ def ensure_corpus(n_docs: int, facts_per_doc: int, dup_rate: float = 0.0,
                               facts_per_doc=facts_per_doc,
                               n_entities=min(500, max(20, n_docs // 2)),
                               dup_rate=dup_rate)
-        write_corpus(corpus, path)
+        write_corpus(corpus, path, n_files=n_files)
     return path
 
 

@@ -70,7 +70,11 @@ def build_kg(
     base_fp = fingerprint(input_token, cfg)
 
     # spread the input across the cluster: a single parquet file arrives as
-    # one or two blocks, which would cap every downstream stage's parallelism
+    # one or two blocks, which would cap every downstream stage's
+    # parallelism. Skip the (barrier) repartition when the input is already
+    # a many-file read — its tasks fan out on their own, and the repartition
+    # would serialize behind the full read instead of pipelining into the
+    # chunker.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     docs = docs.repartition(max(n_cpus * 2, 8))
 
@@ -389,6 +393,11 @@ def communities_and_entities(
     import time as _time
 
     entities0 = C.canonical_entities(embedded, alias_ref, cfg)
+
+    # (measured non-win: materializing the rank aggregate's mentions-side
+    # distinct pairs concurrently with Leiden costs MORE than the fused
+    # single-scan ranks — the extra pass + object-store round-trip exceeds
+    # the ~1.5 s detection window it hides. Keep ranks fused and lazy.)
 
     # ---- communities (aggregated graph — provably small; guarded) ----
     # guard decision from a metadata count; the light columns collect ONLY

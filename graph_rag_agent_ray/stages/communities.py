@@ -498,15 +498,30 @@ def community_membership_table(member_levels: Dict[str, List[int]]) -> pa.Table:
     })
 
 
+def mention_chunk_pairs(mentions_canon: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The membership-independent half of the rank aggregate: per-batch
+    DISTINCT (entity_id, chunk_id) pairs from the corpus-sized canonical
+    mentions. Factored out so the build can materialize it CONCURRENTLY with
+    community detection (the pairs depend only on mentions_canon; the
+    cluster would otherwise sit idle during the driver-side Leiden)."""
+    return mentions_canon.map_batches(
+        lambda b: pa.Table.to_pandas(b)[["entity_id", "chunk_id"]]
+        .drop_duplicates(),
+        batch_format="pyarrow", batch_size=16384)
+
+
 def community_ranks(
-    membership, mentions_canon: "ray.data.Dataset"
+    membership, mentions_canon: "ray.data.Dataset",
+    pairs: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """rank = distinct chunks mentioning any member (summary/base.py:53-68).
 
     Broadcast the (small) membership map and aggregate over the (large)
     mentions stream — the shuffle key is community_id, pre-aggregated per
     batch to (community_id, chunk_id) pairs before the distinct count.
-    ``membership`` may be a Dataset or an already-collected DataFrame."""
+    ``membership`` may be a Dataset or an already-collected DataFrame.
+    ``pairs`` optionally supplies a precomputed :func:`mention_chunk_pairs`
+    result (e.g. materialized while detection ran)."""
     member_pdf = (membership.to_pandas()
                   if not isinstance(membership, pd.DataFrame) else membership)
     member_ref = ray.put(member_pdf)
@@ -517,7 +532,8 @@ def community_ranks(
         joined = df.merge(members[["entity_id", "community_id"]], on="entity_id")
         return joined[["community_id", "chunk_id"]].drop_duplicates()
 
-    pairs = mentions_canon.map_batches(explode, batch_format="pyarrow", batch_size=16384)
+    src = pairs if pairs is not None else mentions_canon
+    pairs = src.map_batches(explode, batch_format="pyarrow", batch_size=16384)
     from ..functions.shuffle import hash_partitioned_groupby
     return hash_partitioned_groupby(
         pairs, ["community_id"],
@@ -529,7 +545,8 @@ def community_ranks(
 
 
 def community_ranks_distributed(
-    membership_ds: "ray.data.Dataset", mentions_canon: "ray.data.Dataset"
+    membership_ds: "ray.data.Dataset", mentions_canon: "ray.data.Dataset",
+    pairs: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Same rank aggregate as :func:`community_ranks`, but the membership
     stays a Dataset: the entity→community attach is a distributed hash join
@@ -537,10 +554,8 @@ def community_ranks_distributed(
     of :func:`detect_communities_distributed_ds`."""
     from ..functions.shuffle import hash_join, hash_partitioned_groupby
 
-    pairs = mentions_canon.map_batches(
-        lambda b: pa.Table.to_pandas(b)[["entity_id", "chunk_id"]]
-        .drop_duplicates(),
-        batch_format="pyarrow", batch_size=16384)
+    if pairs is None:
+        pairs = mention_chunk_pairs(mentions_canon)
     joined = hash_join(
         pairs, membership_ds.select_columns(["entity_id", "community_id"]),
         on=["entity_id"],

@@ -422,10 +422,27 @@ def generate(n_docs: int = 100, seed: int = 42,
     )
 
 
-def write_corpus(corpus: SynthCorpus, out_dir: str) -> None:
+def write_corpus(corpus: SynthCorpus, out_dir: str, n_files: int = 1) -> None:
+    """Persist the corpus as parquet. ``n_files > 1`` shards ``documents``
+    into a DIRECTORY of contiguous row slices (still readable by
+    ``read_parquet``/``pq.read_table`` at the same path) — a single parquet
+    file arrives in Ray as ONE read task, which serializes the first ~1 s of
+    every pipeline over the corpus; sharding makes the read itself parallel."""
     import os
     import pyarrow.parquet as pq
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(corpus.documents, f"{out_dir}/documents.parquet")
+    docs = corpus.documents
+    if n_files > 1 and docs.num_rows:
+        n_files = min(n_files, docs.num_rows)
+        shard_dir = f"{out_dir}/documents.parquet"
+        os.makedirs(shard_dir, exist_ok=True)
+        per = -(-docs.num_rows // n_files)
+        for i in range(n_files):
+            sl = docs.slice(i * per, per)
+            if sl.num_rows:
+                pq.write_table(sl, f"{shard_dir}/part-{i:04d}.parquet",
+                               row_group_size=4096)
+    else:
+        pq.write_table(docs, f"{out_dir}/documents.parquet")
     pq.write_table(corpus.triples_ref, f"{out_dir}/triples_ref.parquet")
     pq.write_table(corpus.alias_groups, f"{out_dir}/alias_groups.parquet")
