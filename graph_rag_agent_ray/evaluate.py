@@ -370,6 +370,363 @@ def knowledge_graph_utilization(answer: str,
 
 
 # ---------------------------------------------------------------------------
+# graph-side metrics (reference evaluator/metrics/graph_metrics.py — the
+# DETERMINISTIC rule paths; Neo4j lookups become optional precomputed data
+# arguments and the LLM-fallback branches are the registry's injectable
+# seam, exactly as in the retrieval family above)
+# ---------------------------------------------------------------------------
+
+def eval_keywords(question: str) -> list:
+    """Question-keyword extraction shared by every graph metric
+    (graph_metrics.py:34-35, 1110-1114): word/CJK runs of length ≥2 over the
+    normalized question, keeping 1 < len < 15."""
+    import re
+
+    kws = re.findall(r"\b[\w一-龥]{2,}\b", normalize_answer(question or ""))
+    return [k for k in kws if 1 < len(k) < 15]
+
+
+def _keyword_match_rate(keywords, text: str) -> float:
+    if not keywords:
+        return 0.0
+    low = (text or "").lower()
+    return sum(1 for k in keywords if k.lower() in low) / len(keywords)
+
+
+def community_relevance(question: str, agent_type: str = "",
+                        community_text: str = "",
+                        chunks=None) -> float:
+    """CommunityRelevanceMetric's rule path (graph_metrics.py:15-190).
+
+    ``community_text`` is the joined summary/full_content of the communities
+    the sample touched (the reference fetches it from Neo4j; callers here
+    pass it from the communities table). naive agents score on community
+    keyword match (0.3 + 0.4·rate) or chunk count (0.3 + 0.1·n/3 capped
+    0.4); other agents get an agent-type base (graph 0.4 with rate×1.2,
+    hybrid 0.35 with rate×1.1, else 0.3) + 0.5·rate capped at 1.0."""
+    agent = (agent_type or "").lower()
+    keywords = eval_keywords(question)
+    if agent == "naive":
+        if community_text and keywords:
+            return 0.3 + 0.4 * _keyword_match_rate(keywords, community_text)
+        n_chunks = len(chunks or [])
+        return min(0.4, 0.3 + 0.1 * n_chunks / 3)
+    if community_text and keywords:
+        rate = _keyword_match_rate(keywords, community_text)
+        if agent == "graph":
+            base, rate = 0.4, rate * 1.2
+        elif agent == "hybrid":
+            base, rate = 0.35, rate * 1.1
+        else:
+            base = 0.3
+        return min(1.0, base + 0.5 * rate)
+    return {"graph": 0.4, "hybrid": 0.35}.get(agent, 0.3)
+
+
+def processed_relationships(relationships) -> list:
+    """The relationship normalizer (graph_metrics.py:444-487 minus the
+    Neo4j id-resolution branch): tuples/lists of ≥3 become (src, rel, dst);
+    dicts need source+target; bare string ids are dropped (the caller
+    resolves them against its edges table if it wants them counted)."""
+    out = []
+    if not isinstance(relationships, list):
+        return out
+    for rel in relationships:
+        if isinstance(rel, tuple) and len(rel) >= 3:
+            out.append(rel[:3])
+        elif isinstance(rel, list) and len(rel) >= 3:
+            out.append(tuple(rel[:3]))
+        elif isinstance(rel, dict) and rel.get("source") and rel.get("target"):
+            out.append((rel["source"],
+                        rel.get("relation", "") or rel.get("type", ""),
+                        rel["target"]))
+    return out
+
+
+def subgraph_quality(entities, relationships, agent_type: str = "") -> float:
+    """SubgraphQualityMetric's rule path (graph_metrics.py:255-377):
+    no entities+rels → 0.3; entities only → 0.3 + min(0.2, 0.01·n);
+    unresolvable rel ids → 0.3 + min(0.2, 0.02·n); else density·0.5 +
+    connectivity·0.5 (density = edges / C(n,2); connectivity = fraction of
+    entities appearing in a relation), ×1.05 for graph agents, floored at
+    0.3."""
+    entities = entities or []
+    relationships = relationships or []
+    if not entities and not relationships:
+        return 0.3
+    if entities and not relationships:
+        return 0.3 + min(0.2, 0.01 * len(entities))
+    rels = processed_relationships(relationships)
+    if not rels:
+        n = len(relationships) if isinstance(relationships, list) else 0
+        return 0.3 + min(0.2, 0.02 * n)
+    n_nodes = len(entities)
+    max_edges = n_nodes * (n_nodes - 1) / 2 if n_nodes > 1 else 1
+    density = len(rels) / max_edges if max_edges > 0 else 0.0
+    in_rel = {str(r[0]) for r in rels} | {str(r[2]) for r in rels}
+    connectivity = len(in_rel) / n_nodes if n_nodes else 0.0
+    quality = 0.5 * density + 0.5 * connectivity
+    if (agent_type or "").lower() == "graph":
+        quality = min(1.0, quality * 1.05)
+    return max(0.3, quality)
+
+
+def graph_coverage(question: str, agent_type: str = "",
+                   entities=None, relationships=None,
+                   entity_info: dict | None = None,
+                   rel_info: list | None = None,
+                   chunk_texts=None) -> float:
+    """GraphCoverageMetric's rule path (graph_metrics.py:644-1007).
+
+    naive agents (chunk-based, :757-802): 0.3 base + 0.4·keyword-match over
+    the chunk texts + min(0.2, 0.05·n_chunks); without texts the count-only
+    branch min(0.3, 0.1·n). Graph/hybrid (:803-1007): 0.3 + 0.7·(0.3·
+    structure + 0.4·relevance + 0.3·connectedness) where structure =
+    min(0.6, 0.05·(entities+rel_ids)) + 0.2·described-entity ratio +
+    0.2·described-rel ratio; relevance = keyword match over the joined
+    entity/relation text ×1.2 (0.5 when no keywords); connectedness = 0.4 +
+    0.6·(referenced entities appearing in relations), 0.4 under 2 entities.
+
+    ``entity_info`` maps entity id → description and ``rel_info`` is a list
+    of {source, relation, target, description} dicts — the data the
+    reference pulls from Neo4j, supplied here from the built tables."""
+    keywords = eval_keywords(question)
+    agent = (agent_type or "").lower()
+    entities = entities or []
+    if agent == "naive":
+        chunks = entities  # the reference stores chunk ids in this field
+        texts = [t for t in (chunk_texts or []) if t]
+        if chunks and texts and keywords:
+            rate = _keyword_match_rate(keywords, " ".join(texts))
+            return 0.3 + 0.4 * rate + min(0.2, 0.05 * len(chunks))
+        return 0.3 + min(0.3, 0.1 * len(chunks))
+    rel_ids = [r for r in (relationships or []) if isinstance(r, str)]
+    entity_info = entity_info or {}
+    rel_info = rel_info or []
+    structure = min(0.6, 0.05 * len(entities) + 0.05 * len(rel_ids))
+    if entity_info:
+        described = sum(1 for d in entity_info.values() if str(d or "").strip())
+        structure += 0.2 * described / len(entity_info)
+    if rel_info:
+        described = sum(1 for r in rel_info
+                        if str(r.get("description", "") or "").strip())
+        structure += 0.2 * described / len(rel_info)
+    if keywords:
+        entity_text = " ".join(f"{k} {v}" for k, v in entity_info.items())
+        rel_text = " ".join(
+            f"{r.get('source', '')} {r.get('relation', '')} "
+            f"{r.get('target', '')} {r.get('description', '')}"
+            for r in rel_info)
+        relevance = min(1.0, 1.2 * _keyword_match_rate(
+            keywords, entity_text + " " + rel_text))
+    else:
+        relevance = 0.5
+    if not entities or len(entities) < 2:
+        connectedness = 0.4
+    else:
+        in_rel = set()
+        for r in rel_info:
+            if r.get("source"):
+                in_rel.add(str(r["source"]))
+            if r.get("target"):
+                in_rel.add(str(r["target"]))
+        eset = {str(e) for e in entities}
+        ratio = len(in_rel & eset) / len(eset) if eset else 0.0
+        connectedness = min(1.0, 0.4 + 0.6 * ratio)
+    return min(1.0, 0.3 + 0.7 * (0.3 * structure + 0.4 * relevance
+                                 + 0.3 * connectedness))
+
+
+def entity_coverage(question: str, agent_type: str = "",
+                    entities=None, entity_texts=None) -> float:
+    """EntityCoverageMetric's rule path (graph_metrics.py:1018-1270 minus
+    the Neo4j neighbor-description half-credit loop): keyword match over the
+    joined entity texts (ids + descriptions when provided, raw ids
+    otherwise) scored 0.4 + 0.6·rate·min(1, n/5); graph/hybrid agents with
+    ids but no keywords get 0.4 + min(0.3, 0.05·n); base 0.4."""
+    keywords = eval_keywords(question)
+    entity_ids = entities or []
+    texts = [str(t) for t in (entity_texts or [])] or \
+        [str(e) for e in entity_ids]
+    if keywords and texts and entity_ids:
+        rate = _keyword_match_rate(keywords, " ".join(texts))
+        factor = min(1.0, len(texts) / 5)
+        return min(1.0, 0.4 + 0.6 * rate * factor)
+    if (agent_type or "").lower() in ("graph", "hybrid") and entity_ids:
+        return 0.4 + min(0.3, 0.05 * len(entity_ids))
+    return 0.4
+
+
+def relationship_utilization(entities=None, relationships=None,
+                             rel_info: list | None = None) -> float:
+    """RelationshipUtilizationMetric's rule path (graph_metrics.py:
+    1304-1698): nothing referenced → 0.3; rel ids without resolvable info →
+    min(0.4, 0.3 + 0.02·n); else 0.3 + 0.7·(0.3·quantity + 0.4·quality +
+    0.3·relevance) where quantity = min(1, 0.1·n_rels); quality mixes
+    description ratio, type diversity (/5) and src/dst validity (0.4/0.3/
+    0.3, or 0.3/0.3/0.2/0.2 with weights normalized /10); relevance =
+    min(1, 1.2·overlap of relation endpoints with referenced entities)."""
+    entities = entities or []
+    relationships = relationships or []
+    rel_info = rel_info if rel_info is not None else []
+    if not relationships and not entities:
+        return 0.3
+    if not rel_info and relationships:
+        return min(0.4, 0.3 + 0.02 * len(relationships))
+    if not rel_info:
+        return 0.3
+    quantity = min(1.0, 0.1 * len(rel_info))
+    described = sum(
+        1 for r in rel_info
+        if str(r.get("description", "") or "").strip()
+        or str(r.get("relation", "") or "").strip()) / len(rel_info)
+    types = {r["relation"] for r in rel_info
+             if str(r.get("relation", "") or "").strip()}
+    diversity = min(1.0, len(types) / 5)
+    valid = sum(1 for r in rel_info
+                if r.get("source") and r.get("source") != "unknown"
+                and r.get("target") and r.get("target") != "unknown") \
+        / len(rel_info)
+    weights = [float(r["weight"]) for r in rel_info
+               if isinstance(r.get("weight"), (int, float))]
+    if weights:
+        wscore = min(1.0, (sum(weights) / len(weights)) / 10.0)
+        quality = (0.3 * described + 0.3 * diversity + 0.2 * valid
+                   + 0.2 * wscore)
+    else:
+        quality = 0.4 * described + 0.3 * diversity + 0.3 * valid
+    if entities:
+        in_rel = set()
+        for r in rel_info:
+            if r.get("source") and r["source"] != "unknown":
+                in_rel.add(str(r["source"]))
+            if r.get("target") and r["target"] != "unknown":
+                in_rel.add(str(r["target"]))
+        eset = {str(e) for e in entities}
+        relevance = min(1.0, 1.2 * (len(in_rel & eset) / len(eset))) \
+            if eset else 0.0
+    else:
+        relevance = 0.0
+    return min(1.0, 0.3 + 0.7 * (0.3 * quantity + 0.4 * quality
+                                 + 0.3 * relevance))
+
+
+# ---------------------------------------------------------------------------
+# LLM-judge metrics (reference evaluator/metrics/llm_metrics.py — pure
+# LLM-scored; the client is injectable like the extractor/summarizer seams,
+# and every reference error branch falls back to the 0.5 default)
+# ---------------------------------------------------------------------------
+
+def _llm_scalar_score(llm, prompt: str, default: float = 0.5) -> float:
+    """Invoke → first number → clamp to [0, 1]; any failure → ``default``
+    (llm_metrics.py:72-96 contract, shared by the three scalar judges)."""
+    import re
+
+    if llm is None:
+        return default
+    try:
+        resp = llm.invoke(prompt)
+        text = resp.content if hasattr(resp, "content") else str(resp)
+        m = re.search(r"(\d+(\.\d+)?)", text)
+        return max(0.0, min(1.0, float(m.group(1)))) if m else default
+    except Exception:  # noqa: BLE001 — the reference catches everything
+        return default
+
+
+def answer_key_facts(answer: str) -> list:
+    """FactualConsistency's key-information extraction
+    (llm_metrics.py:163-175): non-heading lines, '- *' stripped, length
+    > 10, first 10 kept."""
+    facts = []
+    for line in (answer or "").split("\n"):
+        if line.strip() and not line.startswith("#"):
+            stripped = line.strip("- *")
+            if len(stripped) > 10:
+                facts.append(stripped)
+    return facts[:10]
+
+
+def response_coherence(question: str, answer: str, llm=None) -> float:
+    """ResponseCoherence (llm_metrics.py:7-110): LLM judges structure and
+    logical flow of the answer; 0.5 without a client."""
+    prompt = (f"评估以下回答的连贯性和结构，给出0到1的分数。\n"
+              f"问题: {question}\n回答: {answer}\n"
+              "只返回一个0到1之间的数字表示分数，不要有任何其他文字。")
+    return _llm_scalar_score(llm, prompt)
+
+
+def factual_consistency(question: str, answer: str, llm=None) -> float:
+    """FactualConsistency (llm_metrics.py:113-231): key facts extracted
+    deterministically, then LLM judges internal consistency; 0.5 without a
+    client."""
+    facts = "\n".join(f"- {f}" for f in answer_key_facts(answer))
+    prompt = (f"评估以下回答对问题的事实一致性，给出0到1的分数。\n"
+              f"问题: {question}\n回答的关键信息点:\n{facts}\n"
+              f"完整回答:\n{answer}\n"
+              "只返回一个0到1之间的数字表示分数，不要有任何其他文字。")
+    return _llm_scalar_score(llm, prompt)
+
+
+def answer_comprehensiveness(question: str, answer: str, llm=None) -> float:
+    """ComprehensiveAnswerMetric (llm_metrics.py:233-327): LLM judges how
+    completely the answer addresses the question; 0.5 without a client."""
+    prompt = (f"评估以下回答解决问题的全面性，给出0到1的分数。\n"
+              f"问题: {question}\n回答: {answer}\n"
+              "只返回一个0到1之间的数字表示分数，不要有任何其他文字。")
+    return _llm_scalar_score(llm, prompt)
+
+
+_LLM_EVAL_ASPECTS = {"comprehensiveness": 0.3, "relativeness": 0.25,
+                     "empowerment": 0.25, "directness": 0.2}
+
+
+def clean_answer_references(answer: str) -> str:
+    """LLMGraphRagEvaluator._clean_references (llm_metrics.py:471-484):
+    strips the trailing 引用数据 section before judging."""
+    import re
+
+    cleaned = re.sub(r"#{1,4}\s*引用数据[\s\S]*?(\{[\s\S]*?\})\s*$", "",
+                     answer or "")
+    return cleaned.rstrip()
+
+
+def llm_evaluation(question: str, answer: str, llm=None) -> dict:
+    """LLMGraphRagEvaluator (llm_metrics.py:329-565): one JSON-returning
+    judge call scored on 4 weighted aspects (comprehensiveness 0.3,
+    relativeness 0.25, empowerment 0.25, directness 0.2) + the weighted
+    total. Unparseable/missing aspects default to 0.5; no client → all
+    0.5 with total 0.5 (the reference's no-LLM path returns zeros, but its
+    per-sample error path is 0.5 — we follow the per-sample contract so a
+    missing client is indistinguishable from a failed call)."""
+    import json as _json
+    import re
+
+    scores = {a: 0.5 for a in _LLM_EVAL_ASPECTS}
+    if llm is not None:
+        cleaned = clean_answer_references(answer)
+        prompt = (f"请评估以下回答相对于问题的质量。\n问题: {question}\n"
+                  f"回答: {cleaned}\n请以JSON格式返回评分结果："
+                  '{"comprehensiveness": 0.X, "relativeness": 0.X, '
+                  '"empowerment": 0.X, "directness": 0.X, '
+                  '"reasoning": "简短解释评分理由"}')
+        try:
+            resp = llm.invoke(prompt)
+            text = resp.content if hasattr(resp, "content") else str(resp)
+            m = re.search(r"(\{[\s\S]*\})", text)
+            if m:
+                data = _json.loads(m.group(1))
+                for a in _LLM_EVAL_ASPECTS:
+                    if isinstance(data.get(a), (int, float)):
+                        scores[a] = max(0.0, min(1.0, float(data[a])))
+        except Exception:  # noqa: BLE001 — reference defaults on any error
+            pass
+    out = {f"llm_{a}": s for a, s in scores.items()}
+    out["llm_total"] = sum(w * scores[a]
+                           for a, w in _LLM_EVAL_ASPECTS.items())
+    return out
+
+
+# ---------------------------------------------------------------------------
 # metric registry (reference evaluator/core/base_evaluator.py:47-66 pattern:
 # metrics auto-register under a name and an evaluator computes a selected
 # subset by name — here a decorator registry instead of a subclass scan)
@@ -395,6 +752,15 @@ register_metric("reasoning_coherence")(reasoning_coherence)
 register_metric("reasoning_depth")(reasoning_depth)
 register_metric("iterative_improvement")(iterative_improvement)
 register_metric("knowledge_graph_utilization")(knowledge_graph_utilization)
+register_metric("community_relevance")(community_relevance)
+register_metric("subgraph_quality")(subgraph_quality)
+register_metric("graph_coverage")(graph_coverage)
+register_metric("entity_coverage")(entity_coverage)
+register_metric("relationship_utilization")(relationship_utilization)
+register_metric("response_coherence")(response_coherence)
+register_metric("factual_consistency")(factual_consistency)
+register_metric("answer_comprehensiveness")(answer_comprehensiveness)
+register_metric("llm_evaluation")(llm_evaluation)
 
 # per-sample argument extraction for the retrieval metrics (the reference
 # reads these fields off RetrievalEvaluationData samples)
@@ -421,6 +787,46 @@ def evaluate_retrieval(samples, metrics=("retrieval_precision",
     for name in metrics:
         fn = METRICS[name]
         extract = _RETRIEVAL_INPUTS[name]
+        scores = [fn(*extract(s)) for s in samples]
+        out[name] = {
+            "mean": (sum(scores) / len(scores)) if scores else 0.0,
+            "scores": scores,
+        }
+    return out
+
+
+# per-sample argument extraction for the graph metrics (the reference reads
+# these fields off GraphEvaluationData samples; neo4j-fetched data arrives
+# precomputed under community_text / entity_info / rel_info / chunk_texts)
+_GRAPH_INPUTS = {
+    "community_relevance": lambda s: (
+        s.get("question"), s.get("agent_type", ""),
+        s.get("community_text", ""), s.get("referenced_entities")),
+    "subgraph_quality": lambda s: (
+        s.get("referenced_entities"), s.get("referenced_relationships"),
+        s.get("agent_type", "")),
+    "graph_coverage": lambda s: (
+        s.get("question"), s.get("agent_type", ""),
+        s.get("referenced_entities"), s.get("referenced_relationships"),
+        s.get("entity_info"), s.get("rel_info"), s.get("chunk_texts")),
+    "entity_coverage": lambda s: (
+        s.get("question"), s.get("agent_type", ""),
+        s.get("referenced_entities"), s.get("entity_texts")),
+    "relationship_utilization": lambda s: (
+        s.get("referenced_entities"), s.get("referenced_relationships"),
+        s.get("rel_info")),
+}
+
+
+def evaluate_graph_samples(samples,
+                           metrics=tuple(_GRAPH_INPUTS)) -> dict:
+    """Graph-side composite evaluation (the reference's graph metric family
+    over GraphEvaluationData): same (mean, per-sample scores) shape as
+    :func:`evaluate_retrieval`."""
+    out = {}
+    for name in metrics:
+        fn = METRICS[name]
+        extract = _GRAPH_INPUTS[name]
         scores = [fn(*extract(s)) for s in samples]
         out[name] = {
             "mean": (sum(scores) / len(scores)) if scores else 0.0,

@@ -449,3 +449,223 @@ class TestDeepSearchMetrics:
                 "iterative_improvement",
                 "knowledge_graph_utilization"} <= set(METRICS)
         assert len(METRICS) >= 10
+
+
+class TestGraphMetricsFamily:
+    """graph_metrics.py deterministic rule paths — Neo4j lookups arrive as
+    precomputed data args, LLM fallbacks are the injectable seam."""
+
+    def test_keywords(self):
+        from graph_rag_agent_ray.evaluate import eval_keywords
+        kws = eval_keywords("Alpha and beta, the third?")
+        assert "alpha" in kws and "beta" in kws
+        assert all(1 < len(k) < 15 for k in kws)
+        assert eval_keywords("") == []
+
+    def test_community_relevance_branches(self):
+        from graph_rag_agent_ray.evaluate import community_relevance
+        # naive + community text: 0.3 + 0.4 * match_rate
+        s = community_relevance("alpha beta", "naive",
+                                community_text="mentions alpha only")
+        assert abs(s - 0.5) < 1e-9
+        # naive without text: chunk-count branch capped at 0.4
+        assert abs(community_relevance("alpha beta", "naive",
+                                       chunks=["c1", "c2"])
+                   - (0.3 + 0.2 / 3)) < 1e-9
+        assert community_relevance("alpha", "naive",
+                                   chunks=["c"] * 9) == 0.4
+        # graph agent: base 0.4, rate boosted 1.2x, capped 1.0
+        assert community_relevance("alpha beta", "graph",
+                                   community_text="alpha beta") == 1.0
+        # agent-type base scores without info
+        assert community_relevance("q", "hybrid") == 0.35
+        assert community_relevance("q", "graph") == 0.4
+        assert community_relevance("q", "local") == 0.3
+
+    def test_subgraph_quality_branches(self):
+        from graph_rag_agent_ray.evaluate import subgraph_quality
+        assert subgraph_quality([], []) == 0.3
+        # entities only: 0.3 + 0.01 each, capped +0.2
+        assert abs(subgraph_quality(["e"] * 10, []) - 0.4) < 1e-9
+        assert abs(subgraph_quality(["e"] * 50, []) - 0.5) < 1e-9
+        # unresolvable string rel ids: 0.3 + 0.02 each
+        assert abs(subgraph_quality(["a"], ["5", "6"]) - 0.34) < 1e-9
+        # density/connectivity: 3 nodes, 2 edges -> 0.5*(2/3) + 0.5*1.0
+        q = subgraph_quality(["a", "b", "c"],
+                             [("a", "r", "b"), ["b", "r", "c"]])
+        assert abs(q - (0.5 * 2 / 3 + 0.5)) < 1e-9
+        # graph agent gets the 5% bonus
+        qg = subgraph_quality(["a", "b", "c"],
+                              [("a", "r", "b"), ("b", "r", "c")], "graph")
+        assert abs(qg - min(1.0, q * 1.05)) < 1e-9
+        # dict relations count too
+        qd = subgraph_quality(["a", "b"],
+                              [{"source": "a", "target": "b",
+                                "type": "rel"}])
+        assert qd > 0.3
+
+    def test_graph_coverage_naive(self):
+        from graph_rag_agent_ray.evaluate import graph_coverage
+        # chunk-content branch: full keyword match + 1 chunk
+        s = graph_coverage("alpha beta", "naive", entities=["c1"],
+                           chunk_texts=["alpha beta text"])
+        assert abs(s - (0.3 + 0.4 + 0.05)) < 1e-9
+        # count-only branch
+        assert abs(graph_coverage("alpha", "naive", entities=["c1", "c2"])
+                   - 0.5) < 1e-9
+
+    def test_graph_coverage_graph(self):
+        from graph_rag_agent_ray.evaluate import graph_coverage
+        s = graph_coverage(
+            "alpha beta", "graph",
+            entities=["E1", "E2"], relationships=["7"],
+            entity_info={"E1": "alpha", "E2": ""},
+            rel_info=[{"source": "E1", "relation": "联系",
+                       "target": "E2", "description": "beta"}])
+        structure = 0.15 + 0.2 * 0.5 + 0.2
+        expect = 0.3 + 0.7 * (0.3 * structure + 0.4 * 1.0 + 0.3 * 1.0)
+        assert abs(s - expect) < 1e-9
+        # no keywords -> relevance 0.5 midpoint; <2 entities -> conn 0.4
+        s2 = graph_coverage("", "graph", entities=["E1"])
+        assert abs(s2 - (0.3 + 0.7 * (0.3 * 0.05 + 0.4 * 0.5 + 0.3 * 0.4))) \
+            < 1e-9
+
+    def test_entity_coverage_branches(self):
+        from graph_rag_agent_ray.evaluate import entity_coverage
+        # keyword match over texts: 0.4 + 0.6 * rate * min(1, n/5)
+        s = entity_coverage("alpha beta", "graph", entities=["e1"],
+                            entity_texts=["alpha desc"])
+        assert abs(s - (0.4 + 0.6 * 0.5 * 0.2)) < 1e-9
+        # graph agent, no keywords: id-count bonus
+        assert abs(entity_coverage("", "graph", entities=["a", "b", "c"])
+                   - 0.55) < 1e-9
+        # base
+        assert entity_coverage("", "local") == 0.4
+
+    def test_relationship_utilization_branches(self):
+        from graph_rag_agent_ray.evaluate import relationship_utilization
+        assert relationship_utilization([], []) == 0.3
+        # ids without resolvable info
+        assert abs(relationship_utilization(["a"], ["1", "2"]) - 0.34) < 1e-9
+        # full rule: 1 weighted relation between the referenced entities
+        s = relationship_utilization(
+            ["A", "B"], ["1"],
+            rel_info=[{"source": "A", "relation": "r1", "target": "B",
+                       "description": "d", "weight": 5.0}])
+        quality = 0.3 * 1.0 + 0.3 * 0.2 + 0.2 * 1.0 + 0.2 * 0.5
+        expect = 0.3 + 0.7 * (0.3 * 0.1 + 0.4 * quality + 0.3 * 1.0)
+        assert abs(s - expect) < 1e-9
+        # unweighted mix uses the 0.4/0.3/0.3 split
+        s2 = relationship_utilization(
+            ["A"], ["1"],
+            rel_info=[{"source": "A", "relation": "r1", "target": "B",
+                       "description": ""}])
+        q2 = 0.4 * 1.0 + 0.3 * 0.2 + 0.3 * 1.0
+        assert abs(s2 - (0.3 + 0.7 * (0.3 * 0.1 + 0.4 * q2 + 0.3 * 1.0))) \
+            < 1e-9
+
+    def test_composite(self):
+        from graph_rag_agent_ray.evaluate import evaluate_graph_samples
+        out = evaluate_graph_samples([
+            {"question": "alpha", "agent_type": "graph",
+             "referenced_entities": ["a", "b", "c"],
+             "referenced_relationships": [("a", "r", "b")]},
+            {"question": "beta", "agent_type": "naive",
+             "referenced_entities": []},
+        ])
+        assert set(out) == {"community_relevance", "subgraph_quality",
+                            "graph_coverage", "entity_coverage",
+                            "relationship_utilization"}
+        for v in out.values():
+            assert len(v["scores"]) == 2
+            assert 0.0 <= v["mean"] <= 1.0
+
+
+class _ScriptedJudge:
+    """Injectable LLM judge returning a fixed response (the reference's
+    llm.invoke contract — .content optional)."""
+
+    def __init__(self, text):
+        self.text = text
+        self.prompts = []
+
+    def invoke(self, prompt):
+        self.prompts.append(prompt)
+        return self.text
+
+
+class TestLLMJudgeMetrics:
+    """llm_metrics.py — LLM-judge family; clients injectable, reference
+    default 0.5 on no client / parse failure / error."""
+
+    def test_defaults_without_client(self):
+        from graph_rag_agent_ray.evaluate import (
+            answer_comprehensiveness, factual_consistency, llm_evaluation,
+            response_coherence)
+        assert response_coherence("q", "a") == 0.5
+        assert factual_consistency("q", "a") == 0.5
+        assert answer_comprehensiveness("q", "a") == 0.5
+        ev = llm_evaluation("q", "a")
+        assert ev["llm_total"] == 0.5
+        assert all(v == 0.5 for k, v in ev.items() if k != "llm_total")
+
+    def test_scalar_judges(self):
+        from graph_rag_agent_ray.evaluate import (
+            factual_consistency, response_coherence)
+        assert response_coherence("q", "a", llm=_ScriptedJudge("0.8")) == 0.8
+        # clamp to [0, 1]; garbage -> default
+        assert response_coherence("q", "a", llm=_ScriptedJudge("说 7 分")) == 1.0
+        assert response_coherence("q", "a", llm=_ScriptedJudge("no digits")) == 0.5
+        # error path -> default
+        class Boom:
+            def invoke(self, prompt):
+                raise RuntimeError("down")
+        assert factual_consistency("q", "a", llm=Boom()) == 0.5
+
+    def test_key_facts_and_prompt_assembly(self):
+        from graph_rag_agent_ray.evaluate import (answer_key_facts,
+                                                  factual_consistency)
+        answer = ("# heading\n- short\n- a fact long enough to keep\n"
+                  "another meaningful line of content\n")
+        facts = answer_key_facts(answer)
+        assert facts == ["a fact long enough to keep",
+                         "another meaningful line of content"]
+        judge = _ScriptedJudge("0.9")
+        assert factual_consistency("q", answer, llm=judge) == 0.9
+        assert "a fact long enough to keep" in judge.prompts[0]
+
+    def test_llm_evaluation_parsing(self):
+        from graph_rag_agent_ray.evaluate import llm_evaluation
+        judge = _ScriptedJudge(
+            '{"comprehensiveness": 0.9, "relativeness": 0.8, '
+            '"empowerment": 0.7, "directness": 0.6, "reasoning": "ok"}')
+        ev = llm_evaluation("q", "a", llm=judge)
+        assert ev["llm_comprehensiveness"] == 0.9
+        expect = 0.3 * 0.9 + 0.25 * 0.8 + 0.25 * 0.7 + 0.2 * 0.6
+        assert abs(ev["llm_total"] - expect) < 1e-9
+        # missing aspects default to 0.5
+        ev2 = llm_evaluation("q", "a",
+                             llm=_ScriptedJudge('{"directness": 1.0}'))
+        assert ev2["llm_directness"] == 1.0
+        assert ev2["llm_empowerment"] == 0.5
+
+    def test_clean_references(self):
+        from graph_rag_agent_ray.evaluate import clean_answer_references
+        ans = "real answer body\n\n#### 引用数据\n{\"entities\": [1]}"
+        assert clean_answer_references(ans) == "real answer body"
+        assert clean_answer_references("plain") == "plain"
+
+    def test_registry_full_parity(self):
+        from graph_rag_agent_ray.evaluate import METRICS
+        # the reference auto-registers this full set
+        # (evaluator/metrics/*.py metric_name attributes)
+        expected = {"em", "f1", "reasoning_coherence", "reasoning_depth",
+                    "iterative_improvement", "knowledge_graph_utilization",
+                    "community_relevance", "subgraph_quality",
+                    "graph_coverage", "entity_coverage",
+                    "relationship_utilization", "response_coherence",
+                    "factual_consistency", "answer_comprehensiveness",
+                    "llm_evaluation", "retrieval_precision",
+                    "retrieval_utilization", "retrieval_latency",
+                    "chunk_utilization"}
+        assert expected <= set(METRICS)
