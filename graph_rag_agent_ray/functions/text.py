@@ -88,6 +88,32 @@ def normalize_surface_series(s):
     )
 
 
+def normalize_remap_array(arr, alias=None):
+    """Normalize (+ optional alias-remap) an Arrow STRING column via
+    dictionary encoding: the NFKC/regex/upper passes and the alias lookup
+    run once per UNIQUE value instead of once per row. Entity surfaces
+    repeat heavily (vocabulary ≪ corpus), so this turns the canonical-remap
+    stages from the 500k-doc build's CPU hot spot (~32 µs/row measured in
+    MapBatches(remap)) into a dictionary `take`. Byte-identical to
+    ``normalize_surface_series`` + ``map(alias).fillna``: same op order over
+    the uniques, order restored by the dictionary indices, and nulls are
+    pre-filled with ``str(None)`` exactly as ``astype(str)`` did."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null("None")  # astype(str) rendered null as "None"
+    d = arr.dictionary_encode()
+    uniq = pd.Series(d.dictionary.to_pylist(), dtype=object)
+    norm = normalize_surface_series(uniq) if len(uniq) else uniq
+    if alias:
+        norm = norm.map(alias).fillna(norm)
+    new_dict = pa.array(norm.tolist(), pa.string())
+    return pa.DictionaryArray.from_arrays(d.indices, new_dict).cast(pa.string())
+
+
 def edit_distance(a: str, b: str, limit: int | None = None) -> int:
     """Levenshtein distance with optional early-exit band.
 

@@ -39,7 +39,7 @@ import ray
 import ray.data
 
 from ..config import KGConfig
-from ..functions.text import normalize_surface_series
+from ..functions.text import normalize_remap_array
 from ..state.snapshots import LineageLog, SnapshotStore, fingerprint
 from ..stages import canonicalize as C
 from ..stages import communities as CM
@@ -239,11 +239,10 @@ def build_kg(
     # canonical mentions (entity_id, chunk_id) for community ranks
     def canon_mentions(batch: pa.Table) -> pa.Table:
         amap = ray.get(alias_ref)
-        surf = batch.column("entity_surface").to_pandas()
-        norm = normalize_surface_series(surf)
-        ids = norm.map(amap).fillna(norm) if amap else norm
+        # dictionary-encoded: normalize + lookup once per unique surface
+        ids = normalize_remap_array(batch.column("entity_surface"), amap)
         return pa.table({
-            "entity_id": pa.Array.from_pandas(ids, type=pa.string()),
+            "entity_id": ids,
             "chunk_id": batch.column("chunk_id"),
             "doc_id": batch.column("doc_id"),
         })

@@ -51,7 +51,7 @@ import ray.data
 
 from ..config import KGConfig
 from ..functions.shuffle import hash_partitioned_groupby
-from ..functions.text import normalize_surface_series
+from ..functions.text import normalize_remap_array
 from ..state.snapshots import LineageLog, SnapshotStore, fingerprint
 from ..stages import canonicalize as C
 from ..stages.chunker import build_span_index, chunk_documents
@@ -207,7 +207,8 @@ def _filter_by_docs(ds: "ray.data.Dataset", keep_ref, doc_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def _norm_col(batch: pa.Table, col: str) -> pd.Series:
-    return normalize_surface_series(pd.Series(batch.column(col).to_pylist()))
+    # dictionary-encoded: normalize once per unique surface, not per row
+    return normalize_remap_array(batch.column(col)).to_pandas()
 
 
 _DRIVER_DISTINCT_ROWS = 500_000
@@ -305,10 +306,9 @@ def _canon_mentions_map(alias_ref):
     (same transform as build_kg's canon_mentions)."""
     def fn(batch: pa.Table) -> pa.Table:
         amap = ray.get(alias_ref)
-        norm = _norm_col(batch, "entity_surface")
-        ids = norm.map(amap).fillna(norm) if amap else norm
+        ids = normalize_remap_array(batch.column("entity_surface"), amap)
         return pa.table({
-            "entity_id": pa.Array.from_pandas(ids, type=pa.string()),
+            "entity_id": ids,
             "chunk_id": batch.column("chunk_id"),
             "doc_id": batch.column("doc_id"),
         })

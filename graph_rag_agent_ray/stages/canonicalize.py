@@ -51,7 +51,8 @@ from ..config import KGConfig
 from ..functions.embed import (cosine_topk_pairs, embed_texts,
                                list_column_to_matrix, lsh_bucket)
 from ..functions.shuffle import hash_partitioned_groupby
-from ..functions.text import edit_distance, normalize_surface, normalize_surface_series
+from ..functions.text import (edit_distance, normalize_remap_array,
+                              normalize_surface, normalize_surface_series)
 from ..functions.unionfind import UnionFind
 
 logger = logging.getLogger(__name__)
@@ -70,8 +71,10 @@ def _partial_exact(batch: pa.Table) -> pd.DataFrame:
     reducer fan-in to the number of input blocks, which is the salting the
     north rule requires for the canonicalization shuffle (combine-then-
     shuffle instead of an explicit salt column; see functions/shuffle.py)."""
+    # normalize via dictionary encode (once per unique surface, not per row)
+    norm_arr = normalize_remap_array(batch.column("entity_surface"))
     df = pa.Table.to_pandas(batch)
-    df["norm_surface"] = normalize_surface_series(df["entity_surface"])
+    df["norm_surface"] = norm_arr.to_pandas()
     # description = the min (chunk_id, description) pair's description —
     # lexicographic min distributes over batch partitioning, so the reducer's
     # pick is identical for ANY batching (the delta-scoped incremental path
@@ -679,17 +682,13 @@ def canonical_triples(
 
     def remap(batch: pa.Table) -> pa.Table:
         alias = ray.get(alias_ref)
-
-        def remap_col(name: str) -> pa.Array:
-            norm = normalize_surface_series(
-                pd.Series(batch.column(name).to_pylist()))
-            out = norm.map(alias).fillna(norm) if alias else norm
-            return pa.array(out.tolist(), pa.string())
-
+        # dictionary-encoded: normalize + lookup once per unique surface
         return (
             batch.drop_columns(["subj", "obj"])
-            .append_column("subj", remap_col("subj"))
-            .append_column("obj", remap_col("obj"))
+            .append_column("subj",
+                           normalize_remap_array(batch.column("subj"), alias))
+            .append_column("obj",
+                           normalize_remap_array(batch.column("obj"), alias))
         )
 
     return triples.map_batches(remap, batch_format="pyarrow", batch_size=8192)
@@ -740,9 +739,11 @@ def canonical_triples_distributed(
     cfg = cfg or KGConfig()
 
     def normalize_cols(batch: pa.Table) -> pd.DataFrame:
+        subj = normalize_remap_array(batch.column("subj"))
+        obj = normalize_remap_array(batch.column("obj"))
         df = pa.Table.to_pandas(batch)
-        df["subj"] = normalize_surface_series(df["subj"])
-        df["obj"] = normalize_surface_series(df["obj"])
+        df["subj"] = subj.to_pandas()
+        df["obj"] = obj.to_pandas()
         return df
 
     norm = triples.map_batches(normalize_cols, batch_format="pyarrow",

@@ -669,3 +669,45 @@ class TestLLMJudgeMetrics:
                     "retrieval_utilization", "retrieval_latency",
                     "chunk_utilization"}
         assert expected <= set(METRICS)
+
+
+class TestNormalizeRemapArray:
+    """Dictionary-encoded normalize+remap must be byte-identical to the
+    per-row normalize_surface_series + map(alias).fillna path."""
+
+    CASES = ["  Alpha  Corp ", "alpha　corp", "ＡＬＰＨＡ", "北京 大学",
+             "beta", "beta", "  Alpha  Corp ", "γάμμα", ""]
+
+    def _old(self, values, alias):
+        import pandas as pd
+        from graph_rag_agent_ray.functions.text import normalize_surface_series
+        norm = normalize_surface_series(pd.Series(values, dtype=object))
+        return (norm.map(alias).fillna(norm) if alias else norm).tolist()
+
+    def test_equivalence_with_and_without_alias(self):
+        import pyarrow as pa
+        from graph_rag_agent_ray.functions.text import normalize_remap_array
+        arr = pa.array(self.CASES, pa.string())
+        alias = {"ALPHA CORP": "E1", "BETA": "E2"}
+        assert normalize_remap_array(arr, alias).to_pylist() == \
+            self._old(self.CASES, alias)
+        assert normalize_remap_array(arr, None).to_pylist() == \
+            self._old(self.CASES, None)
+
+    def test_null_matches_astype_str(self):
+        import pyarrow as pa
+        from graph_rag_agent_ray.functions.text import normalize_remap_array
+        vals = ["x", None, "x"]
+        arr = pa.array(vals, pa.string())
+        # astype(str) rendered None as "None" -> normalized "NONE"
+        assert normalize_remap_array(arr, {}).to_pylist() == \
+            self._old(vals, {})
+
+    def test_chunked_and_empty(self):
+        import pyarrow as pa
+        from graph_rag_agent_ray.functions.text import normalize_remap_array
+        ch = pa.chunked_array([pa.array(["a", "b"]), pa.array(["a"])])
+        assert normalize_remap_array(ch, {"A": "X"}).to_pylist() == \
+            ["X", "B", "X"]
+        assert normalize_remap_array(pa.array([], pa.string()),
+                                     {}).to_pylist() == []
