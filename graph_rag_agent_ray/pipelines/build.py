@@ -50,6 +50,14 @@ from ..stages.parse import parse_mentions, parse_triples
 
 logger = logging.getLogger(__name__)
 
+# Driver-local final-entities guard: below this row count the canonical
+# entity merge + degree/community attach run on the driver (the shuffle +
+# map_batches round-trips cost more than the work — ~1.3 s of task-launch
+# overhead at 16 cpus for <1k rows). 200k rows × (embedding + strings) is
+# ~100-200 MB of driver heap — comfortably inside the same budget as the
+# MAX_DRIVER_GRAPH_EDGES community guard this path already sits behind.
+MAX_DRIVER_ENTITY_ROWS = 200_000
+
 
 def build_kg(
     docs: "ray.data.Dataset",
@@ -548,10 +556,8 @@ def communities_and_entities(
         deg = {}
 
     if membership_ds is None:
-        attach_ref = ray.put((deg, member_levels))
 
-        def attach(batch: pa.Table) -> pa.Table:
-            degrees, levels = ray.get(attach_ref)
+        def _attach(batch: pa.Table, degrees, levels) -> pa.Table:
             ids = batch.column("entity_id").to_pandas()
             degree = pa.array(
                 ids.map(degrees).fillna(0).astype("int64").to_numpy(),
@@ -562,9 +568,48 @@ def communities_and_entities(
             return (batch.append_column("degree", degree)
                     .append_column("community", comm))
 
-        def entities_compute():
-            return entities0.map_batches(attach, batch_format="pyarrow",
-                                         batch_size=8192)
+        ent_fp = fingerprint(alias_fp, "entities")
+        # 0-row inputs stay on the shuffle path: to_pandas() of an empty
+        # Dataset is COLUMN-LESS (groupby/map_groups empty-frame gotcha),
+        # while the reducer machinery already produces a schema-correct
+        # empty table
+        if (not store.is_complete("entities", ent_fp)
+                and 0 < embedded.count() <= MAX_DRIVER_ENTITY_ROWS):
+            # Driver-local fast path: under the graph guard the merged
+            # entity table is entity-scale-small, so the canonicalize
+            # shuffle (salt_buckets*4 reduce tasks) + the attach
+            # map_batches round-trip are pure task-launch overhead
+            # (~1.3 s at 16 cpus for <1k rows — and it grows with cpu
+            # count). Same merge reducer over the whole collected frame +
+            # the same pandas→Arrow block conversion Ray applies at the
+            # reducer boundary → value-identical output (row order is
+            # globally sorted instead of bucket-concatenated; all
+            # consumers are order-free — pinned by test).
+            _t_ent = _time.monotonic()
+            alias = ray.get(alias_ref)
+            emb_pdf = embedded.to_pandas()
+            emb_pdf["entity_id"] = [
+                alias.get(s, s) for s in emb_pdf["norm_surface"]]
+            merged = C._merge_entities_bucket(emb_pdf)
+            from ray.data.block import BlockAccessor
+            blk = BlockAccessor.for_block(merged).to_arrow()
+            out_tbl = _attach(blk, deg, member_levels)
+            lineage.record("entities_local_merge", cached=False,
+                           wall_s=_time.monotonic() - _t_ent,
+                           n_entities=out_tbl.num_rows)
+
+            def entities_compute():
+                return ray.data.from_arrow(out_tbl)
+        else:
+            attach_ref = ray.put((deg, member_levels))
+
+            def attach(batch: pa.Table) -> pa.Table:
+                degrees, levels = ray.get(attach_ref)
+                return _attach(batch, degrees, levels)
+
+            def entities_compute():
+                return entities0.map_batches(attach, batch_format="pyarrow",
+                                             batch_size=8192)
     else:
         # scale path: community levels AND degrees arrive via distributed
         # hash attaches against Datasets (no entity-sized driver dict and no

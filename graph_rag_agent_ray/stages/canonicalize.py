@@ -491,6 +491,11 @@ def candidate_pairs(
 # seconds of fixed scheduling for sub-second real work at entity scale
 # (communities-stage guard pattern); above it the distributed path runs
 MAX_DRIVER_BLOCKING_SURFACES = 20_000
+# below this many surviving block rows the per-block judge runs inline on
+# the driver — the hash-sliced Ray-task fan-out costs ~0.4-0.8 s of fixed
+# round-trips that dwarf the ~50 ms of actual judging at small vocabularies
+# (pair SET is identical either way; build_alias_map is pair-order-free)
+MAX_INLINE_JUDGE_ROWS = 4_096
 
 
 def candidate_pairs_pdf(
@@ -546,24 +551,29 @@ def candidate_pairs_pdf(
     # the compute parallelism of the distributed path without its
     # explode/repartition/sort Dataset machinery (thousands of small blocks
     # at ~1 ms each would otherwise serialize on the driver)
-    nparts = max(1, min(32, int(ray.cluster_resources().get("CPU", 8))))
-    h = pd.util.hash_pandas_object(df["block_key"], index=False) % nparts
-    futures = [
-        _pairs_in_blocks_task.remote(df[h == i], cfg, keep_block_key)
-        for i in range(nparts) if (h == i).any()
-    ]
-    out_frames = [f for f in ray.get(futures) if len(f)]
+    if len(df) <= MAX_INLINE_JUDGE_ROWS:
+        out_frames = [_pairs_in_blocks(df, cfg, keep_block_key)]
+        out_frames = [f for f in out_frames if len(f)]
+    else:
+        nparts = max(1, min(32, int(ray.cluster_resources().get("CPU", 8))))
+        h = pd.util.hash_pandas_object(df["block_key"], index=False) % nparts
+        futures = [
+            _pairs_in_blocks_task.remote(df[h == i], cfg, keep_block_key)
+            for i in range(nparts) if (h == i).any()
+        ]
+        out_frames = [f for f in ray.get(futures) if len(f)]
     if not out_frames:
         return empty
     out = pd.concat(out_frames, ignore_index=True)
     return out if keep_block_key else out.drop_duplicates()
 
 
-@ray.remote
-def _pairs_in_blocks_task(df: pd.DataFrame, cfg: KGConfig,
-                          keep_block_key: bool) -> pd.DataFrame:
+def _pairs_in_blocks(df: pd.DataFrame, cfg: KGConfig,
+                     keep_block_key: bool) -> pd.DataFrame:
     """One hash-slice of complete blocks → judged pairs (driver-local
-    blocking's worker half; same kernel as the distributed per_bucket)."""
+    blocking's worker half; same kernel as the distributed per_bucket).
+    Run inline for tiny vocabularies, fanned out via the ray.remote wrapper
+    below otherwise — same kernel, same pair set either way."""
     frames = []
     for key, g in df.groupby("block_key", sort=False):
         f = _pairs_in_block(g, cfg)
@@ -574,6 +584,9 @@ def _pairs_in_blocks_task(df: pd.DataFrame, cfg: KGConfig,
     if not frames:
         return pd.DataFrame()
     return pd.concat(frames, ignore_index=True)
+
+
+_pairs_in_blocks_task = ray.remote(_pairs_in_blocks)
 
 
 # --------------------------------------------------------------------------

@@ -347,3 +347,22 @@ class TestDistributedMembershipEndToEnd:
         _assert_tables_equal(
             t_dist, t_local,
             ("entities", "edges", "communities", "triples_canon"))
+
+    def test_entities_fast_path_matches_shuffle_path(self, ray_session,
+                                                     tmp_path, monkeypatch):
+        """The driver-local final-entities fast path (merge + attach on the
+        driver, no canonicalize shuffle) must be value-identical to the
+        map_batches/shuffle path it replaces — only row order may differ."""
+        import ray.data as rd
+        from graph_rag_agent_ray import build_kg
+        from graph_rag_agent_ray.pipelines import build as B
+        from graph_rag_agent_ray.synth import generate
+        from tests.test_incremental_delta import _assert_tables_equal
+
+        corpus = generate(n_docs=30, seed=7)
+        docs = rd.from_arrow(corpus.documents)
+        t_fast = build_kg(docs, str(tmp_path / "fast"), input_token="ef")
+
+        monkeypatch.setattr(B, "MAX_DRIVER_ENTITY_ROWS", -1)
+        t_shuf = build_kg(docs, str(tmp_path / "shuf"), input_token="es")
+        _assert_tables_equal(t_shuf, t_fast, ("entities",))

@@ -156,3 +156,17 @@ class TestShuffleMapFormats:
         ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
         assert out.to_dict("list") == {
             "a": ["x", "y", "y"], "b": [1, 1, 2], "v": [30, 30, 40]}
+
+
+class TestEmptyCorpusBuild:
+    def test_empty_documents_full_build(self, ray_session, tmp_path):
+        """A 0-doc corpus must produce schema-correct 0-row tables end-to-end
+        (to_pandas() of an empty Dataset is column-less — the entities
+        fast path must not collect it)."""
+        from graph_rag_agent_ray import schema as S
+
+        out = build_kg(rd.from_arrow(S.DOCUMENTS.empty_table()),
+                       str(tmp_path / "kg"), input_token="empty")
+        for name in ("chunks", "mentions", "triples", "entities", "edges",
+                     "communities"):
+            assert out[name].count() == 0, name
