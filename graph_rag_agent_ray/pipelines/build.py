@@ -526,10 +526,14 @@ def communities_and_entities(
                                          sc_pdf["summary"]))
                 break
     if driver_local:
+        _t_r = _time.monotonic()
         ranks_pdf = ranks.to_pandas()
+        _t_rank = _time.monotonic() - _t_r
         comm_pdf = CM.summarize_communities_local(
             member_levels, edges_pdf, ranks_pdf, cfg,
             summarizer_factory=summarizer_factory, summary_cache=sum_cache)
+        lineage.record("community_ranks", cached=False, wall_s=_t_rank,
+                       summarize_s=round(_time.monotonic() - _t_r - _t_rank, 3))
         comm_arrow = pa.Table.from_pandas(comm_pdf, preserve_index=False)
         communities = store.run_stage(
             "communities", comm_fp,

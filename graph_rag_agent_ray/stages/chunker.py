@@ -34,11 +34,7 @@ import ray.data
 
 from ..config import KGConfig
 from ..functions.hashing import sha1_hex
-from ..functions.text import (
-    find_next_sentence_end,
-    find_previous_sentence_end,
-    tokenize_with_offsets,
-)
+from ..functions.text import is_sentence_end, token_spans_and_enders
 from .. import schema as S
 
 
@@ -72,25 +68,41 @@ def assemble_document(spans: List[dict]) -> Dict:
     return {"text": "\n".join(parts), "spans": index}
 
 
-def _window_token_spans(tokens: List[tuple], cfg: KGConfig) -> List[tuple]:
-    """The reference's window algorithm over (token, char_start, char_end)
-    triples; returns (tok_lo, tok_hi) index pairs. text_chunker.py:211-266."""
-    n = len(tokens)
-    toks = [t[0] for t in tokens]
+def _window_token_spans(enders: List[bool], cfg: KGConfig) -> List[tuple]:
+    """The reference's window algorithm (text_chunker.py:211-266) over
+    per-token sentence-ender FLAGS; returns (tok_lo, tok_hi) index pairs.
+    Boundary-identical to running find_next/previous_sentence_end over the
+    token strings (functions/text.py:52-63): the forward scan is bounded at
+    the snap-slack limit because any later ender would be rejected anyway,
+    and "no ender within the bound" accepts the document end iff it lies
+    inside the bound — exactly find_next_sentence_end's len(tokens) return."""
+    n = len(enders)
     out = []
     start = 0
     while start < n:
         end = min(start + cfg.chunk_size, n)
         if end < n:
-            snapped = find_next_sentence_end(toks, end)
-            if snapped <= start + cfg.chunk_size + cfg.sentence_snap_slack:
+            bound = start + cfg.chunk_size + cfg.sentence_snap_slack
+            hi_scan = min(n, bound)
+            snapped = None
+            for i in range(end, hi_scan):
+                if enders[i]:
+                    snapped = i + 1
+                    break
+            if snapped is None and hi_scan == n:
+                snapped = n  # scanned the whole tail: find_next returns n
+            if snapped is not None and snapped <= bound:
                 end = snapped
         if end > start:
             out.append((start, end))
         if end >= n:
             break
         overlap_start = max(start, end - cfg.chunk_overlap)
-        prev_sent = find_previous_sentence_end(toks, overlap_start)
+        prev_sent = 0  # find_previous_sentence_end over flags
+        for i in range(overlap_start - 1, -1, -1):
+            if enders[i]:
+                prev_sent = i + 1
+                break
         if prev_sent > start and prev_sent < end:
             start = prev_sent
         else:
@@ -117,11 +129,16 @@ def chunk_one_document(doc_id: str, spans: List[dict], cfg: KGConfig,
     # pre-split huge texts by paragraph boundaries (text_chunker.py:43-163 is
     # a ¶/sentence/fixed ladder; our substring windows make a simple char cap
     # sufficient because tokenization is linear and windows are bounded)
-    tokens = (tokenizer or tokenize_with_offsets)(text)
+    if tokenizer is None:
+        tok_spans, enders = token_spans_and_enders(text)
+    else:
+        triples = tokenizer(text)
+        tok_spans = [(t[1], t[2]) for t in triples]
+        enders = [is_sentence_end(t[0]) for t in triples]
     rows: List[dict] = []
-    for position, (lo, hi) in enumerate(_window_token_spans(tokens, cfg)):
-        char_lo = tokens[lo][1]
-        char_hi = tokens[hi - 1][2]
+    for position, (lo, hi) in enumerate(_window_token_spans(enders, cfg)):
+        char_lo = tok_spans[lo][0]
+        char_hi = tok_spans[hi - 1][1]
         chunk_text = text[char_lo:char_hi]
         # covered original spans (for the span-sequence invariant)
         s_lo = bisect_right(span_ends, char_lo)
