@@ -40,6 +40,21 @@ class TestTokenizerProperties:
     def test_tokens_never_contain_whitespace(self, text):
         assert all(not any(c.isspace() for c in t) for t in tokenize(text))
 
+    @given(MIXED_TEXT)
+    @settings(max_examples=200, deadline=None)
+    def test_spans_and_enders_fast_path_equivalence(self, text):
+        """token_spans_and_enders (the chunker fast path, no token strings)
+        must agree with the reference-semantics string tokenizer on both
+        the char spans and the per-token sentence-ender flags — in
+        particular no multi-char token may ever register as an ender."""
+        from graph_rag_agent_ray.functions.text import (
+            is_sentence_end, token_spans_and_enders)
+
+        triples = tokenize_with_offsets(text)
+        spans, enders = token_spans_and_enders(text)
+        assert spans == [(lo, hi) for _, lo, hi in triples]
+        assert enders == [is_sentence_end(t) for t, _, _ in triples]
+
 
 class TestChunkerProperties:
     CFG = KGConfig(chunk_size=40, chunk_overlap=8)
