@@ -142,16 +142,45 @@ def edit_distance(a: str, b: str, limit: int | None = None) -> int:
         return limit + 1
     if la > lb:
         a, b, la, lb = b, a, lb, la
+    if limit is not None:
+        # Ukkonen band: any alignment path through a cell with |i-j| > limit
+        # costs > limit, so only the 2*limit+1 diagonal band is computed —
+        # exact for distances <= limit, limit+1 otherwise (the only contract
+        # callers use; the merge judge runs this on ~100k+ survivor pairs
+        # per sparse-vocabulary build, where the full O(la*lb) DP dominated
+        # the whole canonicalization stage). Property-pinned against the
+        # full DP in tests.
+        k = limit
+        big = k + 1
+        prev = [i if i <= k else big for i in range(la + 1)]
+        for j in range(1, lb + 1):
+            bj = b[j - 1]
+            lo_i = max(1, j - k)
+            hi_i = min(la, j + k)
+            cur = [big] * (la + 1)
+            if j <= k:
+                cur[0] = j
+            row_min = cur[lo_i - 1]
+            for i in range(lo_i, hi_i + 1):
+                c = prev[i - 1] + (a[i - 1] != bj)
+                v = prev[i] + 1
+                if v < c:
+                    c = v
+                v = cur[i - 1] + 1
+                if v < c:
+                    c = v
+                cur[i] = c
+                if c < row_min:
+                    row_min = c
+            if row_min > k:
+                return big
+            prev = cur
+        return prev[la] if prev[la] <= k else big
     prev = list(range(la + 1))
     for j in range(1, lb + 1):
         cur = [j] + [0] * la
         bj = b[j - 1]
-        row_min = cur[0]
         for i in range(1, la + 1):
             cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (a[i - 1] != bj))
-            if cur[i] < row_min:
-                row_min = cur[i]
-        if limit is not None and row_min > limit:
-            return limit + 1
         prev = cur
     return prev[la]
