@@ -592,7 +592,12 @@ def summarize_communities_local(
         if col not in edges_pdf.columns:
             edges_pdf[col] = pd.Series(dtype=object)
     edges_pdf = edges_pdf[["src", "dst", "pred"]]
-    comm_edges: Dict[str, list] = {}
+    # per-community intra-edge COUNT (the mock summary reports it) and the
+    # first-200-lexicographic edge strings (full_content caps there) are
+    # both computed vectorized — a 650k-edge sparse graph previously paid a
+    # Python itertuples over every intra edge just to re-sort per community
+    rel_count: Dict[str, int] = {}
+    rel_text: Dict[str, str] = {}
     if len(member_pdf) and len(edges_pdf):
         m = member_pdf[["entity_id", "level", "community_id"]]
         for _level, ml in m.groupby("level", sort=False):
@@ -606,9 +611,18 @@ def summarize_communities_local(
                        on="dst")
             )
             intra = tagged[tagged["_c_src"] == tagged["_c_dst"]]
-            for cid, g in intra.groupby("_c_src", sort=False):
-                comm_edges[cid] = list(
-                    g[["src", "dst", "pred"]].itertuples(index=False, name=None))
+            if not len(intra):
+                continue
+            rel_count.update(intra.groupby("_c_src", sort=False).size().items())
+            # lexicographic (src, dst, pred) order == sorted(tuple list)
+            capped = (intra.sort_values(["_c_src", "src", "dst", "pred"],
+                                        kind="stable")
+                      .groupby("_c_src", sort=False).head(200))
+            txt = (capped["src"] + " -" + capped["pred"] + "-> "
+                   + capped["dst"])
+            rel_text.update(
+                txt.groupby(capped["_c_src"], sort=False)
+                .agg("; ".join).items())
     rank_map = dict(zip(ranks_pdf.get("community_id", []),
                         ranks_pdf.get("rank", [])))
     top_ids = set(
@@ -619,14 +633,14 @@ def summarize_communities_local(
     rows = []
     for (cid, level), g in member_pdf.groupby(["community_id", "level"], sort=False):
         members = sorted(g["entity_id"])
-        rels = sorted(comm_edges.get(cid, []))
         full = (
             "Nodes are: " + "; ".join(members[:200]) + ". Relationships are: "
-            + "; ".join(f"{s} -{p}-> {d}" for s, d, p in rels[:200]) + "."
+            + rel_text.get(cid, "") + "."
         )
         # model path: leave blank here, the actor-pool stage below fills it
         summary = ("" if summarizer_factory is not None
-                   else summarizer.summarize(cid, members, rels)) \
+                   else summarizer.summarize_counts(cid, members,
+                                                    rel_count.get(cid, 0))) \
             if cid in top_ids else ""
         rows.append({
             "community_id": cid, "level": int(level), "members": members,
@@ -661,10 +675,17 @@ class MockSummarizer:
 
     def summarize(self, community_id: str, members: List[str],
                   rels: List[Tuple[str, str, str]]) -> str:
+        return self.summarize_counts(community_id, members, len(rels))
+
+    def summarize_counts(self, community_id: str, members: List[str],
+                         n_rels: int) -> str:
+        """Same string as :meth:`summarize` from the edge COUNT alone — the
+        driver-local fast path aggregates counts vectorized and never
+        materializes per-community tuple lists."""
         head = ", ".join(members[:5])
         return (
             f"Community {community_id} contains {len(members)} entities "
-            f"(including {head}) linked by {len(rels)} relationships."
+            f"(including {head}) linked by {n_rels} relationships."
         )
 
 
