@@ -89,8 +89,22 @@ def hash_partitioned_groupby(
     batch_size: int = 16384,
     pre_split: bool = False,
     map_format: str = "pandas",
+    pre_combine: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    pre_combine_batch: int = 65536,
 ) -> "ray.data.Dataset":
     """Group ``ds`` by ``keys`` with a per-bucket vectorized reducer.
+
+    ``pre_combine`` (tree-combine level): an ASSOCIATIVE partial-merge
+    callable inserted between the caller's map-side partials and the bucket
+    shuffle. Callers whose map side emits one small partial frame per input
+    block (vocabulary ≪ corpus) produce hundreds of TINY blocks; Ray's
+    sort-based groupby then degenerates — its SortMap/SortReduce stages run
+    serially over the block count, costing seconds of scale-independent
+    wall (measured: aggregate_exact fused 10.5s vs 3.6s two-step at 256
+    blocks). The tree level coalesces ``pre_combine_batch`` partial rows per
+    task and re-merges them, shrinking both the sort's input rows and its
+    block count by ~the block-to-vocabulary ratio. MUST be associative and
+    schema-preserving (partials in = partials out).
 
     ``bucket_fn`` receives ALL rows of one hash bucket (multiple complete key
     groups; never a partial group) and must return its aggregated frame. Key
@@ -119,6 +133,21 @@ def hash_partitioned_groupby(
     handled at the single reducer boundary above. Opt in ONLY callers whose
     upstream blocks are Arrow and whose columns are NA-free."""
     keys = list(keys)
+
+    if pre_combine is not None:
+        if map_format == "pyarrow":
+            import pyarrow as _pa
+
+            def combine_arrow(tbl: "_pa.Table") -> "_pa.Table":
+                return _pa.Table.from_pandas(
+                    pre_combine(_arrow_group_to_pandas(tbl)),
+                    preserve_index=False)
+
+            ds = ds.map_batches(combine_arrow, batch_format="pyarrow",
+                                batch_size=pre_combine_batch)
+        else:
+            ds = ds.map_batches(pre_combine, batch_format="pandas",
+                                batch_size=pre_combine_batch)
 
     if map_format == "pyarrow":
         import numpy as np

@@ -90,7 +90,11 @@ def build_kg(
     # — Ray Data supports concurrent dataset executions, so the streaming
     # executor interleaves them instead of serializing the whole DAG
     from concurrent.futures import ThreadPoolExecutor
-    side = ThreadPoolExecutor(max_workers=8)
+    # 16 workers: some side jobs BLOCK on other side jobs' futures (the edge
+    # pre-aggregate waits on triples; the edge chain waits on the pre-
+    # aggregate), so the pool must hold every concurrently-alive job plus
+    # its dependencies — threads are cheap, a starved dependency deadlocks
+    side = ThreadPoolExecutor(max_workers=16)
 
     # hot-path stages materialize to the object store and checkpoint to disk
     # asynchronously: consumers never wait for the parquet round-trip
@@ -127,6 +131,27 @@ def build_kg(
         fingerprint(base_fp, "triples", extractor_cls.__name__),
         lambda: parse_triples(extractions, cfg), side, lineage,
     )
+
+    # pre-alias edge partial aggregate: the heavy (s,p,o) combine + shuffle
+    # is alias-independent (canonicalize.preaggregate_edges), so it runs
+    # here — concurrently with the entity aggregate / embedding / blocking
+    # phase — instead of serializing behind the alias map; the edge chain
+    # below finishes it with an edge-scale remap + re-reduce
+    def _edge_partials_job():
+        # resume guard: if ANY completed edges snapshot exists, skip the
+        # eager pre-aggregate — on a fingerprint hit the edges stage lambda
+        # never runs (this work would be pure waste); on a miss the edge
+        # chain falls back to the classic full-remap path
+        if store.manifest("edges") is not None:
+            return None
+        tr, _w = triples_f.result()
+        _t0 = _time.monotonic()
+        ds = C.preaggregate_edges(tr, cfg).materialize()
+        lineage.record("edge_partials", cached=False,
+                       wall_s=_time.monotonic() - _t0)
+        return ds
+
+    edge_partials_f = side.submit(_edge_partials_job)
 
     # mentions snapshot (when incremental_snapshots) so a later
     # incremental_build_kg can carry over parse rows per doc instead of
@@ -230,17 +255,35 @@ def build_kg(
         def remap_triples(t):
             return C.canonical_triples(t, alias_ref, cfg)
 
-    def edge_chain():
-        triples_canon, canon_w = store.run_stage_async_write(
+    # triples_canon (the corpus-sized remapped-triples snapshot) and edges
+    # are now independent jobs: edges derives from the pre-aggregated
+    # partials (broadcast-alias path), so it no longer waits for the full
+    # corpus remap to materialize
+    def canon_chain():
+        return store.run_stage_async_write(
             "triples_canon", fingerprint(alias_fp, "triples_canon"),
             lambda: remap_triples(triples), side, lineage,
         )
-        edges = store.run_stage(
+
+    canon_chain_f = side.submit(canon_chain)
+
+    def edge_chain():
+        if (len(alias) > cfg.broadcast_alias_limit
+                or edge_partials_f.result() is None):
+            # distributed-alias path (the partial rows would need two hash
+            # joins against the alias Dataset; the classic full-remap path
+            # already has exactly that machinery) — or a resume where the
+            # eager pre-aggregate was skipped (see _edge_partials_job)
+            triples_canon, _ = canon_chain_f.result()
+            return store.run_stage(
+                "edges", fingerprint(alias_fp, "edges"),
+                lambda: C.dedupe_edges(triples_canon, cfg), lineage,
+            )
+        return store.run_stage(
             "edges", fingerprint(alias_fp, "edges"),
-            lambda: C.dedupe_edges(triples_canon, cfg), lineage,
+            lambda: C.dedupe_edges_from_partials(
+                edge_partials_f.result(), alias_ref, cfg), lineage,
         )
-        canon_w.result()
-        return edges, triples_canon
 
     edge_chain_f = side.submit(edge_chain)
 
@@ -271,7 +314,7 @@ def build_kg(
         return compute().materialize(), side.submit(lambda: None)
 
     mentions_canon_f = side.submit(_mentions_canon_job)
-    edges, triples_canon = edge_chain_f.result()
+    edges = edge_chain_f.result()
     mentions_canon, mentions_canon_w = mentions_canon_f.result()
     lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
 
@@ -279,11 +322,16 @@ def build_kg(
         store, lineage, cfg, alias_fp, alias_ref, embedded, edges,
         mentions_canon, summarizer_factory=summarizer_factory)
 
+    # the corpus-sized triples_canon remap ran on a side thread the whole
+    # time — collect it only now, after the community tail is done
+    triples_canon, canon_w = canon_chain_f.result()
+
     chunk_embeddings = chunk_embeddings_f.result()
     span_index = span_index_f.result()
     chunks_w.result()
     extractions_w.result()
     triples_w.result()
+    canon_w.result()
     mentions_w.result()
     embedded_w.result()
     alias_w.result()

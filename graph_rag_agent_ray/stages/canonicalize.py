@@ -65,6 +65,28 @@ MAX_DRIVER_PAIRS = 5_000_000  # union-find size guard
 # 1. exact dedup (salted two-phase aggregate)
 # --------------------------------------------------------------------------
 
+def _capped_lists(df: pd.DataFrame, keys: List[str], col: str,
+                  cap: int, out_col: str | None = None) -> pd.DataFrame:
+    """Per-key list of the ``cap`` smallest DISTINCT values of ``col`` —
+    fully vectorized (global sort + numpy boundary split), replacing the
+    per-group ``agg(lambda s: sorted(set(s))[:cap])`` that cost one Python
+    call per key group in every hot aggregate (100k+ groups per edge
+    bucket). Input rows may repeat; output is one row per key with a
+    Python-list cell (the shuffle's reducer-boundary contract)."""
+    out_col = out_col or col
+    uq = df[keys + [col]].drop_duplicates().sort_values(keys + [col],
+                                                        kind="stable")
+    uq = uq.groupby(keys, sort=False).head(cap)
+    vals = uq[col].to_numpy(dtype=object)
+    kframe = uq[keys]
+    change = (kframe != kframe.shift()).any(axis=1).to_numpy()
+    starts = np.flatnonzero(change)
+    bounds = np.r_[starts, len(uq)]
+    out = uq.iloc[starts][keys].reset_index(drop=True)
+    out[out_col] = [list(vals[i:j]) for i, j in zip(bounds[:-1], bounds[1:])]
+    return out
+
+
 def _partial_exact(batch: pa.Table) -> pd.DataFrame:
     """Per-batch partial aggregation (map-side combine): one output row per
     (surface, type) per batch — no shuffle. This bounds any Zipf-hot key's
@@ -81,16 +103,20 @@ def _partial_exact(batch: pa.Table) -> pd.DataFrame:
     # re-aggregates with different batching and must reproduce fresh-build
     # rows exactly); a bare "first" would be batch-order-dependent on ties
     ordered = df.sort_values(["chunk_id", "description"], kind="stable")
+    keys = ["norm_surface", "entity_type"]
     grouped = (
-        ordered.groupby(["norm_surface", "entity_type"], sort=False)
+        ordered.groupby(keys, sort=False)
         .agg(
             n_mentions=("chunk_id", "size"),
             min_chunk=("chunk_id", "min"),
             description=("description", "first"),
-            surfaces=("entity_surface", lambda s: sorted(set(s))[:8]),
         )
         .reset_index()
     )
+    # 8 lexicographically-smallest raw surfaces per (surface, type) —
+    # vectorized (was a per-group sorted(set(...))[:8] lambda)
+    grouped = grouped.merge(
+        _capped_lists(df, keys, "entity_surface", 8, "surfaces"), on=keys)
     # emit Arrow so the dedup shuffle moves zero-copy blocks (surfaces
     # becomes list<string>; the reducer boundary restores Python lists)
     return pa.Table.from_pandas(grouped, preserve_index=False)
@@ -114,14 +140,28 @@ def _final_exact_bucket(df: pd.DataFrame) -> pd.DataFrame:
         .drop_duplicates("norm_surface")[["norm_surface", "description"]]
     )
     n = df.groupby("norm_surface", sort=False)["n_mentions"].sum().reset_index()
-    surf = (
-        df.groupby("norm_surface", sort=False)["surfaces"]
-        .agg(lambda ls: sorted({s for lst in ls for s in lst})[:16])
-        .reset_index().rename(columns={"surfaces": "surface_forms"})
-    )
+    surf = _capped_lists(df[["norm_surface", "surfaces"]].explode("surfaces"),
+                         ["norm_surface"], "surfaces", 16, "surface_forms")
     out = top_type.merge(firsts, on="norm_surface").merge(n, on="norm_surface") \
         .merge(surf, on="norm_surface")
     return out[["norm_surface", "entity_type", "description", "n_mentions", "surface_forms"]]
+
+
+def _merge_exact_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Tree-combine level between :func:`_partial_exact` and
+    :func:`_final_exact_bucket`: merge partial rows per
+    (norm_surface, entity_type). Associative and final-preserving:
+    n_mentions sums; (min_chunk, description) takes the lexicographic min of
+    per-block minima (= the global min); surfaces keep the 16 smallest of
+    the union — ≥ the final reducer's cap of 16, so the final 16-smallest
+    set is unchanged (k-smallest merge property)."""
+    keys = ["norm_surface", "entity_type"]
+    ordered = df.sort_values(keys + ["min_chunk", "description"], kind="stable")
+    firsts = ordered.drop_duplicates(keys)[keys + ["min_chunk", "description"]]
+    n = df.groupby(keys, sort=False)["n_mentions"].sum().reset_index()
+    surf = _capped_lists(df[keys + ["surfaces"]].explode("surfaces"),
+                         keys, "surfaces", 16)
+    return firsts.merge(n, on=keys).merge(surf, on=keys)
 
 
 def aggregate_exact(mentions: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
@@ -132,6 +172,7 @@ def aggregate_exact(mentions: "ray.data.Dataset", cfg: KGConfig | None = None) -
     return hash_partitioned_groupby(
         partial, ["norm_surface"], _final_exact_bucket,
         n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+        pre_combine=_merge_exact_partials,
     )
 
 
@@ -819,11 +860,8 @@ def _partial_edges(batch: pa.Table) -> pd.DataFrame:
     # weight: per-key MAX — order-free across variant restatements of the
     # same canonical fact (each surface variant may assert its own weight)
     wmax = df.groupby(keys, sort=False)["weight"].max().reset_index()
-    uniq = ordered.drop_duplicates(keys + ["chunk_id"])
-    chunk_lists = (
-        uniq.groupby(keys, sort=False)["chunk_id"]
-        .agg(lambda s: list(s)[:MAX_EDGE_CHUNK_IDS]).reset_index(name="chunk_ids")
-    )
+    chunk_lists = _capped_lists(df, keys, "chunk_id",
+                                MAX_EDGE_CHUNK_IDS, "chunk_ids")
     out = firsts.merge(wmax, on=keys).merge(chunk_lists, on=keys)
     # emit Arrow: the edge-dedup shuffle is the biggest exchange of the
     # build (every distinct-per-block fact row) — zero-copy blocks beat
@@ -884,16 +922,104 @@ def _edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
     firsts = ordered.drop_duplicates(keys)[keys + ["description"]]
     wmax = df.groupby(keys, sort=False)["weight"].max().reset_index()
     firsts = firsts.merge(wmax, on=keys)
-    unions = (
-        df.groupby(keys, sort=False)["chunk_ids"]
-        .agg(lambda ls: sorted({c for lst in ls for c in lst})[:MAX_EDGE_CHUNK_IDS])
-        .reset_index()
-    )
+    unions = _capped_lists(df[keys + ["chunk_ids"]].explode("chunk_ids"),
+                           keys, "chunk_ids", MAX_EDGE_CHUNK_IDS)
     out = firsts.merge(unions, on=keys)
     out = out.rename(columns={"subj": "src", "obj": "dst"})
     out["weight"] = out["weight"].astype(np.float32)
     out["n_sources"] = out["chunk_ids"].map(len).astype(np.int32)
     return out[["src", "dst", "pred", "description", "weight", "n_sources", "chunk_ids"]]
+
+
+def _edges_partial_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Reduce map-side partials per (still pre-alias) key, KEEPING the
+    partial schema (min_chunk survives) so a later canonical remap can
+    re-reduce the merged rows with :func:`_edges_bucket`. Every aggregate is
+    associative over a refinement of the final key partition: weight is a
+    max, (min_chunk, description) is a lexicographic min of per-block minima
+    (= the global min), and the chunk_ids cap keeps each subkey's
+    MAX_EDGE_CHUNK_IDS smallest ids — a k-smallest merge, so the final
+    union-sort-cap still yields the global k smallest."""
+    keys = ["subj", "pred", "obj"]
+    ordered = df.sort_values(keys + ["min_chunk", "description"], kind="stable")
+    firsts = ordered.drop_duplicates(keys)[keys + ["min_chunk", "description"]]
+    wmax = df.groupby(keys, sort=False)["weight"].max().reset_index()
+    unions = _capped_lists(df[keys + ["chunk_ids"]].explode("chunk_ids"),
+                           keys, "chunk_ids", MAX_EDGE_CHUNK_IDS)
+    return firsts.merge(wmax, on=keys).merge(unions, on=keys)
+
+
+def preaggregate_edges(
+    triples: "ray.data.Dataset", cfg: KGConfig | None = None
+) -> "ray.data.Dataset":
+    """Alias-INDEPENDENT half of the edge dedup: normalize subj/obj and run
+    the heavy (s,p,o) combine + shuffle on NORMALIZED surface keys. Because
+    the alias map only merges normalized keys (normalized partitions refine
+    canonical partitions) and every edge aggregate is associative
+    (:func:`_edges_partial_bucket`), this can run BEFORE the alias map
+    exists — i.e. concurrently with the entity aggregate/embedding/blocking
+    phase — leaving only an edge-scale remap + re-reduce
+    (:func:`dedupe_edges_from_partials`) on the decision chain's critical
+    path. Output is aggregated-edge-scale (distinct normalized facts)."""
+    cfg = cfg or KGConfig()
+
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        batch = (
+            batch.drop_columns(["subj", "obj"])
+            .append_column("subj", normalize_remap_array(batch.column("subj")))
+            .append_column("obj", normalize_remap_array(batch.column("obj")))
+        )
+        return _partial_edges(batch)
+
+    partial = triples.map_batches(norm_partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    return hash_partitioned_groupby(
+        partial, ["subj", "pred", "obj"], _edges_partial_bucket,
+        n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+        pre_combine=_edges_partial_bucket,
+    )
+
+
+def _remap_only_array(arr, alias: Dict[str, str]):
+    """Alias-remap an ALREADY-NORMALIZED Arrow string column (dictionary-
+    encoded lookup, no re-normalization — the lookup must hit the exact
+    normalized keys ``build_alias_map`` emitted, and re-normalizing would
+    assume idempotence instead of guaranteeing it)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = arr.dictionary_encode()
+    uniq = pd.Series(d.dictionary.to_pylist(), dtype=object)
+    if len(uniq) and alias:
+        uniq = uniq.map(alias).fillna(uniq)
+    return pa.DictionaryArray.from_arrays(
+        d.indices, pa.array(uniq.tolist(), pa.string())).cast(pa.string())
+
+
+def dedupe_edges_from_partials(
+    partials: "ray.data.Dataset", alias_ref: "ray.ObjectRef",
+    cfg: KGConfig | None = None,
+) -> "ray.data.Dataset":
+    """Finish the edge dedup from :func:`preaggregate_edges` output: apply
+    the canonical alias map to the edge-scale partial rows, then one small
+    re-reduce with the standard :func:`_edges_bucket`. Value-identical to
+    ``dedupe_edges(canonical_triples(triples, alias_ref))`` — equivalence
+    pinned by tests/test_edge_preagg.py."""
+    cfg = cfg or KGConfig()
+
+    def remap(batch: pa.Table) -> pa.Table:
+        alias = ray.get(alias_ref)
+        return (
+            batch.drop_columns(["subj", "obj"])
+            .append_column("subj", _remap_only_array(batch.column("subj"), alias))
+            .append_column("obj", _remap_only_array(batch.column("obj"), alias))
+        )
+
+    remapped = partials.map_batches(remap, batch_format="pyarrow",
+                                    batch_size=65536)
+    return hash_partitioned_groupby(
+        remapped, ["subj", "pred", "obj"], _edges_bucket,
+        n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+    )
 
 
 def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
@@ -912,4 +1038,5 @@ def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None)
     return hash_partitioned_groupby(
         partial, ["subj", "pred", "obj"], _edges_bucket,
         n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+        pre_combine=_edges_partial_bucket,
     )

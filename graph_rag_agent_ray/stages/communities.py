@@ -541,6 +541,9 @@ def community_ranks(
         .groupby("community_id")["chunk_id"].nunique().reset_index(name="rank")
         .astype({"rank": "int64"}),
         n_buckets=16,
+        # distinct-pair merge is associative — tree-combine collapses the
+        # per-batch pair blocks before the sort (see shuffle.pre_combine)
+        pre_combine=lambda df: df.drop_duplicates(),
     )
 
 
