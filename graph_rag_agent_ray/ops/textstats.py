@@ -334,8 +334,13 @@ def frequent_ngrams(
                              "n_docs": agg["docs"].astype("int64"),
                              "n_occ": agg["occ"].astype("int64")})
 
-    return hash_partitioned_groupby(parts, ["gram"], reduce_bucket,
-                                    n_buckets=n_buckets)
+    return hash_partitioned_groupby(
+        parts, ["gram"], reduce_bucket, n_buckets=n_buckets,
+        # count sums are associative — tree-combine the per-batch gram
+        # partials before the sort (see shuffle.pre_combine)
+        pre_combine=lambda df: (df.groupby("gram", sort=False)[["occ", "docs"]]
+                                .sum().reset_index()),
+    )
 
 
 def frequent_ngrams_sql(n: int = 2, min_count: int = 5) -> str:

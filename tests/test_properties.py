@@ -282,3 +282,32 @@ class TestLocalGraphKernelProperties:
                 if d > 0:
                     harm[v] = harm.get(v, 0) + unit // d
         assert dict(zip(out["node"], out["harm_units"])) == harm
+
+
+class TestCappedLists:
+    """_capped_lists (vectorized sort + boundary split) ≡ the per-group
+    sorted(set(...))[:cap] lambda it replaced in every hot aggregate."""
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["k1", "k2", "k3", ""]),
+                      st.sampled_from(["A", "B"]),
+                      st.text(alphabet="abcdef", min_size=0, max_size=4)),
+            min_size=1, max_size=300),
+        st.integers(min_value=1, max_value=5),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_matches_lambda_formulation(self, rows, cap):
+        import pandas as pd
+
+        from graph_rag_agent_ray.stages.canonicalize import _capped_lists
+
+        df = pd.DataFrame(rows, columns=["ka", "kb", "val"])
+        keys = ["ka", "kb"]
+        ref = (df.groupby(keys, sort=False)["val"]
+               .agg(lambda s: sorted(set(s))[:cap])
+               .reset_index(name="out"))
+        got = _capped_lists(df, keys, "val", cap, "out")
+        ref_d = {(r.ka, r.kb): list(r.out) for r in ref.itertuples()}
+        got_d = {(r.ka, r.kb): list(r.out) for r in got.itertuples()}
+        assert ref_d == got_d
