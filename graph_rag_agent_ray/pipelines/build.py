@@ -326,12 +326,21 @@ def build_kg(
 
     mentions_canon_f = side.submit(_mentions_canon_job)
     edges = edge_chain_f.result()
-    mentions_canon, mentions_canon_w = mentions_canon_f.result()
-    lineage.record("mentions_canon", cached=False, wall_s=_time.monotonic() - _t)
+
+    # mentions_canon is only consumed at the community-RANK step, so it is
+    # passed as a resolver: the edge collect + fingerprint + Leiden detection
+    # inside communities_and_entities run while the corpus-sized
+    # mentions_canon map is still materializing on its side thread
+    def _mentions_canon_resolve():
+        mc, _w = mentions_canon_f.result()
+        lineage.record("mentions_canon", cached=False,
+                       wall_s=_time.monotonic() - _t)
+        return mc
 
     entities_final, communities = communities_and_entities(
         store, lineage, cfg, alias_fp, alias_ref, embedded, edges,
-        mentions_canon, summarizer_factory=summarizer_factory)
+        _mentions_canon_resolve, summarizer_factory=summarizer_factory)
+    mentions_canon, mentions_canon_w = mentions_canon_f.result()
 
     # the corpus-sized triples_canon remap ran on a side thread the whole
     # time — collect it only now, after the community tail is done
@@ -455,7 +464,11 @@ def communities_and_entities(
     community levels attached. Entity-scale throughout (only the rank
     aggregate scans the corpus-sized canonical mentions), so both the fresh
     build and the delta-scoped incremental path run it in full.
-    Returns (entities_final, communities)."""
+
+    ``mentions_canon`` may be a Dataset or a ZERO-ARG CALLABLE returning one
+    — it is only consumed at the rank aggregate, so the fresh build passes a
+    resolver and the detection phase overlaps the mentions_canon
+    materialization. Returns (entities_final, communities)."""
     import time as _time
 
     entities0 = C.canonical_entities(embedded, alias_ref, cfg)
@@ -561,8 +574,12 @@ def communities_and_entities(
             membership_pdf = membership_tbl.to_pandas()
         # one distributed aggregate over the big mentions side; everything
         # else in the community chain is community-count-sized
+        if callable(mentions_canon):
+            mentions_canon = mentions_canon()
         ranks = CM.community_ranks(membership_pdf, mentions_canon)
     else:
+        if callable(mentions_canon):
+            mentions_canon = mentions_canon()
         ranks = CM.community_ranks_distributed(membership_ds, mentions_canon)
     # summarizer identity is part of the stage fingerprint — switching
     # mock ↔ model invalidates the cached communities snapshot
