@@ -290,10 +290,21 @@ def build_kg(
                 "edges", fingerprint(alias_fp, "edges"),
                 lambda: C.dedupe_edges(triples_canon, cfg), lineage,
             )
+        partials = edge_partials_f.result()
+        if 0 < partials.count() <= C.MAX_DRIVER_EDGE_PARTIALS:
+            # driver-local finish: a ~100-task shuffle for an edge-scale
+            # table queues behind the corpus-sized jobs sharing the cluster
+            # (see MAX_DRIVER_EDGE_PARTIALS); 0 rows stay on the shuffle
+            # path (schema-correct empty output)
+            return store.run_stage(
+                "edges", fingerprint(alias_fp, "edges"),
+                lambda: C.dedupe_edges_from_partials_local(
+                    partials, alias_ref, cfg), lineage,
+            )
         return store.run_stage(
             "edges", fingerprint(alias_fp, "edges"),
             lambda: C.dedupe_edges_from_partials(
-                edge_partials_f.result(), alias_ref, cfg), lineage,
+                partials, alias_ref, cfg), lineage,
         )
 
     edge_chain_f = side.submit(edge_chain)

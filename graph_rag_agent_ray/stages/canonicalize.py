@@ -1016,10 +1016,50 @@ def dedupe_edges_from_partials(
 
     remapped = partials.map_batches(remap, batch_format="pyarrow",
                                     batch_size=65536)
+    # the input is ALREADY aggregated (edge-scale), so the finish needs a
+    # quarter of the dedupe fan-out — 64 reducers over ~100k rows was
+    # measured 1.4s slower than 16 (task-launch dominated)
     return hash_partitioned_groupby(
         remapped, ["subj", "pred", "obj"], _edges_bucket,
-        n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+        n_buckets=cfg.salt_buckets, map_format="pyarrow",
     )
+
+
+# Driver-local edge-finish guard: below this many pre-aggregated partial
+# rows the remap + final reduce run on the driver (one pandas pass) instead
+# of a 64-reducer shuffle — for SMALL graphs the shuffle is pure task-launch
+# overhead (the entities fast-path pattern). The guard is deliberately
+# small: the single-threaded pandas finish was MEASURED SLOWER than the
+# uncontended shuffle at 106k partial rows (explode of the provenance lists
+# is ~25× the row count), so only test/driver-scale graphs qualify.
+MAX_DRIVER_EDGE_PARTIALS = 50_000
+
+
+def dedupe_edges_from_partials_local(
+    partials: "ray.data.Dataset", alias_ref: "ray.ObjectRef",
+    cfg: KGConfig | None = None,
+) -> "ray.data.Dataset":
+    """Driver-local variant of :func:`dedupe_edges_from_partials` for
+    partial tables under MAX_DRIVER_EDGE_PARTIALS: collect the (aggregated,
+    edge-scale) partials, alias-remap with a vectorized dict map, run the
+    SAME :func:`_edges_bucket` reducer over the whole frame, and convert
+    through Ray's own block machinery. Value-identical to the shuffle path
+    (row order is globally key-sorted instead of bucket-concatenated; every
+    consumer is order-free — pinned by tests/test_edge_preagg.py)."""
+    import ray as _ray
+    from ray.data.block import BlockAccessor
+
+    from ..functions.shuffle import _arrow_group_to_pandas
+
+    tbl = pa.concat_tables(_ray.get(partials.to_arrow_refs()))
+    df = _arrow_group_to_pandas(tbl)
+    alias = _ray.get(alias_ref)
+    if alias and len(df):
+        df = df.copy()
+        df["subj"] = df["subj"].map(alias).fillna(df["subj"])
+        df["obj"] = df["obj"].map(alias).fillna(df["obj"])
+    out = _edges_bucket(df)
+    return ray.data.from_arrow(BlockAccessor.for_block(out).to_arrow())
 
 
 def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":

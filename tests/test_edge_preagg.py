@@ -86,6 +86,19 @@ class TestEdgePreaggEquivalence:
         assert (classic["n_sources"] == C.MAX_EDGE_CHUNK_IDS).any()
         pd.testing.assert_frame_equal(classic, fused)
 
+    @pytest.mark.parametrize("seed", [7, 21])
+    def test_driver_local_finish_matches(self, ray_session, seed):
+        # the under-guard driver-local finish (one pandas pass) must equal
+        # both the shuffle finish and the classic path
+        cfg = KGConfig()
+        ds = _triples_ds(seed, 4000, SURFACES, n_chunks=300)
+        alias_ref = ray.put(dict(ALIAS))
+        partials = C.preaggregate_edges(ds, cfg).materialize()
+
+        shuffled = _edges_pdf(C.dedupe_edges_from_partials(partials, alias_ref, cfg))
+        local = _edges_pdf(C.dedupe_edges_from_partials_local(partials, alias_ref, cfg))
+        pd.testing.assert_frame_equal(shuffled, local)
+
     def test_empty_alias(self, ray_session):
         cfg = KGConfig()
         ds = _triples_ds(11, 500, SURFACES, n_chunks=40)
