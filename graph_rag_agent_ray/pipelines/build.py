@@ -344,7 +344,10 @@ def build_kg(
     # mentions_canon map is still materializing on its side thread
     def _mentions_canon_resolve():
         mc, _w = mentions_canon_f.result()
-        lineage.record("mentions_canon", cached=False,
+        # time from the decision chain's start until the rank step could
+        # proceed (includes detection overlap) — distinct from the
+        # "mentions_canon" stage record, which is the materialize wall
+        lineage.record("mentions_canon_resolved", cached=False,
                        wall_s=_time.monotonic() - _t)
         return mc
 
