@@ -107,28 +107,55 @@ def build_kg(
     # its dependencies — threads are cheap, a starved dependency deadlocks
     side = ThreadPoolExecutor(max_workers=16)
 
-    # hot-path stages materialize to the object store and checkpoint to disk
-    # asynchronously: consumers never wait for the parquet round-trip
-    chunks, chunks_w = store.run_stage_async_write(
-        "chunks", fingerprint(base_fp, "chunks"),
-        lambda: chunk_documents(docs, cfg), side, lineage,
-    )
-
-    # embed first: it is the longest stage, so it should start pulling blocks
-    # before the cheaper side outputs
-    chunk_embeddings_f = side.submit(
-        store.run_stage, "chunk_embeddings", fingerprint(base_fp, "chunk_embeddings"),
-        lambda: embed_chunks(chunks, cfg), lineage,
-    )
     span_index_f = side.submit(
         store.run_stage, "span_index", fingerprint(base_fp, "span_index"),
         lambda: build_span_index(docs, cfg), lineage,
     )
 
-    extractions, extractions_w = store.run_stage_async_write(
-        "extractions", fingerprint(base_fp, "extractions", extractor_cls.__name__),
-        lambda: extract_chunks(chunks, cfg, extractor_cls), side, lineage,
-    )
+    # hot-path corpus-sized stages checkpoint WRITE-THROUGH (tee_stage): the
+    # parquet lands per-batch inside the consuming pipeline, so the consumer
+    # streams block-by-block instead of waiting for a full object-store
+    # materialization, and the snapshot costs no second pass. Classic
+    # materialize-then-async-write remains for (a) resume hits on the
+    # consumer (its pipeline would never execute, so nothing would tee) and
+    # (b) multi-execution consumers (the dedup explode reads chunks twice).
+    fp_chunks = fingerprint(base_fp, "chunks")
+    fp_ext = fingerprint(base_fp, "extractions", extractor_cls.__name__)
+    # the dedup-extraction path consumes chunks exactly ONCE too (a single
+    # distinct shuffle whose bucket assign runs per input block), so the tee
+    # applies to every extractor configuration; only a consumer resume-hit
+    # disables it (the tee pipeline would never execute)
+    use_chunk_tee = not store.is_complete("extractions", fp_ext)
+    fp_cemb = fingerprint(base_fp, "chunk_embeddings")
+    if use_chunk_tee:
+        chunks_in, chunks_commit = store.tee_stage(
+            "chunks", fp_chunks, lambda: chunk_documents(docs, cfg), lineage)
+        chunks_w = side.submit(lambda: None)
+        extractions, extractions_w = store.run_stage_async_write(
+            "extractions", fp_ext,
+            lambda: extract_chunks(chunks_in, cfg, extractor_cls), side,
+            lineage,
+        )
+        chunks = chunks_commit()
+        # chunk embeddings stream from the committed chunk snapshot
+        # (page-cache warm); only the return dict needs them
+        chunk_embeddings_f = side.submit(
+            store.run_stage, "chunk_embeddings", fp_cemb,
+            lambda: embed_chunks(chunks, cfg), lineage,
+        )
+    else:
+        chunks, chunks_w = store.run_stage_async_write(
+            "chunks", fp_chunks, lambda: chunk_documents(docs, cfg), side,
+            lineage)
+        # embed overlaps the extractor — both stream the materialized chunks
+        chunk_embeddings_f = side.submit(
+            store.run_stage, "chunk_embeddings", fp_cemb,
+            lambda: embed_chunks(chunks, cfg), lineage,
+        )
+        extractions, extractions_w = store.run_stage_async_write(
+            "extractions", fp_ext,
+            lambda: extract_chunks(chunks, cfg, extractor_cls), side, lineage,
+        )
 
     import time as _time
 
@@ -137,65 +164,100 @@ def build_kg(
     # saves ~40% of regex compute but costs MORE wall-clock here — the wide
     # combined intermediate must materialize on the critical path and every
     # consumer re-scans it; with parse this cheap, overlap beats re-use.
-    triples_f = side.submit(
-        store.run_stage_async_write, "triples",
-        fingerprint(base_fp, "triples", extractor_cls.__name__),
-        lambda: parse_triples(extractions, cfg), side, lineage,
-    )
-
+    #
     # pre-alias edge partial aggregate: the heavy (s,p,o) combine + shuffle
     # is alias-independent (canonicalize.preaggregate_edges), so it runs
     # here — concurrently with the entity aggregate / embedding / blocking
     # phase — instead of serializing behind the alias map; the edge chain
-    # below finishes it with an edge-scale remap + re-reduce
-    def _edge_partials_job():
-        # resume guard: if ANY completed edges snapshot exists, skip the
-        # eager pre-aggregate — on a fingerprint hit the edges stage lambda
-        # never runs (this work would be pure waste); on a miss the edge
-        # chain falls back to the classic full-remap path
-        if store.manifest("edges") is not None:
-            return None
-        tr, _w = triples_f.result()
-        _t0 = _time.monotonic()
-        ds = C.preaggregate_edges(tr, cfg).materialize()
-        lineage.record("edge_partials", cached=False,
-                       wall_s=_time.monotonic() - _t0)
-        return ds
+    # below finishes it with an edge-scale remap + re-reduce. On a fresh
+    # build the triples parse tees write-through INTO the pre-aggregate
+    # pipeline (extractions → parse → tee checkpoint → combine → shuffle in
+    # one streaming pass — no corpus-sized triples materialization barrier).
+    fp_tr = fingerprint(base_fp, "triples", extractor_cls.__name__)
+    use_triples_tee = store.manifest("edges") is None
+    if use_triples_tee:
+        triples_in, triples_commit = store.tee_stage(
+            "triples", fp_tr, lambda: parse_triples(extractions, cfg), lineage)
+        triples_w = side.submit(lambda: None)
 
-    edge_partials_f = side.submit(_edge_partials_job)
+        def _edge_partials_job():
+            # block-granular partial map fused with the parse+tee (the small
+            # partial rows are the barrier, not the corpus-sized triples),
+            # then the tree-combine + shuffle finish at its own granularity
+            _t0 = _time.monotonic()
+            rows = C.edge_partial_rows(triples_in).materialize()
+            tr = triples_commit()
+            ds = C.preaggregate_edges_finish(rows, cfg).materialize()
+            lineage.record("edge_partials", cached=False,
+                           wall_s=_time.monotonic() - _t0)
+            return ds, tr
 
-    # mentions snapshot (when incremental_snapshots) so a later
+        edge_partials_f = side.submit(_edge_partials_job)
+        get_partials = lambda: edge_partials_f.result()[0]  # noqa: E731
+        get_triples = lambda: edge_partials_f.result()[1]  # noqa: E731
+    else:
+        # an edges snapshot exists (resume): the edge stage lambda never
+        # runs, so the eager pre-aggregate would be pure waste — classic
+        # materialize + async checkpoint for the triples table
+        triples_f = side.submit(
+            store.run_stage_async_write, "triples", fp_tr,
+            lambda: parse_triples(extractions, cfg), side, lineage,
+        )
+        edge_partials_f = side.submit(lambda: None)
+        get_partials = lambda: None  # noqa: E731
+        get_triples = lambda: triples_f.result()[0]  # noqa: E731
+        triples_w = side.submit(lambda: triples_f.result()[1].result())
+
+    # mentions snapshot (kept under incremental_snapshots) so a later
     # incremental_build_kg can carry over parse rows per doc instead of
-    # re-parsing the whole corpus (delta-scoped graph side)
-    if cfg.incremental_snapshots:
+    # re-parsing the whole corpus (delta-scoped graph side). On a fresh
+    # build the parse tees write-through INTO the exact-dedup aggregate
+    # below — the aggregate's map-side combine streams the parse output
+    # block-by-block while the checkpoint lands alongside.
+    fp_m = fingerprint(base_fp, "mentions", extractor_cls.__name__)
+    fp_emb = fingerprint(base_fp, "entities_embedded", extractor_cls.__name__)
+    # the tee's consuming pipeline is the entities_embedded materialization:
+    # it always executes when incremental_snapshots is off, and executes on
+    # a fingerprint miss otherwise
+    use_mentions_tee = (not cfg.incremental_snapshots
+                        or not store.is_complete("entities_embedded", fp_emb))
+    _t = _time.monotonic()
+    if use_mentions_tee:
+        mentions_in, mentions_commit = store.tee_stage(
+            "mentions", fp_m, lambda: parse_mentions(extractions, cfg),
+            lineage)
+        mentions_w = side.submit(lambda: None)
+    else:
         mentions, mentions_w = store.run_stage_async_write(
-            "mentions", fingerprint(base_fp, "mentions", extractor_cls.__name__),
+            "mentions", fp_m,
             lambda: parse_mentions(extractions, cfg), side, lineage,
         )
-    else:
-        _t = _time.monotonic()
-        mentions = parse_mentions(extractions, cfg).materialize()
-        lineage.record("mentions_parse", cached=False, wall_s=_time.monotonic() - _t)
-        mentions_w = side.submit(lambda: None)
+        mentions_in = mentions
 
     # The exact-dedup aggregate + entity embedding are the last wide scans the
     # decision chain needs; after this point the canonicalization chain works
     # on the tiny aggregated entity table and runs CONCURRENTLY with the long
     # chunk-embedding tail (resolved only at the very end).
-    _t = _time.monotonic()
-    exact = C.aggregate_exact(mentions, cfg)
+    if use_mentions_tee:
+        # same split as the edge side: parse+tee+block-granular partials in
+        # one streaming pass; the vocabulary-sized partial rows materialize,
+        # the mentions snapshot commits, and the shuffle finish runs inside
+        # the entities_embedded stage
+        exact_partials = C.aggregate_exact_partials(mentions_in).materialize()
+        mentions = mentions_commit()
+        exact = C.aggregate_exact_finish(exact_partials, cfg)
+    else:
+        exact = C.aggregate_exact(mentions_in, cfg)
     if cfg.incremental_snapshots:
         # entity-scale (aggregated) — snapshot is cheap and lets an update
         # carry over model embeddings for untouched entities
         embedded, embedded_w = store.run_stage_async_write(
-            "entities_embedded",
-            fingerprint(base_fp, "entities_embedded", extractor_cls.__name__),
+            "entities_embedded", fp_emb,
             lambda: C.embed_entities(exact, cfg), side, lineage,
         )
     else:
         embedded = C.embed_entities(exact, cfg).materialize()  # reused 3×, small
         embedded_w = side.submit(lambda: None)
-    triples, triples_w = triples_f.result()
     lineage.record("throughput_phase", cached=False, wall_s=_time.monotonic() - _t)
 
     # ---- decision chain: blocking → alias → edges → communities ----
@@ -273,14 +335,14 @@ def build_kg(
     def canon_chain():
         return store.run_stage_async_write(
             "triples_canon", fingerprint(alias_fp, "triples_canon"),
-            lambda: remap_triples(triples), side, lineage,
+            lambda: remap_triples(get_triples()), side, lineage,
         )
 
     canon_chain_f = side.submit(canon_chain)
 
     def edge_chain():
         if (len(alias) > cfg.broadcast_alias_limit
-                or edge_partials_f.result() is None):
+                or get_partials() is None):
             # distributed-alias path (the partial rows would need two hash
             # joins against the alias Dataset; the classic full-remap path
             # already has exactly that machinery) — or a resume where the
@@ -290,7 +352,7 @@ def build_kg(
                 "edges", fingerprint(alias_fp, "edges"),
                 lambda: C.dedupe_edges(triples_canon, cfg), lineage,
             )
-        partials = edge_partials_f.result()
+        partials = get_partials()
         if 0 < partials.count() <= C.MAX_DRIVER_EDGE_PARTIALS:
             # driver-local finish: a ~100-task shuffle for an edge-scale
             # table queues behind the corpus-sized jobs sharing the cluster
@@ -359,18 +421,24 @@ def build_kg(
     # the corpus-sized triples_canon remap ran on a side thread the whole
     # time — collect it only now, after the community tail is done
     triples_canon, canon_w = canon_chain_f.result()
+    triples = get_triples()
 
     chunk_embeddings = chunk_embeddings_f.result()
     span_index = span_index_f.result()
-    chunks_w.result()
-    extractions_w.result()
-    triples_w.result()
-    canon_w.result()
-    mentions_w.result()
-    embedded_w.result()
-    alias_w.result()
-    pairs_w.result()
-    mentions_canon_w.result()
+    _t = _time.monotonic()
+    _waits = {}
+    for _name, _w in (("chunks", chunks_w), ("extractions", extractions_w),
+                      ("triples", triples_w), ("triples_canon", canon_w),
+                      ("mentions", mentions_w), ("entities_embedded", embedded_w),
+                      ("alias", alias_w), ("pairs", pairs_w),
+                      ("mentions_canon", mentions_canon_w)):
+        _t0 = _time.monotonic()
+        _w.result()
+        _dt = _time.monotonic() - _t0
+        if _dt > 0.05:
+            _waits[_name] = round(_dt, 3)
+    lineage.record("writes_wait", cached=False,
+                   wall_s=_time.monotonic() - _t, waited_on=_waits)
     side.shutdown()
 
     return {

@@ -164,16 +164,39 @@ def _merge_exact_partials(df: pd.DataFrame) -> pd.DataFrame:
     return firsts.merge(n, on=keys).merge(surf, on=keys)
 
 
+def aggregate_exact_partials(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Map-side partial of :func:`aggregate_exact` at INPUT-BLOCK granularity
+    (``batch_size=None``) — split out so a write-through parse tee
+    (build.py) can fuse into it and the small per-block-combined partial
+    rows become the materialization barrier instead of the corpus-sized
+    mentions table. Granularity note: a lazy chain over a NARROW input must
+    not inherit aggregate-scale batch sizes — Ray bundles fused map tasks by
+    input rows, so a 65k-row batch over a 100k-row extraction table would
+    collapse the whole corpus into 2 tasks (measured: 11.6s vs 2.7s)."""
+    return mentions.map_batches(_partial_exact, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def aggregate_exact_finish(
+    partials: "ray.data.Dataset", cfg: KGConfig | None = None
+) -> "ray.data.Dataset":
+    """Tree-combine + bucket reduce over :func:`aggregate_exact_partials`
+    output (or any associative re-partition of it — the incremental path
+    re-feeds carried partial rows here)."""
+    cfg = cfg or KGConfig()
+    return hash_partitioned_groupby(
+        partials, ["norm_surface"], _final_exact_bucket,
+        n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+        pre_combine=_merge_exact_partials,
+    )
+
+
 def aggregate_exact(mentions: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
     cfg = cfg or KGConfig()
     partial = mentions.map_batches(
         _partial_exact, batch_format="pyarrow", batch_size=16384,
     )
-    return hash_partitioned_groupby(
-        partial, ["norm_surface"], _final_exact_bucket,
-        n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
-        pre_combine=_merge_exact_partials,
-    )
+    return aggregate_exact_finish(partial, cfg)
 
 
 # --------------------------------------------------------------------------
@@ -962,19 +985,34 @@ def preaggregate_edges(
     (:func:`dedupe_edges_from_partials`) on the decision chain's critical
     path. Output is aggregated-edge-scale (distinct normalized facts)."""
     cfg = cfg or KGConfig()
-
-    def norm_partial(batch: pa.Table) -> pa.Table:
-        batch = (
-            batch.drop_columns(["subj", "obj"])
-            .append_column("subj", normalize_remap_array(batch.column("subj")))
-            .append_column("obj", normalize_remap_array(batch.column("obj")))
-        )
-        return _partial_edges(batch)
-
-    partial = triples.map_batches(norm_partial, batch_format="pyarrow",
+    partial = triples.map_batches(_norm_edge_partial, batch_format="pyarrow",
                                   batch_size=65536)
+    return preaggregate_edges_finish(partial, cfg)
+
+
+def _norm_edge_partial(batch: pa.Table) -> pa.Table:
+    batch = (
+        batch.drop_columns(["subj", "obj"])
+        .append_column("subj", normalize_remap_array(batch.column("subj")))
+        .append_column("obj", normalize_remap_array(batch.column("obj")))
+    )
+    return _partial_edges(batch)
+
+
+def edge_partial_rows(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Map-side partial of :func:`preaggregate_edges` at INPUT-BLOCK
+    granularity — the fuse-into-a-parse-tee split (see
+    :func:`aggregate_exact_partials` for the task-granularity rationale)."""
+    return triples.map_batches(_norm_edge_partial, batch_format="pyarrow",
+                               batch_size=None)
+
+
+def preaggregate_edges_finish(
+    partials: "ray.data.Dataset", cfg: KGConfig | None = None
+) -> "ray.data.Dataset":
+    cfg = cfg or KGConfig()
     return hash_partitioned_groupby(
-        partial, ["subj", "pred", "obj"], _edges_partial_bucket,
+        partials, ["subj", "pred", "obj"], _edges_partial_bucket,
         n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
         pre_combine=_edges_partial_bucket,
     )

@@ -402,6 +402,97 @@ class SnapshotStore:
             lineage.record(stage, cached=False, wall_s=time.monotonic() - t0)
         return out
 
+    def tee_stage(
+        self,
+        stage: str,
+        fp: str,
+        compute: Callable[[], "ray.data.Dataset"],
+        lineage: Optional["LineageLog"] = None,
+    ):
+        """Write-THROUGH checkpoint: returns ``(lazy_ds, commit)`` where
+        ``lazy_ds`` is ``compute()`` with a per-batch Parquet tee appended —
+        each Arrow block is written straight into the snapshot tmp dir and
+        passed through unchanged, so ONE streaming pass both feeds the
+        consuming pipeline and persists the stage. Compared to
+        :meth:`run_stage_async_write` this removes (a) the materialization
+        barrier between the stage and its consumer (the consumer streams
+        block-by-block instead of waiting for the full corpus-sized table to
+        land in the object store) and (b) the second pass over the data that
+        the background ``write_parquet`` costs — at 10^12-doc scale the
+        corpus-sized intermediates never need to sit in plasma at all.
+
+        Contract: the caller must route ``lazy_ds`` into EXACTLY ONE
+        consuming pipeline execution, then call ``commit()``, which writes
+        the manifest, atomically renames tmp→final and returns the
+        read-back Dataset. Tee filenames are content-addressed (sha1 of the
+        block's IPC bytes), so a retried task overwrites its own partial
+        file instead of duplicating rows — the write stays exactly-once
+        under Ray's task retry semantics. On a fingerprint hit returns the
+        snapshot read with a no-op commit."""
+        if self.is_complete(stage, fp):
+            if lineage is not None:
+                lineage.record(stage, cached=True, wall_s=0.0)
+            ds = self.read(stage)
+            return ds, (lambda: ds)
+        final = self._stage_dir(stage)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.monotonic()
+
+        def tee(batch):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            if batch.num_rows == 0:
+                return batch
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, batch.schema) as w:
+                w.write_table(batch)
+            digest = hashlib.sha1(sink.getvalue()).hexdigest()
+            path = os.path.join(tmp, f"tee-{digest}.parquet")
+            pq.write_table(batch, path + ".part")
+            os.replace(path + ".part", path)  # readers never see a torn file
+            return batch
+
+        lazy = compute().map_batches(tee, batch_format="pyarrow",
+                                     batch_size=None)
+
+        def commit() -> "ray.data.Dataset":
+            n_files = len([f for f in os.listdir(tmp)
+                           if f.endswith(".parquet")])
+            if n_files == 0:
+                # empty stage: no block ever reached the tee — fall back to
+                # the classic write for its schema-preserving empty file
+                shutil.rmtree(tmp, ignore_errors=True)
+                out = self.write(stage, compute(), fp)
+                if lineage is not None:
+                    lineage.record(stage, cached=False,
+                                   wall_s=time.monotonic() - t0, teed=True)
+                return out
+            try:
+                import pyarrow.dataset as pads
+                n_rows = pads.dataset(tmp, format="parquet").count_rows()
+            except Exception:  # noqa: BLE001
+                n_rows = -1
+            manifest = {
+                "stage": stage, "fingerprint": fp,
+                "wall_s": round(time.monotonic() - t0, 3),
+                "n_files": n_files, "n_rows": n_rows, "format": "parquet",
+                "teed": True, "written_at": time.time(),
+            }
+            with open(os.path.join(tmp, MANIFEST), "w") as f:
+                json.dump(manifest, f, indent=2)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            if lineage is not None:
+                lineage.record(stage, cached=False,
+                               wall_s=time.monotonic() - t0, teed=True)
+            return self.read(stage)
+
+        return lazy, commit
+
     def run_stage_async_write(
         self,
         stage: str,
