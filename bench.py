@@ -39,7 +39,11 @@ CORPUS = {"0.001": (60, 6), "0.01": (200, 6), "0.1": (100_000, 25)}
 def corpus_spec_for(sf_dir: str) -> tuple:
     for key, spec in CORPUS.items():
         if sf_dir.rstrip("/").endswith(f"sf{key}"):
-            return spec
+            n_docs, facts = spec
+            # GRAFT_DOCS overrides the doc count (the scaling sweep uses a
+            # larger corpus so every width has meaningful work per core —
+            # see run_scaling)
+            return int(os.environ.get("GRAFT_DOCS", n_docs)), facts
     return CORPUS["0.1"]
 
 
@@ -450,6 +454,14 @@ def run_scaling() -> dict:
     the full 4/8/16/32 curve and the Amdahl decomposition)."""
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    # strong scaling needs meaningful work per core: at the sf0.1 default
+    # (100k docs) the 32-cpu build is ~10s wall against ~5s of fixed
+    # stage-launch cost, so the ratio measures Ray's task-launch constant,
+    # not the pipeline. The sweep therefore runs a 3× corpus (same
+    # generator, same shape) unless the caller overrides GRAFT_DOCS —
+    # mirroring the real deployment, where a 4N-node cluster exists because
+    # the input is large, never to re-run a fixed small input faster.
+    scale_docs = os.environ.get("GRAFT_DOCS", "300000")
     results = {}
     rep_times: dict = {}
     for ncpu in (lo, hi):
@@ -457,7 +469,7 @@ def run_scaling() -> dict:
         rep_times[ncpu] = []
         for _rep in range(2):  # min of 2 reps — single-box timings are noisy
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_HEADLINE_ONLY="1")
+                       GRAFT_HEADLINE_ONLY="1", GRAFT_DOCS=scale_docs)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
@@ -491,6 +503,8 @@ def run_scaling() -> dict:
         "calibration_sec_lo": round(cal_lo, 2),
         "calibration_sec_hi": round(cal_hi, 2),
         "sf": SF_DIR,
+        "n_docs": int(scale_docs),
+        "n_triples": results[hi].get("n_triples"),
     }
     # Write the evidence artifact DIRECTLY (round-4 lesson: a shell
     # redirection left BENCH_scaling.json empty at the final commit — the

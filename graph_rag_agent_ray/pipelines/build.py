@@ -366,7 +366,8 @@ def build_kg(
         return store.run_stage(
             "edges", fingerprint(alias_fp, "edges"),
             lambda: C.dedupe_edges_from_partials(
-                partials, alias_ref, cfg), lineage,
+                partials, alias_ref, cfg, n_entities=int(n_entities)),
+            lineage,
         )
 
     edge_chain_f = side.submit(edge_chain)

@@ -1033,16 +1033,57 @@ def _remap_only_array(arr, alias: Dict[str, str]):
         d.indices, pa.array(uniq.tolist(), pa.string())).cast(pa.string())
 
 
+def _finish_singleton_partials(batch: pa.Table) -> pa.Table:
+    """Vectorized finish for partial rows that are ALREADY final groups
+    (exactly one partial per key): the :func:`_edges_bucket` output schema
+    without the groupby."""
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "src": batch.column("subj"),
+        "dst": batch.column("obj"),
+        "pred": batch.column("pred"),
+        "description": batch.column("description"),
+        "weight": pc.cast(batch.column("weight"), pa.float32()),
+        "n_sources": pc.cast(
+            pc.list_value_length(batch.column("chunk_ids")), pa.int32()),
+        "chunk_ids": batch.column("chunk_ids"),
+    })
+
+
 def dedupe_edges_from_partials(
     partials: "ray.data.Dataset", alias_ref: "ray.ObjectRef",
-    cfg: KGConfig | None = None,
+    cfg: KGConfig | None = None, n_entities: int | None = None,
 ) -> "ray.data.Dataset":
-    """Finish the edge dedup from :func:`preaggregate_edges` output: apply
-    the canonical alias map to the edge-scale partial rows, then one small
-    re-reduce with the standard :func:`_edges_bucket`. Value-identical to
+    """Finish the edge dedup from :func:`preaggregate_edges` output,
+    ALIAS-SCOPED: the pre-aggregate already reduced to one row per
+    normalized (s,p,o), and the canonical remap can merge two keys only
+    when it CHANGES one of them — so a key can gain a partner only if its
+    endpoints touch the alias map (a member, which remaps away, or a
+    canonical target, which a remapped row can land on). Rows whose
+    endpoints avoid ``members ∪ canonicals`` are therefore already final
+    groups and finish with one vectorized per-batch transform — no second
+    corpus-of-edges shuffle. The affected slice (merge-event-scale on a
+    realistic vocabulary) remaps + re-reduces in one driver task; when the
+    slice is large in absolute terms OR as a fraction (merge-dense graphs,
+    where the split buys nothing) the classic whole-table bucket shuffle
+    runs instead. Value-identical to
     ``dedupe_edges(canonical_triples(triples, alias_ref))`` — equivalence
     pinned by tests/test_edge_preagg.py."""
     cfg = cfg or KGConfig()
+    import pyarrow.compute as pc
+
+    def _aff_array(alias: Dict[str, str]) -> pa.Array:
+        return pa.array(sorted(set(alias).union(alias.values())), pa.string())
+
+    def _split(batch: pa.Table, want_affected: bool) -> pa.Table:
+        alias = ray.get(alias_ref)
+        if not alias:
+            return batch if not want_affected else batch.slice(0, 0)
+        aff = _aff_array(alias)
+        m = pc.or_(pc.is_in(batch.column("subj"), value_set=aff),
+                   pc.is_in(batch.column("obj"), value_set=aff))
+        return batch.filter(m if want_affected else pc.invert(m))
 
     def remap(batch: pa.Table) -> pa.Table:
         alias = ray.get(alias_ref)
@@ -1052,15 +1093,51 @@ def dedupe_edges_from_partials(
             .append_column("obj", _remap_only_array(batch.column("obj"), alias))
         )
 
-    remapped = partials.map_batches(remap, batch_format="pyarrow",
-                                    batch_size=65536)
-    # the input is ALREADY aggregated (edge-scale), so the finish needs a
-    # quarter of the dedupe fan-out — 64 reducers over ~100k rows was
-    # measured 1.4s slower than 16 (task-launch dominated)
-    return hash_partitioned_groupby(
-        remapped, ["subj", "pred", "obj"], _edges_bucket,
-        n_buckets=cfg.salt_buckets, map_format="pyarrow",
-    )
+    def _full_shuffle() -> "ray.data.Dataset":
+        remapped = partials.map_batches(remap, batch_format="pyarrow",
+                                        batch_size=65536)
+        # the input is ALREADY aggregated (edge-scale), so the finish needs
+        # a quarter of the dedupe fan-out — 64 reducers over ~100k rows was
+        # measured 1.4s slower than 16 (task-launch dominated)
+        return hash_partitioned_groupby(
+            remapped, ["subj", "pred", "obj"], _edges_bucket,
+            n_buckets=cfg.salt_buckets, map_format="pyarrow",
+        )
+
+    # driver-side density estimate first (free): when a large fraction of
+    # the entity vocabulary sits in the alias map, most edges are
+    # alias-incident and the split would scan for nothing
+    alias = ray.get(alias_ref)
+    n_aff_surfaces = len(set(alias).union(alias.values()))
+    if n_entities and n_aff_surfaces > 0.1 * n_entities:
+        return _full_shuffle()
+
+    affected = partials.map_batches(
+        lambda b: _split(b, True), batch_format="pyarrow", batch_size=None)
+    n_affected = affected.count()
+    n_partials = partials.count()
+    if n_affected > max(MAX_DRIVER_EDGE_PARTIALS, 0.2 * n_partials):
+        # merge-dense graph (most keys alias-incident): the split buys
+        # nothing — the classic whole-table shuffle is the cheaper plan
+        return _full_shuffle()
+
+    untouched = partials.map_batches(
+        lambda b: _finish_singleton_partials(_split(b, False)),
+        batch_format="pyarrow", batch_size=None)
+    if n_affected == 0:
+        return untouched
+
+    from ray.data.block import BlockAccessor
+
+    from ..functions.shuffle import _arrow_group_to_pandas
+
+    tbl = pa.concat_tables(ray.get(
+        affected.map_batches(remap, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs()))
+    merged = _edges_bucket(_arrow_group_to_pandas(tbl))
+    merged_ds = ray.data.from_arrow(
+        BlockAccessor.for_block(merged).to_arrow())
+    return untouched.union(merged_ds)
 
 
 # Driver-local edge-finish guard: below this many pre-aggregated partial
