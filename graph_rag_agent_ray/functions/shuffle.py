@@ -91,6 +91,7 @@ def hash_partitioned_groupby(
     map_format: str = "pandas",
     pre_combine: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     pre_combine_batch: int = 65536,
+    arrow_reducers: bool = False,
 ) -> "ray.data.Dataset":
     """Group ``ds`` by ``keys`` with a per-bucket vectorized reducer.
 
@@ -131,11 +132,19 @@ def hash_partitioned_groupby(
     helpers (hash_join/hash_anti_join, whose tag columns carry NA) stay on
     the pandas path; (2) list columns re-materialized as ndarray cells —
     handled at the single reducer boundary above. Opt in ONLY callers whose
-    upstream blocks are Arrow and whose columns are NA-free."""
+    upstream blocks are Arrow and whose columns are NA-free.
+
+    ``arrow_reducers`` (requires ``map_format="pyarrow"``): ``bucket_fn``
+    and ``pre_combine`` are Arrow-in/Arrow-out — no pandas boundary at all
+    (callers pass vectorized-Rust kernels, e.g. the polars edge reducers,
+    and must emit a FIXED schema across buckets)."""
     keys = list(keys)
 
     if pre_combine is not None:
-        if map_format == "pyarrow":
+        if map_format == "pyarrow" and arrow_reducers:
+            ds = ds.map_batches(pre_combine, batch_format="pyarrow",
+                                batch_size=pre_combine_batch)
+        elif map_format == "pyarrow":
             import pyarrow as _pa
 
             def combine_arrow(tbl: "_pa.Table") -> "_pa.Table":
@@ -158,9 +167,13 @@ def hash_partitioned_groupby(
             return batch.append_column(
                 BUCKET_COL, pa.array((h % n_buckets).astype(np.int64)))
 
-        def per_bucket_arrow(tbl: "pa.Table") -> pd.DataFrame:
-            return bucket_fn(
-                _arrow_group_to_pandas(tbl.drop_columns([BUCKET_COL])))
+        if arrow_reducers:
+            def per_bucket_arrow(tbl: "pa.Table") -> "pa.Table":
+                return bucket_fn(tbl.drop_columns([BUCKET_COL]))
+        else:
+            def per_bucket_arrow(tbl: "pa.Table") -> pd.DataFrame:
+                return bucket_fn(
+                    _arrow_group_to_pandas(tbl.drop_columns([BUCKET_COL])))
 
         withb = ds.map_batches(add_bucket_arrow, batch_format="pyarrow",
                                batch_size=batch_size)

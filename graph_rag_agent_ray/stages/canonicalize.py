@@ -164,6 +164,43 @@ def _merge_exact_partials(df: pd.DataFrame) -> pd.DataFrame:
     return firsts.merge(n, on=keys).merge(surf, on=keys)
 
 
+def _partial_exact_arrow(batch: pa.Table) -> pa.Table:
+    """Polars map-side combine — value-identical to :func:`_partial_exact`
+    (n_mentions sum, lexicographic-min (chunk_id, description) pick, 8
+    lexicographically-smallest unique raw surfaces). Swapped in when polars
+    is importable: this map runs over every mention row of the corpus."""
+    import polars as pl
+
+    norm_arr = normalize_remap_array(batch.column("entity_surface"))
+    tbl = pa.table({
+        "norm_surface": norm_arr,
+        "entity_type": batch.column("entity_type"),
+        "chunk_id": batch.column("chunk_id"),
+        "description": batch.column("description"),
+        "entity_surface": batch.column("entity_surface"),
+    })
+    keys = ["norm_surface", "entity_type"]
+    out = (
+        pl.from_arrow(tbl)
+        .sort(["chunk_id", "description"])
+        .group_by(keys, maintain_order=False)
+        .agg([
+            pl.len().cast(pl.Int64).alias("n_mentions"),
+            pl.col("chunk_id").first().alias("min_chunk"),
+            pl.col("description").first(),
+            pl.col("entity_surface").unique().sort().head(8)
+            .alias("surfaces"),
+        ])
+        .select(["norm_surface", "entity_type", "n_mentions", "min_chunk",
+                 "description", "surfaces"])
+    )
+    return out.to_arrow().cast(pa.schema([
+        ("norm_surface", pa.string()), ("entity_type", pa.string()),
+        ("n_mentions", pa.int64()), ("min_chunk", pa.string()),
+        ("description", pa.string()), ("surfaces", pa.list_(pa.string())),
+    ]))
+
+
 def aggregate_exact_partials(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
     """Map-side partial of :func:`aggregate_exact` at INPUT-BLOCK granularity
     (``batch_size=None``) — split out so a write-through parse tee
@@ -173,8 +210,8 @@ def aggregate_exact_partials(mentions: "ray.data.Dataset") -> "ray.data.Dataset"
     not inherit aggregate-scale batch sizes — Ray bundles fused map tasks by
     input rows, so a 65k-row batch over a 100k-row extraction table would
     collapse the whole corpus into 2 tasks (measured: 11.6s vs 2.7s)."""
-    return mentions.map_batches(_partial_exact, batch_format="pyarrow",
-                                batch_size=None)
+    fn = _partial_exact_arrow if _HAVE_POLARS else _partial_exact
+    return mentions.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def aggregate_exact_finish(
@@ -194,7 +231,8 @@ def aggregate_exact_finish(
 def aggregate_exact(mentions: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
     cfg = cfg or KGConfig()
     partial = mentions.map_batches(
-        _partial_exact, batch_format="pyarrow", batch_size=16384,
+        _partial_exact_arrow if _HAVE_POLARS else _partial_exact,
+        batch_format="pyarrow", batch_size=16384,
     )
     return aggregate_exact_finish(partial, cfg)
 
@@ -972,6 +1010,79 @@ def _edges_partial_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return firsts.merge(wmax, on=keys).merge(unions, on=keys)
 
 
+# ---- polars (Rust) kernels for the build's heaviest exchange ----------
+# The edge-dedup family moves every distinct-per-block fact row; its pandas
+# kernels are explode+sort+3-merge per batch. When polars is importable the
+# map side and both reducers run as single fused group_bys (Arrow-in/
+# Arrow-out, no pandas boundary) — value-identical (ties break on the same
+# sorted (min_chunk, description) pair; UTF-8 bytewise sort == codepoint
+# sort), pinned by tests/test_edge_preagg.py and the kg_edges oracle.
+try:  # availability gate — mirrors MAX_DRIVER_EDGE_PARTIALS above
+    import polars as _pl  # noqa: F401
+    _HAVE_POLARS = True
+except ImportError:  # pragma: no cover
+    _HAVE_POLARS = False
+
+_EDGE_PARTIAL_ARROW_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("min_chunk", pa.string()), ("description", pa.string()),
+    ("weight", pa.float32()), ("chunk_ids", pa.list_(pa.string())),
+])
+
+
+def _partial_edges_arrow(batch: pa.Table) -> pa.Table:
+    """Polars map-side combine — value-identical to :func:`_partial_edges`
+    (one fused group_by instead of sort + three pandas merges)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(
+        ["subj", "pred", "obj", "chunk_id", "description", "weight"]))
+    keys = ["subj", "pred", "obj"]
+    out = (
+        df.sort(keys + ["chunk_id", "description"])
+        .group_by(keys, maintain_order=False)
+        .agg([
+            pl.col("chunk_id").first().alias("min_chunk"),
+            pl.col("description").first(),
+            pl.col("weight").max(),
+            pl.col("chunk_id").unique().sort()
+            .head(MAX_EDGE_CHUNK_IDS).alias("chunk_ids"),
+        ])
+        .select(["subj", "pred", "obj", "min_chunk", "description",
+                 "weight", "chunk_ids"])
+    )
+    return out.to_arrow().cast(_EDGE_PARTIAL_ARROW_SCHEMA)
+
+
+def _edges_partial_bucket_arrow(tbl: pa.Table) -> pa.Table:
+    """Polars partial-merge — value-identical to
+    :func:`_edges_partial_bucket` (associative; schema-preserving)."""
+    import polars as pl
+
+    df = pl.from_arrow(tbl)
+    keys = ["subj", "pred", "obj"]
+    out = (
+        df.sort(keys + ["min_chunk", "description"])
+        .group_by(keys, maintain_order=False)
+        .agg([
+            pl.col("min_chunk").first(),
+            pl.col("description").first(),
+            pl.col("weight").max(),
+            pl.col("chunk_ids").explode(empty_as_null=False).unique().sort()
+            .head(MAX_EDGE_CHUNK_IDS).alias("chunk_ids"),
+        ])
+        .select(["subj", "pred", "obj", "min_chunk", "description",
+                 "weight", "chunk_ids"])
+    )
+    return out.to_arrow().cast(_EDGE_PARTIAL_ARROW_SCHEMA)
+
+
+def _edges_bucket_arrow(tbl: pa.Table) -> pa.Table:
+    """Polars final edge reduce (no remap) — the per-bucket form of
+    :func:`_edges_finish_local_table`."""
+    return _edges_finish_local_table(tbl, {})
+
+
 def preaggregate_edges(
     triples: "ray.data.Dataset", cfg: KGConfig | None = None
 ) -> "ray.data.Dataset":
@@ -996,6 +1107,8 @@ def _norm_edge_partial(batch: pa.Table) -> pa.Table:
         .append_column("subj", normalize_remap_array(batch.column("subj")))
         .append_column("obj", normalize_remap_array(batch.column("obj")))
     )
+    if _HAVE_POLARS:
+        return _partial_edges_arrow(batch)
     return _partial_edges(batch)
 
 
@@ -1011,6 +1124,12 @@ def preaggregate_edges_finish(
     partials: "ray.data.Dataset", cfg: KGConfig | None = None
 ) -> "ray.data.Dataset":
     cfg = cfg or KGConfig()
+    if _HAVE_POLARS:
+        return hash_partitioned_groupby(
+            partials, ["subj", "pred", "obj"], _edges_partial_bucket_arrow,
+            n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+            pre_combine=_edges_partial_bucket_arrow, arrow_reducers=True,
+        )
     return hash_partitioned_groupby(
         partials, ["subj", "pred", "obj"], _edges_partial_bucket,
         n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
@@ -1099,6 +1218,12 @@ def dedupe_edges_from_partials(
         # the input is ALREADY aggregated (edge-scale), so the finish needs
         # a quarter of the dedupe fan-out — 64 reducers over ~100k rows was
         # measured 1.4s slower than 16 (task-launch dominated)
+        if _HAVE_POLARS:
+            return hash_partitioned_groupby(
+                remapped, ["subj", "pred", "obj"], _edges_bucket_arrow,
+                n_buckets=cfg.salt_buckets, map_format="pyarrow",
+                arrow_reducers=True,
+            )
         return hash_partitioned_groupby(
             remapped, ["subj", "pred", "obj"], _edges_bucket,
             n_buckets=cfg.salt_buckets, map_format="pyarrow",
@@ -1141,13 +1266,81 @@ def dedupe_edges_from_partials(
 
 
 # Driver-local edge-finish guard: below this many pre-aggregated partial
-# rows the remap + final reduce run on the driver (one pandas pass) instead
-# of a 64-reducer shuffle — for SMALL graphs the shuffle is pure task-launch
-# overhead (the entities fast-path pattern). The guard is deliberately
-# small: the single-threaded pandas finish was MEASURED SLOWER than the
-# uncontended shuffle at 106k partial rows (explode of the provenance lists
-# is ~25× the row count), so only test/driver-scale graphs qualify.
-MAX_DRIVER_EDGE_PARTIALS = 50_000
+# rows the remap + final reduce run on the driver (one vectorized pass)
+# instead of a bucket shuffle — for aggregated-edge-scale tables the
+# shuffle is mostly task-launch overhead (the entities fast-path pattern).
+# With polars importable the driver kernel is a Rust hash group-by + list
+# ops (measured 0.4 s on 175k partial rows vs 1.9 s for the uncontended
+# 16-bucket shuffle and 3.3 s for the pandas kernel, value-identical), so
+# the guard rises to 1M rows (~300 MB driver heap; beyond that the
+# alias-scoped / shuffle paths take over — at 10^12-doc scale the edge
+# table exceeds any driver, and the shuffle is the design path). The
+# pandas fallback kernel is SLOWER than the shuffle past ~50k rows
+# (explode of the provenance lists is ~25× the row count), hence the
+# availability-gated guard.
+try:  # pragma: no cover - exercised via the guard value
+    import polars as _pl_probe  # noqa: F401
+    MAX_DRIVER_EDGE_PARTIALS = 1_000_000
+except ImportError:  # pragma: no cover
+    MAX_DRIVER_EDGE_PARTIALS = 50_000
+
+
+def _edges_finish_local_table(tbl: pa.Table, alias: Dict[str, str]) -> pa.Table:
+    """Driver-side alias remap + final edge reduce over one Arrow table.
+    Polars kernel when importable; pandas kernel otherwise. Value-identical
+    to shuffling through :func:`_edges_bucket` (pinned by
+    tests/test_edge_preagg.py): description = lexicographic-min
+    (min_chunk, description) pair's description, weight = max, chunk_ids =
+    sorted union capped at MAX_EDGE_CHUNK_IDS (k-smallest)."""
+    try:
+        import polars as pl
+    except ImportError:
+        from ray.data.block import BlockAccessor
+
+        from ..functions.shuffle import _arrow_group_to_pandas
+
+        df = _arrow_group_to_pandas(tbl)
+        if alias and len(df):
+            df = df.copy()
+            df["subj"] = df["subj"].map(alias).fillna(df["subj"])
+            df["obj"] = df["obj"].map(alias).fillna(df["obj"])
+        return BlockAccessor.for_block(_edges_bucket(df)).to_arrow()
+
+    df = pl.from_arrow(tbl)
+    if alias:
+        df = df.with_columns([
+            pl.col("subj").replace(alias),
+            pl.col("obj").replace(alias),
+        ])
+    keys = ["subj", "pred", "obj"]
+    # group_by preserves row order WITHIN each group, so the pre-sort makes
+    # first() the lexicographic-min (min_chunk, description) pick — the
+    # same batching-free tie-break as the pandas reducer
+    out = (
+        df.sort(keys + ["min_chunk", "description"])
+        .group_by(keys, maintain_order=False)
+        .agg([
+            pl.col("description").first(),
+            pl.col("weight").max(),
+            pl.col("chunk_ids").explode(empty_as_null=False).unique().sort()
+            .head(MAX_EDGE_CHUNK_IDS).alias("chunk_ids"),
+        ])
+        .with_columns(
+            pl.col("weight").cast(pl.Float32),
+            pl.col("chunk_ids").list.len().cast(pl.Int32).alias("n_sources"),
+        )
+        .rename({"subj": "src", "obj": "dst"})
+        .select(["src", "dst", "pred", "description", "weight",
+                 "n_sources", "chunk_ids"])
+    )
+    # cast away polars' large_* types so the block unifies with parquet
+    # read-backs and pandas-origin blocks downstream
+    res = out.to_arrow()
+    return res.cast(pa.schema([
+        ("src", pa.string()), ("dst", pa.string()), ("pred", pa.string()),
+        ("description", pa.string()), ("weight", pa.float32()),
+        ("n_sources", pa.int32()), ("chunk_ids", pa.list_(pa.string())),
+    ]))
 
 
 def dedupe_edges_from_partials_local(
@@ -1156,25 +1349,16 @@ def dedupe_edges_from_partials_local(
 ) -> "ray.data.Dataset":
     """Driver-local variant of :func:`dedupe_edges_from_partials` for
     partial tables under MAX_DRIVER_EDGE_PARTIALS: collect the (aggregated,
-    edge-scale) partials, alias-remap with a vectorized dict map, run the
-    SAME :func:`_edges_bucket` reducer over the whole frame, and convert
-    through Ray's own block machinery. Value-identical to the shuffle path
-    (row order is globally key-sorted instead of bucket-concatenated; every
-    consumer is order-free — pinned by tests/test_edge_preagg.py)."""
+    edge-scale) partials and run :func:`_edges_finish_local_table` (polars
+    kernel when importable, the pandas :func:`_edges_bucket` otherwise).
+    Value-identical to the shuffle path (row order differs; every consumer
+    is order-free — pinned by tests/test_edge_preagg.py)."""
     import ray as _ray
-    from ray.data.block import BlockAccessor
 
-    from ..functions.shuffle import _arrow_group_to_pandas
-
-    tbl = pa.concat_tables(_ray.get(partials.to_arrow_refs()))
-    df = _arrow_group_to_pandas(tbl)
-    alias = _ray.get(alias_ref)
-    if alias and len(df):
-        df = df.copy()
-        df["subj"] = df["subj"].map(alias).fillna(df["subj"])
-        df["obj"] = df["obj"].map(alias).fillna(df["obj"])
-    out = _edges_bucket(df)
-    return ray.data.from_arrow(BlockAccessor.for_block(out).to_arrow())
+    tabs = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tabs)
+    return ray.data.from_arrow(
+        _edges_finish_local_table(tbl, _ray.get(alias_ref)))
 
 
 def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None) -> "ray.data.Dataset":
@@ -1188,8 +1372,15 @@ def dedupe_edges(triples_canon: "ray.data.Dataset", cfg: KGConfig | None = None)
     # map-side combine ratio improves with batch size (a 64k batch sees ~all
     # hot (s,p,o) keys and emits one row each) — less data into the shuffle
     partial = triples_canon.map_batches(
-        _partial_edges, batch_format="pyarrow", batch_size=65536
+        _partial_edges_arrow if _HAVE_POLARS else _partial_edges,
+        batch_format="pyarrow", batch_size=65536
     )
+    if _HAVE_POLARS:
+        return hash_partitioned_groupby(
+            partial, ["subj", "pred", "obj"], _edges_bucket_arrow,
+            n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+            pre_combine=_edges_partial_bucket_arrow, arrow_reducers=True,
+        )
     return hash_partitioned_groupby(
         partial, ["subj", "pred", "obj"], _edges_bucket,
         n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",

@@ -108,3 +108,101 @@ class TestEdgePreaggEquivalence:
         fused = _edges_pdf(C.dedupe_edges_from_partials(
             C.preaggregate_edges(ds, cfg).materialize(), alias_ref, cfg))
         pd.testing.assert_frame_equal(classic, fused)
+
+
+class TestPolarsKernelEquality:
+    """The polars (Rust) edge kernels are value-identical to the pandas
+    reducers on adversarial inputs: (chunk_id, description) ties, >cap
+    provenance lists, unicode surfaces, float32 weights."""
+
+    def _tricky_batch(self):
+        import pyarrow as pa
+        rows = []
+        surfaces = ["苹果公司", "Apple Inc", "apple  inc.", "Ωmega", "zz"]
+        for i in range(3000):
+            rows.append({
+                "subj": surfaces[i % 5],
+                "pred": ["OWNS", "SELLS"][i % 2],
+                "obj": surfaces[(i * 3 + 1) % 5],
+                "description": ["likes it", "", "d2", "likes it"][i % 4],
+                "weight": float([1.0, 9.0, 5.0][i % 3]),
+                "chunk_id": f"c{i % 200:05d}",
+                "doc_id": f"doc{i % 7}",
+            })
+        import pandas as pd_
+        df = pd_.DataFrame(rows)
+        df["weight"] = df["weight"].astype("float32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    @pytest.mark.skipif(not C._HAVE_POLARS, reason="polars absent")
+    def test_partial_map_kernels_agree(self):
+        batch = self._tricky_batch()
+        a = C._partial_edges_arrow(batch).to_pandas()
+        b = C._partial_edges(batch).to_pandas()
+        keys = ["subj", "pred", "obj"]
+        a = a.sort_values(keys).reset_index(drop=True)
+        b = b.sort_values(keys)[a.columns.tolist()].reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("min_chunk", "description"):
+            assert (a[col].values == b[col].values).all(), col
+        assert np.allclose(a["weight"].values, b["weight"].values)
+        assert all(list(x) == list(y)
+                   for x, y in zip(a["chunk_ids"], b["chunk_ids"]))
+
+    @pytest.mark.skipif(not C._HAVE_POLARS, reason="polars absent")
+    def test_bucket_kernels_agree(self):
+        import pyarrow as pa
+        batch = self._tricky_batch()
+        partial = C._partial_edges_arrow(batch)
+        # duplicate the partials so the bucket merge has real work
+        doubled = pa.concat_tables([partial, partial])
+        a = C._edges_partial_bucket_arrow(doubled).to_pandas()
+        from graph_rag_agent_ray.functions.shuffle import _arrow_group_to_pandas
+        b = C._edges_partial_bucket(_arrow_group_to_pandas(doubled))
+        keys = ["subj", "pred", "obj"]
+        a = a.sort_values(keys).reset_index(drop=True)
+        b = b.sort_values(keys)[a.columns.tolist()].reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("min_chunk", "description"):
+            assert (a[col].values == b[col].values).all(), col
+        assert all(list(x) == list(y)
+                   for x, y in zip(a["chunk_ids"], b["chunk_ids"]))
+        # final reduce too (src/dst schema)
+        fa = C._edges_bucket_arrow(doubled).to_pandas()
+        fb = C._edges_bucket(_arrow_group_to_pandas(doubled))
+        fa = fa.sort_values(["src", "dst", "pred"]).reset_index(drop=True)
+        fb = fb.sort_values(["src", "dst", "pred"])[fa.columns.tolist()] \
+            .reset_index(drop=True)
+        assert len(fa) == len(fb)
+        assert (fa["description"].values == fb["description"].values).all()
+        assert (fa["n_sources"].values == fb["n_sources"].values).all()
+        assert all(list(x) == list(y)
+                   for x, y in zip(fa["chunk_ids"], fb["chunk_ids"]))
+
+    @pytest.mark.skipif(not C._HAVE_POLARS, reason="polars absent")
+    def test_exact_partial_kernels_agree(self):
+        import pyarrow as pa
+        import pandas as pd_
+        rows = []
+        surfaces = ["苹果公司", "Apple Inc", "apple  inc.", "Ωmega", "zz",
+                    "Apple  Inc", "APPLE INC"]
+        for i in range(4000):
+            rows.append({
+                "entity_surface": surfaces[i % 7],
+                "entity_type": ["company", "person"][i % 2],
+                "chunk_id": f"c{i % 150:05d}",
+                "description": ["a desc", "", "z"][i % 3],
+                "doc_id": f"doc{i % 5}",
+            })
+        batch = pa.Table.from_pandas(pd_.DataFrame(rows), preserve_index=False)
+        a = C._partial_exact_arrow(batch).to_pandas()
+        b_tbl = C._partial_exact(batch)
+        b = b_tbl.to_pandas() if hasattr(b_tbl, "to_pandas") else b_tbl
+        keys = ["norm_surface", "entity_type"]
+        a = a.sort_values(keys).reset_index(drop=True)
+        b = b.sort_values(keys)[a.columns.tolist()].reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("n_mentions", "min_chunk", "description"):
+            assert (a[col].values == b[col].values).all(), col
+        assert all(list(x) == list(y)
+                   for x, y in zip(a["surfaces"], b["surfaces"]))
