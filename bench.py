@@ -461,7 +461,7 @@ def run_scaling() -> dict:
     # generator, same shape) unless the caller overrides GRAFT_DOCS —
     # mirroring the real deployment, where a 4N-node cluster exists because
     # the input is large, never to re-run a fixed small input faster.
-    scale_docs = os.environ.get("GRAFT_DOCS", "300000")
+    scale_docs = os.environ.get("GRAFT_DOCS", "600000")
     results = {}
     rep_times: dict = {}
     for ncpu in (lo, hi):

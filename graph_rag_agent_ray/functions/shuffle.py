@@ -244,6 +244,95 @@ def hash_join(
     return hash_partitioned_groupby(both, on, join_bucket, n_buckets=n_buckets)
 
 
+def hash_join_arrow(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str],
+    lschema: dict,
+    rschema: dict,
+    how: str = "inner",
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Arrow-native variant of :func:`hash_join` for payloads that must not
+    round-trip through pandas (corpus text, list columns): the map side
+    null-fills with TYPED Arrow nulls (``lschema``/``rschema`` map column →
+    pa type — explicit because an empty side has no schema), the shuffle
+    moves zero-copy Arrow blocks, and each bucket joins via polars (Rust
+    hash join; handles list payloads that pyarrow's Acero join rejects)
+    with a pandas-merge fallback when polars is absent. Non-key columns of
+    the two sides must be DISJOINT (all callers here satisfy that; the
+    pandas :func:`hash_join` keeps the suffix machinery for the rest)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    on = list(on)
+    lcols = list(lschema)
+    rcols = list(rschema)
+    overlap = (set(lcols) & set(rcols)) - set(on)
+    if overlap:
+        raise ValueError(f"hash_join_arrow needs disjoint non-key columns; "
+                         f"overlapping: {sorted(overlap)}")
+    all_fields = {**dict(lschema),
+                  **{c: rschema[c] for c in rcols if c not in lschema}}
+    out_cols = list(all_fields)
+    out_schema = pa.schema([(c, all_fields[c]) for c in out_cols])
+    r_only = [c for c in rcols if c not in on]
+
+    def tag(side_flag: int, own: dict):
+        def fn(batch: "pa.Table") -> "pa.Table":
+            n = len(batch)
+            arrays = {}
+            for c in out_cols:
+                if c in own:
+                    col = batch.column(c)
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    arrays[c] = (col if col.type.equals(all_fields[c])
+                                 else pc.cast(col, all_fields[c]))
+                else:
+                    arrays[c] = pa.nulls(n, all_fields[c])
+            out = pa.table(arrays)
+            return out.append_column(
+                "_side", pa.array(np.full(n, side_flag, dtype=np.int8)))
+        return fn
+
+    both = left.map_batches(tag(0, dict(lschema)),
+                            batch_format="pyarrow").union(
+        right.map_batches(tag(1, dict(rschema)), batch_format="pyarrow"))
+
+    def join_bucket(tbl: "pa.Table") -> "pa.Table":
+        side = tbl.column("_side")
+        l = tbl.filter(pc.equal(side, 0)).select(lcols)
+        if len(l) == 0:
+            return out_schema.empty_table()
+        r = tbl.filter(pc.equal(side, 1)).select(on + r_only)
+        if len(r) == 0:
+            if how == "inner":
+                return out_schema.empty_table()
+            out = pa.table({**{c: l.column(c) for c in lcols},
+                            **{c: pa.nulls(len(l), all_fields[c])
+                               for c in r_only}})
+            return out.select(out_cols).cast(out_schema)
+        try:
+            import polars as pl
+            j = pl.from_arrow(l).join(
+                pl.from_arrow(r), on=on,
+                how="inner" if how == "inner" else "left")
+            return j.select(out_cols).to_arrow().cast(out_schema)
+        except ImportError:
+            lp = _arrow_group_to_pandas(l)
+            rp = _arrow_group_to_pandas(r)
+            j = lp.merge(rp, on=on, how=how)
+            return pa.Table.from_pandas(
+                j[out_cols], schema=out_schema, preserve_index=False)
+
+    return hash_partitioned_groupby(
+        both, on, join_bucket, n_buckets=n_buckets,
+        map_format="pyarrow", arrow_reducers=True,
+    )
+
+
 def drop_duplicate_keys(
     ds: "ray.data.Dataset", keys: Sequence[str], n_buckets: int = 32,
     map_format: str = "pandas",

@@ -181,7 +181,7 @@ def tfidf_keywords(
     table by token (hash_join — the vocabulary never sits on the driver),
     then one (doc_id,)-keyed scalar shuffle ranks per doc. Text shuffles
     nowhere."""
-    from ..functions.shuffle import hash_join, hash_partitioned_groupby
+    from ..functions.shuffle import hash_join_arrow, hash_partitioned_groupby
 
     def tf_rows(batch: pa.Table) -> pd.DataFrame:
         toks = _token_lists(batch)
@@ -230,9 +230,11 @@ def tfidf_keywords(
                  .to_pandas()["n"].sum())
     log_n = float(np.log(n_docs)) if n_docs else 0.0
 
-    joined = hash_join(tf, dfreq, on=["token"], n_buckets=n_buckets,
-                       lcols=["doc_id", "token", "tf"],
-                       rcols=["token", "df"])
+    joined = hash_join_arrow(
+        tf, dfreq, on=["token"], n_buckets=n_buckets,
+        lschema={"doc_id": pa.int64(), "token": pa.string(),
+                 "tf": pa.int64()},
+        rschema={"token": pa.string(), "df": pa.int64()})
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "doc_id" not in df.columns:
@@ -321,7 +323,7 @@ def inverted_postings(
     shuffle + the token-keyed hash_join that attaches df back onto the
     postings — both scalar-column only; text never shuffles. Postings stay
     distributed end-to-end (no driver collect)."""
-    from ..functions.shuffle import hash_join, hash_partitioned_groupby
+    from ..functions.shuffle import hash_join_arrow, hash_partitioned_groupby
 
     def tf_rows(batch: pa.Table) -> pd.DataFrame:
         toks = _token_lists(batch)
@@ -361,10 +363,11 @@ def inverted_postings(
                 pc.greater_equal(batch.column("df"), pa.scalar(min_df)))
         dfreq = dfreq.map_batches(keep, batch_format="pyarrow")
 
-    joined = hash_join(tf, dfreq.materialize(), on=["token"],
-                       n_buckets=n_buckets,
-                       lcols=["doc_id", "token", "tf"],
-                       rcols=["token", "df"])
+    joined = hash_join_arrow(
+        tf, dfreq.materialize(), on=["token"], n_buckets=n_buckets,
+        lschema={"doc_id": pa.int64(), "token": pa.string(),
+                 "tf": pa.int64()},
+        rschema={"token": pa.string(), "df": pa.int64()})
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "token" not in df.columns:

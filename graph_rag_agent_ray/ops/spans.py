@@ -39,7 +39,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.shuffle import hash_join, hash_partitioned_groupby
+from ..functions.shuffle import hash_join_arrow, hash_partitioned_groupby
 from ..functions.sqlhash import gram_hashes
 
 _EMPTY_POS = pa.table({
@@ -94,9 +94,12 @@ def _verified_positions(ds: "ray.data.Dataset", cand: "ray.data.Dataset",
 
     per_doc = hash_partitioned_groupby(cand, ["doc_id"], pos_lists,
                                        n_buckets=32)
-    joined = hash_join(per_doc, ds.select_columns(["doc_id", "text"]),
-                       on=["doc_id"], n_buckets=32,
-                       lcols=["doc_id", "cand_pos"], rcols=["doc_id", "text"])
+    # Arrow join: the corpus text column never round-trips through pandas
+    # NA-tagging (hash_join_arrow moves zero-copy Arrow blocks)
+    joined = hash_join_arrow(
+        per_doc, ds.select_columns(["doc_id", "text"]), on=["doc_id"],
+        lschema={"doc_id": pa.int64(), "cand_pos": pa.list_(pa.int64())},
+        rschema={"doc_id": pa.int64(), "text": pa.string()}, n_buckets=32)
 
     def slice_grams(df: pd.DataFrame) -> pd.DataFrame:
         ids, poss, grams = [], [], []
@@ -176,14 +179,18 @@ def strip_duplicate_spans(
         g = (df.groupby("doc_id", sort=False)
              .agg(starts=("span_start", list), ends=("span_end", list))
              .reset_index())
-        g["spans"] = [list(zip(s, e)) for s, e in zip(g["starts"], g["ends"])]
+        g["spans"] = [[[int(a), int(b)] for a, b in zip(s, e)]
+                      for s, e in zip(g["starts"], g["ends"])]
         return g[["doc_id", "spans"]]
 
     per_doc = hash_partitioned_groupby(spans, ["doc_id"], span_lists,
                                        n_buckets=32)
-    joined = hash_join(ds.select_columns(["doc_id", "text"]), per_doc,
-                       on=["doc_id"], how="left", n_buckets=32,
-                       lcols=["doc_id", "text"], rcols=["doc_id", "spans"])
+    joined = hash_join_arrow(
+        ds.select_columns(["doc_id", "text"]), per_doc,
+        on=["doc_id"], how="left", n_buckets=32,
+        lschema={"doc_id": pa.int64(), "text": pa.string()},
+        rschema={"doc_id": pa.int64(),
+                 "spans": pa.list_(pa.list_(pa.int64()))})
 
     def cut(df: pd.DataFrame) -> pd.DataFrame:
         out = []
