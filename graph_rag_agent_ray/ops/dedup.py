@@ -292,6 +292,41 @@ def simhash_duplicate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ra
 
 # ------------------------------------------------------ n-gram jaccard ----
 
+try:  # Rust gram generation when available (pandas/python fallback kept)
+    import polars as _pl_probe  # noqa: F401
+    _HAVE_POLARS = True
+except ImportError:  # pragma: no cover
+    _HAVE_POLARS = False
+
+_GRAM_SCHEMA = pa.schema([("doc_id", pa.int64()), ("gram", pa.string()),
+                          ("sz", pa.int64())])
+
+
+def _gram_rows_pl(batch: pa.Table, n: int) -> pa.Table:
+    """Polars variant of :func:`_gram_rows` — value-identical (tokens =
+    ``\\S+`` runs, exactly Python ``str.split()``; grams joined by a single
+    space; one row per DISTINCT gram per doc; ``sz`` = the doc's gram-set
+    size). Explode + windowed shift + concat_str, all in Rust — no per-doc
+    Python loop over the corpus."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = (df.with_columns(pl.col("text").fill_null("")
+                            .str.extract_all(r"\S+").alias("tok"))
+            .select(["doc_id", "tok"])
+            .explode("tok")
+            .drop_nulls("tok"))
+    parts = [pl.col("tok")] + [pl.col("tok").shift(-i).over("doc_id")
+                               for i in range(1, n)]
+    grams = (toks.with_columns(
+        pl.concat_str(parts, separator=" ").alias("gram"))
+        .drop_nulls("gram")       # windows running off the doc tail
+        .unique(subset=["doc_id", "gram"]))
+    sizes = grams.group_by("doc_id").agg(pl.len().cast(pl.Int64).alias("sz"))
+    out = grams.join(sizes, on="doc_id").select(["doc_id", "gram", "sz"])
+    return out.to_arrow().cast(_GRAM_SCHEMA)
+
+
 def _gram_rows(batch: pa.Table, n: int) -> pa.Table:
     """(doc_id, gram, sz): distinct word n-grams per doc, with the doc's
     gram-set size carried on every row (computed in-map — no size join)."""
@@ -342,7 +377,8 @@ def ngram_jaccard_pairs(
     a much smaller shuffle (the 100 TB configuration; tested equivalent).
 
     Matches the DuckDB oracle exactly (same tokenization: str.split())."""
-    grams = ds.map_batches(lambda b: _gram_rows(b, n),
+    gram_fn = _gram_rows_pl if _HAVE_POLARS else _gram_rows
+    grams = ds.map_batches(lambda b: gram_fn(b, n),
                            batch_format="pyarrow", batch_size=2048)
 
     # 2. global frequencies: map-side combine then bucket reduce
@@ -378,29 +414,51 @@ def ngram_jaccard_pairs(
     freq_broadcast = freq.count() <= _FREQ_BROADCAST_LIMIT
     if freq_broadcast:
         freq_pdf = freq.to_pandas()
-        freq_ref = ray.put(dict(zip(freq_pdf["gram"], freq_pdf["freq"])))
+        if _HAVE_POLARS:
+            # broadcast the ranking as an Arrow table (zero-copy ray.get in
+            # every task) instead of a python dict
+            freq_ref = ray.put(pa.table({
+                "gram": pa.array(freq_pdf["gram"], pa.string()),
+                "freq": pa.array(freq_pdf["freq"], pa.int64())}))
 
-        def prefix_in_map(batch: pa.Table) -> pa.Table:
-            fr = ray.get(freq_ref)
-            join = " ".join
-            doc_ids, grams_out, sizes = [], [], []
-            for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                    batch.column("text").to_pylist()):
-                toks = (text or "").split()
-                gs = set(map(join, zip(*(toks[i:] for i in range(n)))))
-                if not gs:
-                    continue
-                sz = len(gs)
-                plen = sz - math.ceil(threshold * sz - 1e-9) + 1
-                pref = sorted(gs, key=lambda g: (fr.get(g, 0), g))[:plen]
-                doc_ids.extend([doc_id] * len(pref))
-                grams_out.extend(pref)
-                sizes.extend([sz] * len(pref))
-            return pa.table({
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "gram": pa.array(grams_out, pa.string()),
-                "sz": pa.array(sizes, pa.int64()),
-            })
+            def prefix_in_map(batch: pa.Table) -> pa.Table:
+                import polars as pl
+                g = pl.from_arrow(_gram_rows_pl(batch, n))
+                fr = pl.from_arrow(ray.get(freq_ref))
+                g = (g.join(fr, on="gram", how="left")
+                     .with_columns(pl.col("freq").fill_null(0))
+                     .sort(["doc_id", "freq", "gram"])
+                     .with_columns(
+                         pl.int_range(pl.len()).over("doc_id").alias("rk"),
+                         ((pl.col("sz").cast(pl.Float64) * threshold - 1e-9)
+                          .ceil().cast(pl.Int64)).alias("_c"))
+                     .filter(pl.col("rk") < pl.col("sz") - pl.col("_c") + 1)
+                     .select(["doc_id", "gram", "sz"]))
+                return g.to_arrow().cast(_GRAM_SCHEMA)
+        else:
+            freq_ref = ray.put(dict(zip(freq_pdf["gram"], freq_pdf["freq"])))
+
+            def prefix_in_map(batch: pa.Table) -> pa.Table:
+                fr = ray.get(freq_ref)
+                join = " ".join
+                doc_ids, grams_out, sizes = [], [], []
+                for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                        batch.column("text").to_pylist()):
+                    toks = (text or "").split()
+                    gs = set(map(join, zip(*(toks[i:] for i in range(n)))))
+                    if not gs:
+                        continue
+                    sz = len(gs)
+                    plen = sz - math.ceil(threshold * sz - 1e-9) + 1
+                    pref = sorted(gs, key=lambda g: (fr.get(g, 0), g))[:plen]
+                    doc_ids.extend([doc_id] * len(pref))
+                    grams_out.extend(pref)
+                    sizes.extend([sz] * len(pref))
+                return pa.table({
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "gram": pa.array(grams_out, pa.string()),
+                    "sz": pa.array(sizes, pa.int64()),
+                })
 
         prefixes = ds.map_batches(prefix_in_map, batch_format="pyarrow",
                                   batch_size=2048)
@@ -480,7 +538,7 @@ def ngram_jaccard_pairs(
     # the verification scan never tokenizes the non-candidate corpus
     cand_grams = ds.map_batches(filter_docs, batch_format="pyarrow",
                                 batch_size=16384) \
-        .map_batches(lambda b: _gram_rows(b, n),
+        .map_batches(lambda b: gram_fn(b, n),
                      batch_format="pyarrow", batch_size=2048)
 
     # 5. intersection counts: per-gram pair emission restricted to candidate
