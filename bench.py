@@ -40,11 +40,12 @@ def corpus_spec_for(sf_dir: str) -> tuple:
     for key, spec in CORPUS.items():
         if sf_dir.rstrip("/").endswith(f"sf{key}"):
             n_docs, facts = spec
-            # GRAFT_DOCS overrides the doc count (the scaling sweep uses a
-            # larger corpus so every width has meaningful work per core —
-            # see run_scaling)
-            return int(os.environ.get("GRAFT_DOCS", n_docs)), facts
-    return CORPUS["0.1"]
+            break
+    else:
+        n_docs, facts = CORPUS["0.1"]
+    # GRAFT_DOCS overrides the doc count (the scaling sweep uses a larger
+    # corpus so every width has meaningful work per core — see run_scaling)
+    return int(os.environ.get("GRAFT_DOCS", n_docs)), facts
 
 
 def ensure_corpus(n_docs: int, facts_per_doc: int, dup_rate: float = 0.0,

@@ -138,6 +138,10 @@ def hash_partitioned_groupby(
     and ``pre_combine`` are Arrow-in/Arrow-out — no pandas boundary at all
     (callers pass vectorized-Rust kernels, e.g. the polars edge reducers,
     and must emit a FIXED schema across buckets)."""
+    if arrow_reducers and map_format != "pyarrow":
+        raise ValueError(
+            "arrow_reducers=True requires map_format='pyarrow' — the "
+            "pandas map side would feed DataFrames into Arrow kernels")
     keys = list(keys)
 
     if pre_combine is not None:

@@ -301,18 +301,27 @@ except ImportError:  # pragma: no cover
 _GRAM_SCHEMA = pa.schema([("doc_id", pa.int64()), ("gram", pa.string()),
                           ("sz", pa.int64())])
 
+# the oracle's token class, pinned EXACTLY: the DuckDB oracle tokenizes
+# with RE2 ``\S+``, whose ``\s`` is the ASCII set [\t\n\f\r ] — narrower
+# than Python str.split() (which adds \v, \x1c-\x1f, \x85, \xa0 and the
+# Unicode spaces) and than the Rust regex crate's Unicode ``\s``. All three
+# gram kernels (polars, python fallback, SQL) use this one class so the
+# output is identical regardless of which engine runs and what control
+# characters the corpus contains.
+_TOKEN_RE = r"[^\t\n\f\r ]+"
+
 
 def _gram_rows_pl(batch: pa.Table, n: int) -> pa.Table:
     """Polars variant of :func:`_gram_rows` — value-identical (tokens =
-    ``\\S+`` runs, exactly Python ``str.split()``; grams joined by a single
-    space; one row per DISTINCT gram per doc; ``sz`` = the doc's gram-set
-    size). Explode + windowed shift + concat_str, all in Rust — no per-doc
-    Python loop over the corpus."""
+    ``_TOKEN_RE`` runs, exactly the DuckDB oracle's RE2 ``\\S+``; grams
+    joined by a single space; one row per DISTINCT gram per doc; ``sz`` =
+    the doc's gram-set size). Explode + windowed shift + concat_str, all
+    in Rust — no per-doc Python loop over the corpus."""
     import polars as pl
 
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
     toks = (df.with_columns(pl.col("text").fill_null("")
-                            .str.extract_all(r"\S+").alias("tok"))
+                            .str.extract_all(_TOKEN_RE).alias("tok"))
             .select(["doc_id", "tok"])
             .explode("tok")
             .drop_nulls("tok"))
@@ -329,12 +338,18 @@ def _gram_rows_pl(batch: pa.Table, n: int) -> pa.Table:
 
 def _gram_rows(batch: pa.Table, n: int) -> pa.Table:
     """(doc_id, gram, sz): distinct word n-grams per doc, with the doc's
-    gram-set size carried on every row (computed in-map — no size join)."""
+    gram-set size carried on every row (computed in-map — no size join).
+    Tokenization = ``_TOKEN_RE`` (the oracle's RE2 ``\\S+``), NOT
+    ``str.split()`` — the two differ on \\v, \\x1c-\\x1f, \\x85, \\xa0 and
+    Unicode spaces."""
+    import re as _re
+
+    tok_re = _re.compile(_TOKEN_RE)
     doc_ids, grams, sizes = [], [], []
     join = " ".join
     for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
-        toks = (text or "").split()
+        toks = tok_re.findall(text or "")
         gs = set(map(join, zip(*(toks[i:] for i in range(n)))))
         if not gs:
             continue
@@ -376,7 +391,9 @@ def ngram_jaccard_pairs(
     candidate-count heuristic, so sampling trades a few extra candidates for
     a much smaller shuffle (the 100 TB configuration; tested equivalent).
 
-    Matches the DuckDB oracle exactly (same tokenization: str.split())."""
+    Matches the DuckDB oracle exactly (same tokenization: ``_TOKEN_RE``,
+    the oracle's RE2 ``\\S+`` — see the constant's note on why this is NOT
+    ``str.split()``)."""
     gram_fn = _gram_rows_pl if _HAVE_POLARS else _gram_rows
     grams = ds.map_batches(lambda b: gram_fn(b, n),
                            batch_format="pyarrow", batch_size=2048)
@@ -439,12 +456,14 @@ def ngram_jaccard_pairs(
             freq_ref = ray.put(dict(zip(freq_pdf["gram"], freq_pdf["freq"])))
 
             def prefix_in_map(batch: pa.Table) -> pa.Table:
+                import re as _re
+                tok_re = _re.compile(_TOKEN_RE)
                 fr = ray.get(freq_ref)
                 join = " ".join
                 doc_ids, grams_out, sizes = [], [], []
                 for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                         batch.column("text").to_pylist()):
-                    toks = (text or "").split()
+                    toks = tok_re.findall(text or "")
                     gs = set(map(join, zip(*(toks[i:] for i in range(n)))))
                     if not gs:
                         continue

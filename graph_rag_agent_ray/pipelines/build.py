@@ -38,6 +38,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .. import schema as S
 from ..config import KGConfig
 from ..functions.text import normalize_remap_array
 from ..state.snapshots import LineageLog, SnapshotStore, fingerprint
@@ -129,7 +130,8 @@ def build_kg(
     fp_cemb = fingerprint(base_fp, "chunk_embeddings")
     if use_chunk_tee:
         chunks_in, chunks_commit = store.tee_stage(
-            "chunks", fp_chunks, lambda: chunk_documents(docs, cfg), lineage)
+            "chunks", fp_chunks, lambda: chunk_documents(docs, cfg), lineage,
+            schema=S.CHUNKS)
         chunks_w = side.submit(lambda: None)
         extractions, extractions_w = store.run_stage_async_write(
             "extractions", fp_ext,
@@ -138,7 +140,12 @@ def build_kg(
         )
         chunks = chunks_commit()
         # chunk embeddings stream from the committed chunk snapshot
-        # (page-cache warm); only the return dict needs them
+        # (page-cache warm); only the return dict needs them. Trade-off:
+        # in the tee path embed starts AFTER extraction (the commit gates
+        # it) — fine for the cheap hash embedder (finishes long before the
+        # community tail needs anything), but if a model-backed embedder is
+        # ever wired into build_kg's default path, prefer the classic
+        # branch below so embedding overlaps extraction again
         chunk_embeddings_f = side.submit(
             store.run_stage, "chunk_embeddings", fp_cemb,
             lambda: embed_chunks(chunks, cfg), lineage,
@@ -177,7 +184,8 @@ def build_kg(
     use_triples_tee = store.manifest("edges") is None
     if use_triples_tee:
         triples_in, triples_commit = store.tee_stage(
-            "triples", fp_tr, lambda: parse_triples(extractions, cfg), lineage)
+            "triples", fp_tr, lambda: parse_triples(extractions, cfg),
+            lineage, schema=S.TRIPLES)
         triples_w = side.submit(lambda: None)
 
         def _edge_partials_job():
@@ -216,22 +224,29 @@ def build_kg(
     # block-by-block while the checkpoint lands alongside.
     fp_m = fingerprint(base_fp, "mentions", extractor_cls.__name__)
     fp_emb = fingerprint(base_fp, "entities_embedded", extractor_cls.__name__)
-    # the tee's consuming pipeline is the entities_embedded materialization:
-    # it always executes when incremental_snapshots is off, and executes on
-    # a fingerprint miss otherwise
-    use_mentions_tee = (not cfg.incremental_snapshots
-                        or not store.is_complete("entities_embedded", fp_emb))
+    # the tee's consuming pipeline is the entities_embedded materialization,
+    # which executes on a fingerprint miss. With incremental_snapshots OFF
+    # the caller asked for NO mentions snapshot on disk — keep the classic
+    # in-memory materialize (a tee would silently write one anyway)
+    use_mentions_tee = (cfg.incremental_snapshots
+                        and not store.is_complete("entities_embedded", fp_emb))
     _t = _time.monotonic()
     if use_mentions_tee:
         mentions_in, mentions_commit = store.tee_stage(
             "mentions", fp_m, lambda: parse_mentions(extractions, cfg),
-            lineage)
+            lineage, schema=S.MENTIONS)
         mentions_w = side.submit(lambda: None)
-    else:
+    elif cfg.incremental_snapshots:
         mentions, mentions_w = store.run_stage_async_write(
             "mentions", fp_m,
             lambda: parse_mentions(extractions, cfg), side, lineage,
         )
+        mentions_in = mentions
+    else:
+        mentions = parse_mentions(extractions, cfg).materialize()
+        lineage.record("mentions_parse", cached=False,
+                       wall_s=_time.monotonic() - _t)
+        mentions_w = side.submit(lambda: None)
         mentions_in = mentions
 
     # The exact-dedup aggregate + entity embedding are the last wide scans the

@@ -1241,9 +1241,11 @@ def dedupe_edges_from_partials(
         lambda b: _split(b, True), batch_format="pyarrow", batch_size=None)
     n_affected = affected.count()
     n_partials = partials.count()
-    if n_affected > max(MAX_DRIVER_EDGE_PARTIALS, 0.2 * n_partials):
-        # merge-dense graph (most keys alias-incident): the split buys
-        # nothing — the classic whole-table shuffle is the cheaper plan
+    if n_affected > min(MAX_DRIVER_EDGE_PARTIALS, max(1, 0.2 * n_partials)):
+        # EITHER bound exceeded: absolute (the slice would not fit the
+        # driver-merge heap budget) or relative (merge-dense graph, most
+        # keys alias-incident — the split buys nothing). The classic
+        # whole-table shuffle is the safe plan for both.
         return _full_shuffle()
 
     untouched = partials.map_batches(
@@ -1252,16 +1254,9 @@ def dedupe_edges_from_partials(
     if n_affected == 0:
         return untouched
 
-    from ray.data.block import BlockAccessor
-
-    from ..functions.shuffle import _arrow_group_to_pandas
-
-    tbl = pa.concat_tables(ray.get(
-        affected.map_batches(remap, batch_format="pyarrow",
-                             batch_size=None).to_arrow_refs()))
-    merged = _edges_bucket(_arrow_group_to_pandas(tbl))
-    merged_ds = ray.data.from_arrow(
-        BlockAccessor.for_block(merged).to_arrow())
+    tabs = [t for t in ray.get(affected.to_arrow_refs()) if t.num_rows]
+    merged_ds = ray.data.from_arrow(_edges_finish_local_table(
+        pa.concat_tables(tabs), ray.get(alias_ref)))
     return untouched.union(merged_ds)
 
 

@@ -408,6 +408,7 @@ class SnapshotStore:
         fp: str,
         compute: Callable[[], "ray.data.Dataset"],
         lineage: Optional["LineageLog"] = None,
+        schema=None,
     ):
         """Write-THROUGH checkpoint: returns ``(lazy_ds, commit)`` where
         ``lazy_ds`` is ``compute()`` with a per-batch Parquet tee appended —
@@ -446,12 +447,20 @@ class SnapshotStore:
             import pyarrow.parquet as pq
             if batch.num_rows == 0:
                 return batch
+            # content-addressed filename from the PARQUET bytes (which are
+            # being produced anyway — no second serialization of the block):
+            # a retried task rewrites the same file instead of duplicating
+            # rows, so persistence stays exactly-once under Ray's retry
+            # semantics. Requires block contents to be globally distinct —
+            # true for every teed stage here (all carry doc_id/chunk_id
+            # columns); two byte-identical blocks would coalesce to one.
             sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, batch.schema) as w:
-                w.write_table(batch)
-            digest = hashlib.sha1(sink.getvalue()).hexdigest()
-            path = os.path.join(tmp, f"tee-{digest}.parquet")
-            pq.write_table(batch, path + ".part")
+            pq.write_table(batch, sink)
+            buf = sink.getvalue()
+            name = f"tee-{hashlib.sha1(memoryview(buf)).hexdigest()}.parquet"
+            path = os.path.join(tmp, name)
+            with open(path + ".part", "wb") as f:
+                f.write(buf)
             os.replace(path + ".part", path)  # readers never see a torn file
             return batch
 
@@ -462,14 +471,21 @@ class SnapshotStore:
             n_files = len([f for f in os.listdir(tmp)
                            if f.endswith(".parquet")])
             if n_files == 0:
-                # empty stage: no block ever reached the tee — fall back to
-                # the classic write for its schema-preserving empty file
-                shutil.rmtree(tmp, ignore_errors=True)
-                out = self.write(stage, compute(), fp)
-                if lineage is not None:
-                    lineage.record(stage, cached=False,
-                                   wall_s=time.monotonic() - t0, teed=True)
-                return out
+                # empty stage: no block ever reached the tee. With a schema
+                # hint, persist the empty table directly; otherwise fall
+                # back to the classic write (re-executes compute() once)
+                if schema is not None:
+                    import pyarrow.parquet as pq
+                    pq.write_table(schema.empty_table(),
+                                   os.path.join(tmp, "empty.parquet"))
+                else:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    out = self.write(stage, compute(), fp)
+                    if lineage is not None:
+                        lineage.record(stage, cached=False,
+                                       wall_s=time.monotonic() - t0,
+                                       teed=True)
+                    return out
             try:
                 import pyarrow.dataset as pads
                 n_rows = pads.dataset(tmp, format="parquet").count_rows()

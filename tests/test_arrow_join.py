@@ -67,3 +67,53 @@ class TestArrowJoin:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestGramTokenAlignment:
+    """All three ngram tokenizers (polars kernel, python fallback, DuckDB
+    oracle) use the RE2 \\S+ class [^\\t\\n\\f\\r ]+ — pinned on text
+    containing the characters where str.split() and Unicode \\s diverge
+    (\\x1c-\\x1f, \\x0b, \\x85, \\xa0, U+2003)."""
+
+    TEXT = "one\x1ctwo three\x0bfour\xa0five six\x85seven eight"
+
+    def test_python_and_polars_kernels_agree(self):
+        import duckdb
+        from graph_rag_agent_ray.ops import dedup as D
+
+        batch = pa.table({"doc_id": pa.array([7], pa.int64()),
+                          "text": pa.array([self.TEXT])})
+        py = D._gram_rows(batch, 2).to_pandas()
+        sql = duckdb.sql(
+            "SELECT t[i] || ' ' || t[i+1] AS gram FROM "
+            "(SELECT regexp_extract_all(?, '\\S+') AS t), "
+            "unnest(range(1, len(t))) AS u(i)",
+            params=[self.TEXT]).df()
+        assert sorted(py["gram"]) == sorted(sql["gram"])
+        if D._HAVE_POLARS:
+            plg = D._gram_rows_pl(batch, 2).to_pandas()
+            assert sorted(plg["gram"]) == sorted(py["gram"])
+            assert list(plg["sz"].unique()) == list(py["sz"].unique())
+
+
+class TestTeeEmptySchema:
+    def test_empty_stage_uses_schema_hint_without_recompute(self, tmp_path):
+        from graph_rag_agent_ray.state.snapshots import SnapshotStore, fingerprint
+
+        calls = {"n": 0}
+
+        def compute():
+            calls["n"] += 1
+            return rd.from_arrow(pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.string())}))
+
+        store = SnapshotStore(str(tmp_path))
+        hint = pa.schema([("k", pa.int64()), ("v", pa.string())])
+        lazy, commit = store.tee_stage("st", fingerprint("x"), compute,
+                                       schema=hint)
+        lazy.materialize()
+        out = commit()
+        assert calls["n"] == 1  # the schema hint avoided the re-execution
+        assert out.count() == 0
+        assert set(out.schema().names) == {"k", "v"}
