@@ -214,6 +214,74 @@ def aggregate_exact_partials(mentions: "ray.data.Dataset") -> "ray.data.Dataset"
     return mentions.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+_EXACT_PARTIAL_SCHEMA = pa.schema([
+    ("norm_surface", pa.string()), ("entity_type", pa.string()),
+    ("min_chunk", pa.string()), ("description", pa.string()),
+    ("n_mentions", pa.int64()), ("surfaces", pa.list_(pa.string())),
+])
+
+
+def _merge_exact_partials_arrow(tbl: pa.Table) -> pa.Table:
+    """Polars tree-combine — value-identical to
+    :func:`_merge_exact_partials` (associative, partial-schema-preserving:
+    lexicographic-min (min_chunk, description) pair, n_mentions sum,
+    16-smallest surface union)."""
+    import polars as pl
+
+    keys = ["norm_surface", "entity_type"]
+    out = (
+        pl.from_arrow(tbl)
+        .sort(keys + ["min_chunk", "description"])
+        .group_by(keys, maintain_order=False)
+        .agg([
+            pl.col("min_chunk").first(),
+            pl.col("description").first(),
+            pl.col("n_mentions").sum(),
+            pl.col("surfaces").explode(empty_as_null=False).unique().sort()
+            .head(16).alias("surfaces"),
+        ])
+        .select(["norm_surface", "entity_type", "min_chunk", "description",
+                 "n_mentions", "surfaces"])
+    )
+    return out.to_arrow().cast(_EXACT_PARTIAL_SCHEMA)
+
+
+def _final_exact_bucket_arrow(tbl: pa.Table) -> pa.Table:
+    """Polars final entity reduce — value-identical to
+    :func:`_final_exact_bucket` (majority type with lexicographic
+    tie-break, description from the global (min_chunk, description) min,
+    union of surfaces capped at 16)."""
+    import polars as pl
+
+    df = pl.from_arrow(tbl)
+    tc = (df.group_by(["norm_surface", "entity_type"], maintain_order=False)
+          .agg(pl.col("n_mentions").sum()))
+    top = (tc.sort(["norm_surface", "n_mentions", "entity_type"],
+                   descending=[False, True, False])
+           .unique(subset=["norm_surface"], keep="first",
+                   maintain_order=True)
+           .select(["norm_surface", "entity_type"]))
+    firsts = (df.sort(["norm_surface", "min_chunk", "description"])
+              .unique(subset=["norm_surface"], keep="first",
+                      maintain_order=True)
+              .select(["norm_surface", "description"]))
+    n = df.group_by("norm_surface").agg(pl.col("n_mentions").sum())
+    surf = (df.select(["norm_surface", "surfaces"])
+            .group_by("norm_surface", maintain_order=False)
+            .agg(pl.col("surfaces").explode(empty_as_null=False).unique()
+                 .sort().head(16).alias("surface_forms")))
+    out = (top.join(firsts, on="norm_surface")
+           .join(n, on="norm_surface")
+           .join(surf, on="norm_surface")
+           .select(["norm_surface", "entity_type", "description",
+                    "n_mentions", "surface_forms"]))
+    return out.to_arrow().cast(pa.schema([
+        ("norm_surface", pa.string()), ("entity_type", pa.string()),
+        ("description", pa.string()), ("n_mentions", pa.int64()),
+        ("surface_forms", pa.list_(pa.string())),
+    ]))
+
+
 def aggregate_exact_finish(
     partials: "ray.data.Dataset", cfg: KGConfig | None = None
 ) -> "ray.data.Dataset":
@@ -221,6 +289,12 @@ def aggregate_exact_finish(
     output (or any associative re-partition of it — the incremental path
     re-feeds carried partial rows here)."""
     cfg = cfg or KGConfig()
+    if _HAVE_POLARS:
+        return hash_partitioned_groupby(
+            partials, ["norm_surface"], _final_exact_bucket_arrow,
+            n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",
+            pre_combine=_merge_exact_partials_arrow, arrow_reducers=True,
+        )
     return hash_partitioned_groupby(
         partials, ["norm_surface"], _final_exact_bucket,
         n_buckets=cfg.salt_buckets * 4, map_format="pyarrow",

@@ -206,3 +206,45 @@ class TestPolarsKernelEquality:
             assert (a[col].values == b[col].values).all(), col
         assert all(list(x) == list(y)
                    for x, y in zip(a["surfaces"], b["surfaces"]))
+
+    @pytest.mark.skipif(not C._HAVE_POLARS, reason="polars absent")
+    def test_exact_finish_kernels_agree(self):
+        import pyarrow as pa
+        import pandas as pd_
+        rows = []
+        surfaces = ["苹果公司", "Apple Inc", "apple  inc.", "Ωmega", "zz",
+                    "Apple  Inc", "APPLE INC"]
+        for i in range(4000):
+            rows.append({
+                "entity_surface": surfaces[i % 7],
+                "entity_type": ["company", "person", "company"][i % 3],
+                "chunk_id": f"c{i % 150:05d}",
+                "description": ["a desc", "", "z"][i % 3],
+                "doc_id": f"doc{i % 5}",
+            })
+        batch = pa.Table.from_pandas(pd_.DataFrame(rows), preserve_index=False)
+        partial = C._partial_exact_arrow(batch)
+        doubled = pa.concat_tables([partial, partial])
+        from graph_rag_agent_ray.functions.shuffle import _arrow_group_to_pandas
+        # tree-combine level
+        ma = C._merge_exact_partials_arrow(doubled).to_pandas()
+        mb = C._merge_exact_partials(_arrow_group_to_pandas(doubled))
+        keys = ["norm_surface", "entity_type"]
+        ma = ma.sort_values(keys).reset_index(drop=True)
+        mb = mb.sort_values(keys)[ma.columns.tolist()].reset_index(drop=True)
+        assert len(ma) == len(mb)
+        for col in ("min_chunk", "description", "n_mentions"):
+            assert (ma[col].values == mb[col].values).all(), col
+        assert all(list(x) == list(y)
+                   for x, y in zip(ma["surfaces"], mb["surfaces"]))
+        # final reduce (majority type + tie-breaks)
+        fa = C._final_exact_bucket_arrow(doubled).to_pandas()
+        fb = C._final_exact_bucket(_arrow_group_to_pandas(doubled))
+        fa = fa.sort_values("norm_surface").reset_index(drop=True)
+        fb = fb.sort_values("norm_surface")[fa.columns.tolist()] \
+            .reset_index(drop=True)
+        assert len(fa) == len(fb)
+        for col in ("entity_type", "description", "n_mentions"):
+            assert (fa[col].values == fb[col].values).all(), col
+        assert all(list(x) == list(y)
+                   for x, y in zip(fa["surface_forms"], fb["surface_forms"]))
